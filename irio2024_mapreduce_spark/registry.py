@@ -1,0 +1,84 @@
+"""Central query registry — the driver contract surface.
+
+Aggregates every implemented query (name → (spark, sf_dir) → DataFrame)
+and its DuckDB oracle SQL from the operator modules. `__spark_entry__.py`
+at the repo root is a thin re-export of this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.functions.text import TOKEN_SPLIT_REGEX, wordcount
+from irio2024_mapreduce_spark.operators import relational
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# E1 wordcount — the reference's flagship query (SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+def wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R1–R10 fused: tokenize documents.text, count words.
+
+    Tokenizer parity with ``mapreduce/worker/algorithm.py:9``
+    (case-sensitive, ASCII punctuation+whitespace separators,
+    empty tokens dropped).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return wordcount(docs.select(F.col("text").alias("value")))
+
+
+WORDCOUNT_ORACLE = f"""
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(regexp_split_to_array(text, '{TOKEN_SPLIT_REGEX}')) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+"""
+
+
+def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {"wordcount": wordcount_query}
+    oracles: dict[str, str] = {"wordcount": WORDCOUNT_ORACLE}
+
+    queries.update(relational.QUERIES)
+    oracles.update(relational.ORACLE_SQL)
+
+    for mod_name in (
+        "events",
+        "json_array",
+        "dedup",
+        "similarity",
+        "text_analysis",
+        "multimodal",
+        "pipeline_queries",
+        "streaming_queries",
+    ):
+        try:
+            mod = __import__(
+                f"irio2024_mapreduce_spark.operators.{mod_name}",
+                fromlist=["QUERIES", "ORACLE_SQL"],
+            )
+        except ImportError:
+            continue
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLE_SQL", {}))
+    return queries, oracles
+
+
+def queries() -> dict[str, QueryFn]:
+    return _build()[0]
+
+
+def oracle_sql() -> dict[str, str]:
+    return _build()[1]
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: flagship wordcount at sf0.001."""
+    return wordcount_query(spark, "/root/testdata/sf0.001")

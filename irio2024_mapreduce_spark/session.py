@@ -1,0 +1,68 @@
+"""SparkSession factory with configs pinned for this engine.
+
+Replaces the reference's entire control plane (coordinator process,
+Postgres job state, k8s DNS worker discovery — see SURVEY.md §3.1):
+on Spark, a session *is* the engine. Configs are chosen for
+scale-out correctness first, local[32] testing second:
+
+* AQE on — runtime partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion replace the reference's
+  "expected_parts = live workers" elasticity
+  (reference ``mapreduce/coordinator/update_loop.py:88-89``).
+* UTC session timezone — the events table is timestamp-typed; window
+  boundaries must agree with the DuckDB oracle.
+* Arrow enabled — every pandas UDF / ``mapInPandas`` crossing is
+  Arrow-batched, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "irio2024-mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster the caller passes no ``master`` and
+    spark-submit supplies it; locally we default to ``local[N]``
+    with N = ``$SPARK_GRAFT_CPUS`` or all cores.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Files: at 100 TB the default 128 MiB split keeps ~800k tasks for
+        # the full scan — fine; don't shrink it. Open cost keeps many tiny
+        # files from over-splitting.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
