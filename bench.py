@@ -1,0 +1,88 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Timing excludes JVM startup (a warm-up action runs first) and driver-
+side result transfer (queries execute to completion via the noop
+sink, so what's measured is scan + shuffle + compute — the part that
+scales to 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from irio2024_mapreduce_spark import registry
+from irio2024_mapreduce_spark.session import get_spark
+
+# Representative of every operator family: scan+flatMap+agg, hash agg,
+# broadcast & shuffle joins, window w/ frame, time windows, dedup,
+# similarity, text analysis. Keep in sync as new families land.
+HEADLINE = [
+    "wordcount",
+    "filter_project",
+    "agg_groupby",
+    "agg_rollup",
+    "join_broadcast",
+    "join_shuffle",
+    "join_outer",
+    "window_running",
+    "sort_limit_topk",
+    "event_sliding",
+    "event_session",
+    "json_extract",
+    "dedup_exact",
+    "dedup_near",
+    "similarity_topk",
+    "text_analysis",
+]
+
+ITERATIONS = 2  # report min — steady-state, post-JIT
+
+
+def run_once(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # warm-up: pay JVM/codegen init outside the timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        best = float("inf")
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            run_once(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

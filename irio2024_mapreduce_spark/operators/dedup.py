@@ -1,0 +1,345 @@
+"""Deduplication operator pack — SURVEY.md §2.3 E21/E22 plus the
+SimHash / n-gram-Jaccard / embedding-cosine variants a training-data
+pipeline needs.
+
+Scale design (the point of every choice here):
+
+* **exact** — group on ``sha2(text)`` not the raw text: the shuffle
+  key is 32 bytes instead of the document body, so a 100 TB corpus
+  shuffles ~hashes, not ~bytes.
+* **near (MinHash+LSH)** — signature of K=32 min-hashes, banded
+  b=8 × r=4; candidate generation is an equi-join on
+  (band, band_hash) — never an O(n²) cross join. Candidates are
+  verified with exact shingle-set Jaccard. All hash functions are
+  seeded ``xxhash64`` — deterministic across runs/executors.
+* **simhash** — 64-bit signature; pairs found by pigeonhole banding
+  (4 × 16-bit chunks: hamming ≤ 3 ⇒ at least one chunk equal), so
+  again an equi-join, not a cross join.
+* **n-gram Jaccard (exact)** — banded by (lang, length bucket) before
+  the pairwise compare; the oracle implements the identical banding.
+* **embedding cosine** — brute pairwise above a cosine threshold,
+  blocked by label (the ANN/LSH scale path lives in
+  ``operators/similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+def _shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct n-token shingles as strings ('w1 w2 w3')."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+# ---------------------------------------------------------------- E21 exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per distinct text + duplicate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_cnt"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("doc_id", "dup_cnt", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------- E22 minhash
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified at Jaccard ≥ 0.5.
+
+    shingle → K seeded xxhash64 min-hashes → band rows → equi-join on
+    (band, hash-of-band-slice) → exact-Jaccard verify. Deterministic
+    (seeded hashes, no RNG). Candidate volume is governed by the
+    (b, r) S-curve, not by n².
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("shingles")
+    )
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "shingles",
+                        lambda s, i=i: F.xxhash64(F.concat(F.lit(f"perm{i}:"), s)),
+                    )
+                )
+                for i in range(MINHASH_PERMS)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * LSH_ROWS + r + 1)
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "shingles", "bh.band", "bh.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on a 64-bit signature).
+
+    Signature: per distinct token, a seeded 64-bit hash votes ±count
+    on each bit; sign of the per-bit total sets the bit. Pairs via
+    pigeonhole banding: 4 × 16-bit chunks — hamming ≤ 3 guarantees an
+    equal chunk, so candidates come from an equi-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64(F.concat(F.lit("simhash:"), F.col("tok"))))
+    )
+    # one row per (doc, bit): vote = ±cnt by bit value
+    bits = tok_counts.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        "cnt",
+        "h",
+    ).select(
+        "doc_id",
+        "j",
+        F.when(
+            F.expr("(h >> cast(j as int)) & 1") == 1,
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("vote"),
+    )
+    simhash = (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("total"))
+        .filter(F.col("total") > 0)
+        .groupBy("doc_id")
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(j as int))")).alias("simhash"))
+    )
+    # docs whose every bit-vote was ≤0 produce no row above; re-join to
+    # keep them with signature 0
+    all_docs = docs.select("doc_id")
+    simhash = all_docs.join(simhash, "doc_id", "left").fillna({"simhash": 0})
+
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn(
+        "chunk_val", F.expr("(simhash >> cast(chunk * 16 as int)) & 65535")
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- ngram jaccard
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 over banded candidate pairs.
+
+    Banding: pairs must share a length bucket (n_tokens div 8) — the oracle
+    implements the identical blocking, so this is hash-checkable.
+    At 100 TB the band join replaces the n² compare; recall loss at
+    bucket edges is the documented trade (MinHash covers the rest).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _shingles().alias("shingles"),
+        (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.len_band") == F.col("r.len_band"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(
+                _jaccard(F.col("l.shingles"), F.col("r.shingles")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------- embedding
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4), blocked by label.
+
+    All arithmetic in double (float arrays cast first) so Spark and
+    the DuckDB oracle compute bit-comparable cosines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v"))
+                / (
+                    F.sqrt(dot(F.col("l.v"), F.col("l.v")))
+                    * F.sqrt(dot(F.col("r.v"), F.col("r.v")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt,
+               MIN(n_chars) AS n_chars
+        FROM documents GROUP BY text
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   (len(string_split(text, ' ')) // 8)::BIGINT AS len_band,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   )) AS shingles
+            FROM documents
+        )
+        SELECT * FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b
+              ON a.len_band = b.len_band AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_embedding": """
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                         6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    """,
+    # dedup_near / dedup_simhash: seeded-xxhash LSH isn't expressible in
+    # DuckDB SQL → rows-only check (SURVEY §7 hard-item 3); determinism +
+    # recall vs the exact queries are asserted in tests/.
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near": dedup_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+}

@@ -1,0 +1,261 @@
+"""Text-analysis operator pack — SURVEY.md §2.3 E24 plus the
+language-ID / quality-score / token-count / fingerprint operators a
+training-data pipeline needs.
+
+Everything is built-in SQL functions (regex, list ops, md5) — no
+Python in the row loop, so the whole pack rides whole-stage codegen
+and scales linearly with a map-only plan (the only shuffle is the
+final per-(lang, source) aggregation in E24).
+
+The language-ID heuristic is a stopword-overlap argmax — a toy
+classifier by design, but its *plan shape* (per-row token-set overlap
+against small broadcast dictionaries, CASE-based argmax) is the real
+fastText-style scorer's shape too. The DuckDB oracle implements the
+identical rule, so even the heuristic is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists (public common words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"],
+    "fr": ["le", "la", "les", "des", "et", "est", "dans", "pour", "que", "une"],
+}
+
+# BPE-ish token pattern: word pieces OR single non-space symbols —
+# a public approximation of byte-pair tokenizer pre-splitting.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+
+def _ws_tokens(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+def _overlap(tokens: Column, words: list[str]) -> Column:
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens), F.array(*[F.lit(w) for w in words])
+        )
+    )
+
+
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24: corpus statistics per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens()
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_unique") / F.col("n_tokens")), 4).alias(
+                "avg_ttr"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic argmax
+    (score desc, language code asc; all-zero ⇒ 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _overlap(toks, words).cast("long").alias(f"s_{code}")
+            for code, words in STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for code in sorted(STOPWORDS):  # asc code order = tiebreak
+        pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, punctuation density,
+    stopword ratio, mean token length, repetition (1 - TTR)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens()
+    n_tokens = F.size(toks).cast("double")
+    punct_cnt = F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), F.lit(0)))
+    stop_cnt = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(punct_cnt / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(stop_cnt / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_tokens + 1) / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens, 6
+        ).alias("repetition"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token estimate, plus corpus
+    totals — the 'how many training tokens is this corpus' query."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(_ws_tokens()).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).cast("long").alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 content hash of the
+    whitespace-normalized lowercased text + a shape signature
+    (first/last token, token count). The rolling-hash variant lives
+    in tests (not portable to the SQL oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    toks = _ws_tokens()
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_md5"),
+        F.concat_ws(
+            ":",
+            F.element_at(toks, 1),
+            F.element_at(toks, -1),
+            F.size(toks).cast("string"),
+        ).alias("shape_sig"),
+    )
+
+
+def _sql_overlap(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[code])
+    return (
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"[{words}]))::BIGINT"
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN s_{c} = best THEN '{c}'" for c in sorted(STOPWORDS)
+)
+
+ORACLE_SQL = {
+    "text_analysis": """
+        WITH t AS (
+            SELECT lang, source, n_chars,
+                   len(string_split(text, ' '))::BIGINT                AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique
+            FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*)                                         AS n_docs,
+               ROUND(AVG(n_chars), 4)                           AS avg_chars,
+               ROUND(AVG(n_tokens), 4)                          AS avg_tokens,
+               ROUND(AVG(n_unique::DOUBLE / n_tokens), 4)       AS avg_ttr,
+               SUM(n_tokens)                                    AS total_tokens
+        FROM t GROUP BY lang, source ORDER BY lang, source
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_overlap('en')} AS s_en,
+                   {_sql_overlap('es')} AS s_es,
+                   {_sql_overlap('de')} AS s_de,
+                   {_sql_overlap('fr')} AS s_fr
+            FROM documents
+        ), best_t AS (
+            SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS best FROM scored
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS pred_lang,
+               best AS best_score
+        FROM best_t
+    """,
+    "quality_score": f"""
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               ROUND(len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
+                     / n_chars, 6) AS punct_ratio,
+               ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),
+                         ['the','and','of','to','in','is','that','with','for','on']
+                     ))::DOUBLE / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               ROUND(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS repetition
+        FROM documents
+    """,
+    "token_count": f"""
+        WITH t AS (
+            SELECT lang,
+                   len(string_split(text, ' '))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::BIGINT
+                       AS bpe_tokens
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(ws_tokens)            AS total_ws_tokens,
+               SUM(bpe_tokens)           AS total_bpe_tokens,
+               ROUND(AVG(bpe_tokens), 4) AS avg_bpe_tokens
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
+               string_split(text, ' ')[1] || ':' ||
+               string_split(text, ' ')[-1] || ':' ||
+               len(string_split(text, ' '))::VARCHAR              AS shape_sig
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "text_analysis": text_analysis,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "fingerprint": fingerprint,
+}

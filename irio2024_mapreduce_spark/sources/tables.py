@@ -19,6 +19,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.session import ensure_session_confs
 
 TABLE_NAMES = (
     "region",
@@ -39,8 +42,20 @@ BROADCAST_SAFE = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one table; no action triggered."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Lazy parquet scan of one table; no action triggered.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false) — Spark has no
+    nanosecond timestamp type, so (with
+    ``spark.sql.legacy.parquet.nanosAsLong``) it scans as int64 and we
+    truncate to microseconds here, exactly like DuckDB/pandas do when
+    downcasting ns→µs. The cast is a codegen'd expression on top of
+    the scan; column pruning still reaches parquet.
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,107 @@
+"""Structured Streaming jobs — SURVEY.md §2.3 E20.
+
+The reference has no streaming at all (SURVEY §2.1 'explicitly
+absent'); this is extension surface. Two jobs:
+
+* **streaming_wordcount** — the flagship word count run as a stream:
+  file source over the documents parquet, same tokenizer plan as E1,
+  complete-mode aggregation. Batch/stream parity is the correctness
+  claim: the final table must equal the batch E1 result (same DuckDB
+  oracle).
+* **streaming_event_counts** — event-time tumbling window + watermark
+  + append mode: only windows the 10-minute watermark has closed are
+  emitted. Late-data drop is therefore observable in the output: the
+  trailing window(s) of the table are withheld.
+
+Both run with ``Trigger.availableNow`` and block until drained, so
+they behave deterministically under the driver's batch-style check.
+In production the same plans run unbounded with checkpointed state
+(``option("checkpointLocation", ...)`` on a durable store) and a
+kafka/file sink; state-store size is bounded by the watermark
+evicting closed windows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.functions.text import wordcount
+from irio2024_mapreduce_spark.session import ensure_session_confs
+
+
+def _stage_dir(path: str) -> str:
+    """FileStreamSource needs a *directory* (its basePath); stage the
+    single parquet file into a temp dir. In production the source is
+    already a directory that files land in — this staging exists only
+    because the fixtures are single files."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(path):
+        shutil.copy2(path, dst)
+    return d
+
+
+def _drain(writer, name: str) -> None:
+    q = (
+        writer.queryName(name)
+        .format("memory")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a stream; returns the final counts table (batch DF)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_dir(path))
+        .select(F.col("text").alias("value"))
+    )
+    counts = wordcount(stream)
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    _drain(counts.writeStream.outputMode("complete"), name)
+    return spark.table(name)
+
+
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts; append mode emits only
+    watermark-closed windows (late-data drop made visible)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(_stage_dir(path))
+    if "ts" in dict((f.name, f.dataType.simpleString()) for f in raw_schema) and \
+            dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    name = f"sec_{uuid.uuid4().hex[:8]}"
+    _drain(agg.writeStream.outputMode("append"), name)
+    return spark.table(name)

@@ -1,0 +1,25 @@
+"""Driver-contract invariants."""
+
+from __future__ import annotations
+
+from irio2024_mapreduce_spark import registry
+
+
+def test_every_oracle_key_has_a_query():
+    qs = registry.queries()
+    osql = registry.oracle_sql()
+    assert set(osql) <= set(qs)
+    # rows-only queries are deliberate, enumerated exceptions
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "dedup_near",
+        "dedup_simhash",
+        "similarity_ann",
+        "multimodal_decode",
+    }
+
+
+def test_entry_smoke(spark):
+    df = registry.entry(spark)
+    assert df.columns == ["word", "cnt"]
+    assert df.count() > 0

@@ -1,0 +1,112 @@
+"""Operator edge-case unit tests on tiny in-memory DataFrames
+(SURVEY.md §5.2: join null semantics, window frames, session-window
+gap edges, rollup markers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_left_join_null_semantics(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, 10)], ["k", "w"])
+    rows = {
+        (r["k"], r["w"]) for r in left.join(right, "k", "left").collect()
+    }
+    assert rows == {(1, 10), (2, None)}
+    # count() skips nulls from the unmatched side
+    agg = left.join(right, "k", "left").agg(F.count("w").alias("c")).collect()
+    assert agg[0]["c"] == 1
+
+
+def test_rollup_produces_grand_total(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)], ["a", "b", "n"]
+    )
+    rows = {
+        (r["a"], r["b"], r["s"])
+        for r in df.rollup("a", "b").agg(F.sum("n").alias("s")).collect()
+    }
+    assert (None, None, 7) in rows  # grand total
+    assert ("x", None, 3) in rows  # subtotal
+    assert ("x", "p", 1) in rows  # leaf
+
+
+def _ev(uid, minute):
+    return (uid, dt.datetime(2024, 1, 1, 0, minute))
+
+
+def test_session_window_gap_edge(spark):
+    """A gap of exactly the session duration still MERGES (Spark
+    merges when next start <= previous end); only a strictly larger
+    gap splits. The DuckDB oracle in operators/events.py encodes the
+    same rule (`> gap` starts a new session)."""
+    df = spark.createDataFrame(
+        [_ev(1, 0), _ev(1, 29), _ev(1, 59)]  # gaps 29, 30 → all merge
+        + [_ev(2, 0), _ev(2, 31)],  # gap 31 > 30 → split
+        ["user_id", "ts"],
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(per_user[1]) == [3]
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_window_frame_running_sum(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 7.0)],
+        ["k", "seq", "x"],
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = {
+        (r["k"], r["seq"], r["run"])
+        for r in df.select("k", "seq", F.sum("x").over(w).alias("run")).collect()
+    }
+    assert rows == {(1, 1, 10.0), (1, 2, 15.0), (1, 3, 16.0), (2, 1, 7.0)}
+
+
+def test_semi_anti_partition_of_keys(spark, sf_dir):
+    """Semi ∪ anti == all customers, semi ∩ anti == ∅."""
+    from irio2024_mapreduce_spark.operators.relational import join_semi_anti
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    rows = join_semi_anti(spark, sf_dir).collect()
+    keys = [r["c_custkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(keys) == n_cust
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    from irio2024_mapreduce_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(3, "same text", 9), (1, "same text", 9), (2, "other", 5)],
+        ["doc_id", "text", "n_chars"],
+    )
+    df.createOrReplaceTempView("_tmp_docs")
+    out = {
+        (r["doc_id"], r["dup_cnt"])
+        for r in df.groupBy(F.sha2("text", 256))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+        .select("doc_id", "dup_cnt")
+        .collect()
+    }
+    assert out == {(1, 2), (2, 1)}

@@ -1,0 +1,40 @@
+"""Streaming tests: stream/batch parity and watermark cut."""
+
+from __future__ import annotations
+
+from irio2024_mapreduce_spark.operators.events import event_tumbling
+from irio2024_mapreduce_spark.registry import wordcount_query
+from irio2024_mapreduce_spark.streaming.jobs import (
+    streaming_event_counts,
+    streaming_wordcount,
+)
+
+
+def test_stream_batch_wordcount_parity(spark, sf_dir):
+    stream = {
+        (r["word"], r["cnt"])
+        for r in streaming_wordcount(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["word"], r["cnt"]) for r in wordcount_query(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(stream) > 0
+
+
+def test_watermark_withholds_open_windows(spark, sf_dir):
+    """Append mode emits only watermark-closed windows: the emitted
+    set must be a strict subset of the batch windows, missing exactly
+    the trailing (still-open) ones."""
+    emitted = {
+        (r["window_start"], r["event_type"], r["cnt"])
+        for r in streaming_event_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"], r["cnt"])
+        for r in event_tumbling(spark, sf_dir).collect()
+    }
+    assert emitted <= batch
+    withheld = batch - emitted
+    assert withheld  # the tail windows within the watermark delay
+    max_emitted = max(w for w, _, _ in emitted)
+    assert all(w >= max_emitted for w, _, _ in withheld)
