@@ -36,6 +36,8 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 
 
+
+
 def _tokens(col: str = "text") -> Column:
     return F.split(col, " ")
 
@@ -82,24 +84,39 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("shingles")
     )
+    # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
+    # the resulting 8-byte longs (xxhash64 seeded by the perm id):
+    # ~K× cheaper than K salted string hashes — fixed-width hashing
+    # instead of repeated string traversal — and entirely map-side (no
+    # shuffle to build signatures). Wrapping affine permutations would
+    # be cheaper still but ANSI mode (Spark 4 default) forbids long
+    # overflow.
     sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"),
+    ).select(
         "doc_id",
         "shingles",
         F.array(
             *[
+                # NB: one-arg lambda — a two-arg lambda would receive
+                # the element INDEX as its second argument
                 F.array_min(
                     F.transform(
-                        "shingles",
-                        lambda s, i=i: F.xxhash64(F.concat(F.lit(f"perm{i}:"), s)),
+                        "h",
+                        (lambda i_: lambda h: F.xxhash64(F.lit(i_), h))(i),
                     )
                 )
                 for i in range(MINHASH_PERMS)
             ]
         ).alias("sig"),
     )
+    # Band rows carry ONLY (doc_id, band, band_hash) — the shingle
+    # arrays must not ride through the 8× explode, the join, or the
+    # pair dedup (at 100 TB they're the document bodies, effectively).
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -119,13 +136,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "shingles", "bh.band", "bh.band_hash")
+    ).select("doc_id", "bh.band", "bh.band_hash")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     pairs = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -133,13 +149,26 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verify only the surviving candidate pairs: re-join the shingle
+    # sets (tiny vs the corpus — the S-curve keeps candidates sparse).
+    sh = docs.select("doc_id", "shingles")
     return (
-        pairs.select(
+        pairs.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
             "doc_a",
             "doc_b",
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),

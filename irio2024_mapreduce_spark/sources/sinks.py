@@ -1,0 +1,59 @@
+"""Sinks — reference R9 parity plus the partitioned writers a real
+deployment uses.
+
+The reference's only sink concatenates reduce outputs into ONE blob
+(``mapreduce/coordinator/algorithm.py:117-139``). On Spark that is a
+plan shape — ``coalesce(1)`` feeding a single write task. We keep it
+for parity and small results, but the scale path is
+:func:`write_partitioned`: parallel tasks, optional partition columns
+for downstream pruning, optional bucketing so future joins on the
+bucket keys skip their shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_single_file(
+    df: DataFrame, path: str, fmt: str = "csv", header: bool = True
+) -> None:
+    """Reference R9: one output file. ``coalesce(1)`` (NOT
+    ``repartition(1)``) — it narrows the last stage without forcing an
+    extra shuffle. Only sane for driver-scale results (the reference
+    had the same constraint: its collect step streamed every reduce
+    output through the coordinator)."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", str(header).lower())
+    writer.format(fmt).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """The 100 TB sink: one file per task, hive-style partition dirs
+    so downstream readers get partition pruning for free."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_cols``
+    skip their shuffle (co-located partitioning persisted at write
+    time) — the answer to 'orders ⋈ lineitem shuffles 100 TB'."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+Correct rows at sf0.01 can still come from a plan that collapses at
+scale; these tests pin the plan properties that matter: predicate
+pushdown reaching parquet, column pruning, broadcast joins staying
+broadcast, top-k staying TakeOrdered (never a global sort), and
+aggregates keeping their map-side partial phase.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from irio2024_mapreduce_spark.operators.relational import (
+    agg_groupby,
+    agg_rollup,
+    filter_project,
+    join_broadcast,
+    sort_limit_topk,
+)
+from irio2024_mapreduce_spark.operators.similarity import similarity_topk
+from irio2024_mapreduce_spark.registry import wordcount_query
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(filter_project(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_discount" in plan.split("PushedFilters:")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # only the 5 referenced columns reach the scan — not all 11
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema and "l_tax" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    plan = plan_of(sort_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no Exchange rangepartitioning = no global sort
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_aggregates_have_partial_phase(spark, sf_dir):
+    plan = plan_of(agg_groupby(spark, sf_dir), mode="simple")
+    # partial (map-side) + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+
+
+def test_wordcount_partial_agg(spark, sf_dir):
+    plan = plan_of(wordcount_query(spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rollup_uses_expand(spark, sf_dir):
+    plan = plan_of(agg_rollup(spark, sf_dir), mode="simple")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan  # nation dim broadcast
+
+
+def test_similarity_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = plan_of(similarity_topk(spark, sf_dir), mode="simple")
+    assert "Broadcast" in plan  # query side broadcast; corpus streams
