@@ -1,0 +1,270 @@
+"""Advanced relational operators beyond the SURVEY §2.3 core set:
+as-of join, pivot, exact quantiles/statistics, lag/lead windows,
+grouping sets, and a multi-resolution time rollup.
+
+The as-of join is the flagship "operator Spark lacks" (SURVEY §2.3
+custom-operator guidance): implemented as a composition of existing
+DataFrame ops — union the two sides tagged, one window pass per user
+ordered by time carrying the last right-side row forward
+(``last(..., ignorenulls=True)``), keep left rows. That is the
+scalable formulation: one shuffle on the partition key, no range-join
+explosion, no per-key driver loop. DuckDB validates it with a native
+ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every non-purchase event: the user's most recent purchase
+    at-or-before that event (value + timestamp), NULL if none yet.
+
+    Union-tag + forward-fill window == ASOF JOIN. At 100 TB this is
+    one hash shuffle on user_id and a single ordered pass per user —
+    contrast a range join (quadratic per key) or per-key collect.
+    """
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("is_right"),
+    )
+    right = events.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("value").alias("p_value"),
+        F.col("ts").alias("p_ts"),
+        F.lit(1).alias("is_right"),
+    )
+    # right rows sort BEFORE left rows at equal ts so an exact-tie
+    # purchase is visible to the event (ASOF semantics: <=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = left.unionByName(right).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "is_right",
+        F.last("p_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+    return filled.filter(F.col("is_right") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "last_purchase_value",
+        "last_purchase_ts",
+    )
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = {p: "prio_" + p.split("-")[0] for p in PRIORITIES}
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: rows = order status, columns = priority.
+    Pivot values pinned explicitly — with them, Spark skips the
+    distinct-values discovery job AND the result schema is stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    for p, alias in _PIV_COLS.items():
+        df = df.withColumnRenamed(p, alias)
+    return df.orderBy("o_orderstatus")
+
+
+def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: stddev, variance,
+    correlation, covariance, exact median + p90 (SQL ``percentile``
+    with interpolation — same definition as DuckDB quantile_cont).
+
+    Exact percentiles hold the group's values; at 100 TB switch to
+    ``approx_percentile`` (t-digest, bounded memory) — kept exact here
+    because the oracle must hash-match.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias(
+                "cov_disc_tax"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: previous/next order gap + price
+    delta (lag/lead with defaults, first_value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate", 1).over(w)
+        ).cast("long").alias("days_since_prev"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("price_delta"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.first("o_orderdate").over(w).alias("first_orderdate"),
+    )
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube):
+    totals by (status), by (priority), and overall — one Expand pass,
+    not three scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_cnt,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    event aggregates in one pass via grouping sets over pre-computed
+    buckets (the continuous-aggregate pattern, batch form)."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        F.date_trunc("day", "ts").alias("day_bucket"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("_events_tr")
+    return spark.sql(
+        """
+        SELECT hour_bucket, day_bucket, event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM _events_tr
+        GROUP BY GROUPING SETS (
+            (hour_bucket, event_type),
+            (day_bucket, event_type)
+        )
+        ORDER BY hour_bucket, day_bucket, event_type
+        """
+    )
+
+
+ORACLE_SQL = {
+    "join_asof": """
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               p.value AS last_purchase_value,
+               p.ts    AS last_purchase_ts
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "pivot_status_priority": """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS prio_1,
+               COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS prio_2,
+               COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS prio_3,
+               COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS prio_4,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS prio_5
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "stats_pack": """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4)      AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 4)              AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_discount, l_tax), 8)     AS cov_disc_tax,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "window_lag_lead": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               DATEDIFF('day',
+                        LAG(o_orderdate, 1) OVER w :: DATE,
+                        o_orderdate :: DATE)                AS days_since_prev,
+               ROUND(o_totalprice
+                     - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS price_delta,
+               LEAD(o_orderkey, 1) OVER w                   AS next_orderkey,
+               FIRST_VALUE(o_orderdate) OVER w              AS first_orderdate
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_cnt,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "time_rollup": """
+        WITH b AS (
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_bucket,
+                   date_trunc('day', ts)::TIMESTAMP  AS day_bucket,
+                   event_type, value
+            FROM events
+        )
+        SELECT hour_bucket, day_bucket, event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS (
+            (hour_bucket, event_type),
+            (day_bucket, event_type)
+        )
+        ORDER BY hour_bucket, day_bucket, event_type
+    """,
+}
+
+QUERIES = {
+    "join_asof": join_asof,
+    "pivot_status_priority": pivot_status_priority,
+    "stats_pack": stats_pack,
+    "window_lag_lead": window_lag_lead,
+    "grouping_sets": grouping_sets,
+    "time_rollup": time_rollup,
+}

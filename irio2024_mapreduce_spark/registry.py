@@ -50,6 +50,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles.update(relational.ORACLE_SQL)
 
     for mod_name in (
+        "advanced",
         "events",
         "json_array",
         "dedup",

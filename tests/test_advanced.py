@@ -1,0 +1,105 @@
+"""Advanced operator edge cases — chiefly as-of join semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _asof(spark, left_rows, right_rows):
+    """Miniature of operators/advanced.py::join_asof on toy data."""
+    left = spark.createDataFrame(left_rows, ["id", "user_id", "ts"]).select(
+        "id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(0).alias("is_right"),
+    )
+    right = spark.createDataFrame(right_rows, ["user_id", "ts", "v"]).select(
+        F.lit(None).cast("long").alias("id"),
+        "user_id",
+        "ts",
+        F.col("v").alias("p_value"),
+        F.lit(1).alias("is_right"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        left.unionByName(right)
+        .select(
+            "id",
+            "is_right",
+            F.last("p_value", ignorenulls=True).over(w).alias("asof_v"),
+        )
+        .filter(F.col("is_right") == 0)
+    )
+    return {r["id"]: r["asof_v"] for r in out.collect()}
+
+
+def t(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_exact_tie_is_matched(spark):
+    """ASOF `ts >= p.ts` semantics: a right row AT the left timestamp
+    matches (right sorts before left at equal ts)."""
+    got = _asof(
+        spark,
+        [(1, 7, t(10))],
+        [(7, t(10), 42.0)],
+    )
+    assert got == {1: 42.0}
+
+
+def test_asof_takes_latest_prior_not_any(spark):
+    got = _asof(
+        spark,
+        [(1, 7, t(30))],
+        [(7, t(10), 1.0), (7, t(20), 2.0), (7, t(40), 3.0)],
+    )
+    assert got == {1: 2.0}  # latest <= 30 is t(20); t(40) is future
+
+
+def test_asof_no_prior_is_null(spark):
+    got = _asof(
+        spark,
+        [(1, 7, t(5)), (2, 8, t(50))],
+        [(7, t(10), 1.0)],
+    )
+    assert got == {1: None, 2: None}  # user 8 has no purchases at all
+
+
+def test_asof_users_isolated(spark):
+    got = _asof(
+        spark,
+        [(1, 7, t(30)), (2, 8, t(30))],
+        [(7, t(10), 1.0), (8, t(20), 2.0)],
+    )
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_stats_pack_values_sane(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.advanced import stats_pack
+
+    for r in stats_pack(spark, sf_dir).collect():
+        assert r["sd_price"] > 0
+        assert -1.0 <= r["corr_qty_price"] <= 1.0
+        assert r["median_price"] <= r["p90_price"]
+
+
+def test_pivot_counts_sum_to_total(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.advanced import (
+        pivot_status_priority,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    rows = pivot_status_priority(spark, sf_dir).collect()
+    total = sum(
+        sum(r[c] for c in r.asDict() if c.startswith("prio_")) for r in rows
+    )
+    assert total == load_table(spark, sf_dir, "orders").count()
