@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_near",
     "similarity_topk",
     "text_analysis",
+    "join_asof",
+    "stats_pack",
+    "time_rollup",
+    "conditional_agg",
 ]
 
 ITERATIONS = 2  # report min — steady-state, post-JIT

@@ -96,32 +96,61 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per return flag: stddev, variance,
-    correlation, covariance, exact median + p90 (SQL ``percentile``
-    with interpolation — same definition as DuckDB quantile_cont).
+    correlation, covariance, exact interpolated median + p90
+    (quantile_cont definition).
 
-    Exact percentiles hold the group's values; at 100 TB switch to
-    ``approx_percentile`` (t-digest, bounded memory) — kept exact here
-    because the oracle must hash-match.
+    Percentiles are computed SORT-BASED — rank each group once, pick
+    the two bracketing ranks per quantile, interpolate — instead of
+    Spark's ``percentile`` aggregate, whose per-group value buffer is
+    GC-heavy at sf0.1 already and O(group size) memory at 100 TB.
+    The sort spills; memory stays bounded.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    moments = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = lineitem.select(
+        "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
+    )
+    # quantile_cont: pos = p*(n-1) (0-based); interpolate the two
+    # bracketing ranks. weight(lo) = 1-frac, weight(hi) = frac.
+    quantiles = ranked.join(
+        F.broadcast(moments.select("l_returnflag", "n")), "l_returnflag"
+    )
+    exprs = []
+    for alias, p in [("median_price", 0.5), ("p90_price", 0.9)]:
+        pos = F.lit(p) * (F.col("n") - 1)
+        lo = F.floor(pos) + 1  # 1-based rank of lower bracket
+        frac = pos - F.floor(pos)
+        exprs.append(
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") == lo, F.col("l_extendedprice") * (1 - frac))
+                    .when(F.col("rn") == lo + 1, F.col("l_extendedprice") * frac)
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias(alias)
+        )
+    pcts = quantiles.groupBy("l_returnflag").agg(*exprs)
     return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "corr_qty_price"
-            ),
-            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias(
-                "cov_disc_tax"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-                "median_price"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
-                "p90_price"
-            ),
+        moments.join(pcts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "sd_price",
+            "var_qty",
+            "corr_qty_price",
+            "cov_disc_tax",
+            "median_price",
+            "p90_price",
         )
         .orderBy("l_returnflag")
     )

@@ -1,0 +1,179 @@
+"""Remaining scalar/aggregate coverage: regex/string pack 2,
+null-handling pack, conditional aggregation, deterministic sampling,
+and CUBE.
+
+Deterministic sampling is the scale-relevant one: ``TABLESAMPLE`` /
+``df.sample`` are seed-dependent across engines and partitionings, so
+repeatable pipelines sample by content hash instead — here
+``md5(key)`` prefix, which any engine computes identically. At 100 TB
+this also means the sample is stable across reruns and cluster sizes
+(no dependency on partition layout), and pushes down as a cheap
+filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace/extract, trim/pad, split_part, translate,
+    position, repeat, reverse, left/right — all codegen'd."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.trim(F.lpad("p_brand", 12, "#")).alias("padded_brand"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.translate("p_brand", "#", "*").alias("translated"),
+        F.instr("p_name", "a").cast("long").alias("first_a_pos"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse("p_brand").alias("reversed_brand"),
+        F.substring("p_name", 1, 3).alias("left3"),
+    )
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2-style / null-safe equality over the
+    outer-join result (where real NULLs appear)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_not_open"),
+        F.when(F.col("o_orderkey").isNull(), "never-ordered")
+        .otherwise("has-orders")
+        .alias("cust_class"),
+        F.col("o_orderkey").isNotNull().alias("matched"),
+        (F.col("o_orderstatus").eqNullSafe(F.lit("F"))).alias("is_final_nullsafe"),
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregates — one scan, many slices
+    (the idiom that replaces N separate filtered queries)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_revenue"),
+            F.round(
+                F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4
+            ).alias("avg_price_hightax"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 hash-mod sample of orders by md5(key) first hex char —
+    content-addressed, engine/partitioning/seed independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("sampled_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combos in
+    one Expand pass."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_SQL = {
+    "string_funcs2": """
+        SELECT p_partkey,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+               trim(lpad(p_brand, 12, '#'))                AS padded_brand,
+               string_split(p_type, ' ')[1]                AS type_head,
+               replace(p_brand, '#', '*')                  AS translated,
+               CASE WHEN position('a' IN p_name) IS NULL THEN 0
+                    ELSE position('a' IN p_name) END::BIGINT AS first_a_pos,
+               repeat('ab', 3)                             AS repeated,
+               reverse(p_brand)                            AS reversed_brand,
+               substring(p_name, 1, 3)                     AS left3
+        FROM part
+    """,
+    "null_handling": """
+        SELECT c_custkey,
+               COALESCE(o_totalprice, 0.0)            AS price_or_zero,
+               NULLIF(o_orderstatus, 'O')             AS status_not_open,
+               CASE WHEN o_orderkey IS NULL THEN 'never-ordered'
+                    ELSE 'has-orders' END             AS cust_class,
+               o_orderkey IS NOT NULL                 AS matched,
+               o_orderstatus IS NOT DISTINCT FROM 'F' AS is_final_nullsafe
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "conditional_agg": """
+        SELECT l_linestatus,
+               COUNT(*)                                   AS n_all,
+               COUNT(*) FILTER (l_discount > 0.05)        AS n_discounted,
+               COUNT(*) FILTER (l_quantity >= 25)         AS n_bulk,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN l_extendedprice ELSE 0.0 END), 2)
+                                                          AS returned_revenue,
+               ROUND(AVG(CASE WHEN l_tax > 0.04
+                              THEN l_extendedprice END), 4)
+                                                          AS avg_price_hightax
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "deterministic_sample": """
+        SELECT o_orderstatus,
+               COUNT(*)                    AS sampled_orders,
+               ROUND(SUM(o_totalprice), 2) AS sampled_revenue
+        FROM orders
+        WHERE substring(md5(o_orderkey::VARCHAR), 1, 1) = '0'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+}
+
+QUERIES = {
+    "string_funcs2": string_funcs2,
+    "null_handling": null_handling,
+    "conditional_agg": conditional_agg,
+    "deterministic_sample": deterministic_sample,
+    "agg_cube": agg_cube,
+}

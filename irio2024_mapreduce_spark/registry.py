@@ -51,6 +51,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     for mod_name in (
         "advanced",
+        "misc",
         "events",
         "json_array",
         "dedup",
