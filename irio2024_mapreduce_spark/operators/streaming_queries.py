@@ -9,6 +9,7 @@ oracle reproduces that cut with ``window_end <= max(ts) - 10 min``.
 from __future__ import annotations
 
 from irio2024_mapreduce_spark.registry import WORDCOUNT_ORACLE
+from irio2024_mapreduce_spark.streaming import stateful
 from irio2024_mapreduce_spark.streaming.jobs import (
     streaming_event_counts,
     streaming_wordcount,
@@ -28,7 +29,10 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL.update(stateful.ORACLE_SQL)
+
 QUERIES = {
     "streaming_wordcount": streaming_wordcount,
     "streaming_event_counts": streaming_event_counts,
+    **stateful.QUERIES,
 }

@@ -1,0 +1,146 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+Streaming sessionization with EXPLICIT state (contrast
+``session_window`` in operators/events.py, which is declarative):
+per user, the state is the open session (start, last_ts, count,
+value sum); an incoming event either extends it or closes it and
+opens a new one. Closed sessions are emitted; the open session stays
+in state. This is the template for any custom stateful operator the
+built-ins can't express (counters with decay, CEP-ish patterns,
+dedup-within-horizon, ...).
+
+Scale/ops notes: state lives in the state store (RocksDB in prod:
+``spark.sql.streaming.stateStore.providerClass``), partitioned by
+group key — memory per executor is open-sessions × state row, not
+history. ``GroupStateTimeout.NoTimeout`` here because the test
+harness drains with availableNow; production would use event-time
+timeout to evict idle users' state.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from irio2024_mapreduce_spark.session import ensure_session_confs
+from irio2024_mapreduce_spark.streaming.jobs import _drain, _stage_dir
+
+GAP_MINUTES = 30
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_last timestamp, "
+    "n_events long, sum_value double"
+)
+STATE_SCHEMA = "start long, last long, n long, sv double"
+
+_GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+
+def _sessionize(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this key's events (sorted by ts) into sessions; emit the
+    closed ones, keep the open one in state. Timestamps are handled
+    as integer microseconds inside the state tuple."""
+    (user_id,) = key
+    if state.exists:
+        start, last, n, sv = state.get
+    else:
+        start, last, n, sv = None, None, 0, 0.0
+
+    closed: list[tuple] = []
+    for batch in batches:
+        for ts, value in sorted(
+            zip(batch["ts_us"].tolist(), batch["value"].tolist())
+        ):
+            if start is None:
+                start, last, n, sv = ts, ts, 1, float(value)
+            elif ts - last > _GAP_US:
+                closed.append((user_id, start, last, n, sv))
+                start, last, n, sv = ts, ts, 1, float(value)
+            else:
+                last, n, sv = ts, n + 1, sv + float(value)
+    if start is not None:
+        state.update((start, last, n, sv))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": pd.to_datetime(
+                    [c[1] for c in closed], unit="us"
+                ),
+                "session_last": pd.to_datetime(
+                    [c[2] for c in closed], unit="us"
+                ),
+                "n_events": [c[3] for c in closed],
+                "sum_value": [round(c[4], 2) for c in closed],
+            }
+        )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed sessions per user from the event stream (the open tail
+    session of each user remains in state, unemitted — exactly the
+    semantics a forever-running job would show)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(_stage_dir(path))
+    # ts arrives as int64 nanoseconds (nanosAsLong) → microseconds
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _drain(sessions.writeStream.outputMode("append"), name)
+    return spark.table(name)
+
+
+# Oracle: closed sessions == all gaps-and-islands sessions EXCEPT each
+# user's last one (which is still open in state when the stream drains).
+# Valid because the fixture is one parquet file → one micro-batch.
+ORACLE_SQL = {
+    "streaming_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, sid,
+                   MIN(ts)              AS session_start,
+                   MAX(ts)              AS session_last,
+                   COUNT(*)             AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+            FROM sess
+            GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_last, n_events, sum_value
+        FROM agg WHERE sid < last_sid
+    """,
+}
+
+QUERIES = {"streaming_sessionize": streaming_sessionize}

@@ -21,6 +21,37 @@ def test_stream_batch_wordcount_parity(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_stateful_sessionize_emits_only_closed(spark, sf_dir):
+    """applyInPandasWithState sessionization: emitted sessions == the
+    batch session_window result MINUS each user's final (open)
+    session."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    emitted = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in streaming_sessionize(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in load_batch_sessions(spark, sf_dir)
+    }
+    assert emitted < batch  # strict subset: open tails withheld
+    withheld = batch - emitted
+    # exactly one open session per user present in the stream
+    users = {u for u, _, _ in batch}
+    assert len(withheld) == len(users)
+
+
+def load_batch_sessions(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.events import event_session
+
+    return event_session(spark, sf_dir).collect()
+
+
 def test_watermark_withholds_open_windows(spark, sf_dir):
     """Append mode emits only watermark-closed windows: the emitted
     set must be a strict subset of the batch windows, missing exactly
