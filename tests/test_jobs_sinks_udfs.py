@@ -72,6 +72,44 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_partitioned_read_gets_partition_filters(spark, tmp_path):
+    """Partition pruning must appear in the scan, not post-filter:
+    the 100 TB payoff of hive-style layout."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], ["x", "part"]
+    )
+    out = str(tmp_path / "pp")
+    write_partitioned(df, out, partition_by=["part"])
+    scan = spark.read.parquet(out).filter(F.col("part") == "a")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert "PartitionFilters" in plan
+    assert re.search(r"part#\d+ = a", plan)
+
+
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    """Source coverage beyond parquet: csv + json read back with
+    schema intact through the sink helpers."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["k", "v"]
+    )
+    csv_dir = str(tmp_path / "c")
+    json_dir = str(tmp_path / "j")
+    write_single_file(df, csv_dir, fmt="csv")
+    df.write.mode("overwrite").json(json_dir)
+    back_csv = spark.read.option("header", "true").csv(csv_dir)
+    back_json = spark.read.json(json_dir)
+    assert {tuple(r) for r in back_csv.collect()} == {("1", "x"), ("2", "y")}
+    assert {(r["k"], r["v"]) for r in back_json.collect()} == {(1, "x"), (2, "y")}
+
+
 def test_zscore_scalar_udf(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["v"])
     rows = sorted(
