@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio2024_mapreduce_spark.sources.tables import load_table
+from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
 # ---------------------------------------------------------------- helpers
 
@@ -81,7 +81,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded hashes, no RNG). Candidate volume is governed by the
     (b, r) S-curve, not by n².
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("shingles")
     )
     # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
@@ -152,25 +152,35 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify only the surviving candidate pairs: re-join the shingle
-    # sets (tiny vs the corpus — the S-curve keeps candidates sparse).
-    sh = docs.select("doc_id", "shingles")
+    # Verify only the surviving candidate pairs. Melt pairs to
+    # (pair, role, doc_id) and join the RAW text once — so (a) the
+    # candidate subtree is computed once, not once per side-join, and
+    # (b) shingles are recomputed only for candidate rows (post-join
+    # projection), never for the whole corpus a second time.
+    melted = pairs.select(
+        F.struct("doc_a", "doc_b").alias("pair"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")),
+                F.struct(F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")),
+            )
+        ).alias("m"),
+    ).select("pair", "m.role", "m.doc_id")
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_sh = melted.join(raw, "doc_id").select(
+        "pair", "role", _shingles().alias("sh")
+    )
     return (
-        pairs.join(
-            sh.select(
-                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sh.select(
-                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-            ),
-            "doc_b",
+        with_sh.groupBy("pair")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("sh")), ignorenulls=True)
+            .alias("sh_a"),
+            F.first(F.when(F.col("role") == "b", F.col("sh")), ignorenulls=True)
+            .alias("sh_b"),
         )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("pair.doc_a").alias("doc_a"),
+            F.col("pair.doc_b").alias("doc_b"),
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
@@ -186,7 +196,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole banding: 4 × 16-bit chunks — hamming ≤ 3 guarantees an
     equal chunk, so candidates come from an equi-join.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     tok_counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -263,7 +273,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join replaces the n² compare; recall loss at
     bucket edges is the documented trade (MinHash covers the rest).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id",
         _shingles().alias("shingles"),
         (F.size(_tokens()) / 8).cast("long").alias("len_band"),
@@ -293,7 +303,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic in double (float arrays cast first) so Spark and
     the DuckDB oracle compute bit-comparable cosines.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

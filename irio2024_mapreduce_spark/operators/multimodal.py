@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio2024_mapreduce_spark.sources.tables import load_table
+from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
 DECODED_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, width long, height long, "
@@ -67,7 +67,7 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media-shaped table from documents: binary payload
     (UTF-8 of the text — a stand-in for image bytes) + metadata."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),

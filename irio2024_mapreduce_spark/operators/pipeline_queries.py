@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from irio2024_mapreduce_spark.functions.text import TOKEN_SPLIT_REGEX
 from irio2024_mapreduce_spark.plans.pipeline import Pipeline, pandas_partition_step
 from irio2024_mapreduce_spark.registry import WORDCOUNT_ORACLE
-from irio2024_mapreduce_spark.sources.tables import load_table
+from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
 _TOKEN_RE = re.compile(TOKEN_SPLIT_REGEX)
 
@@ -36,7 +36,7 @@ def _reduce_count(df: DataFrame) -> DataFrame:
 
 
 def custom_step_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
         F.col("text").alias("value")
     )
     pipeline = (

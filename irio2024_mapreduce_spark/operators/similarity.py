@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from irio2024_mapreduce_spark.sources.tables import load_table
+from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -48,7 +48,7 @@ def _cosine(a: Column, b: Column) -> Column:
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 corpus neighbors for each query vector."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -72,31 +72,35 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane(plane: int) -> list[Column]:
-    """Deterministic pseudo-random hyperplane: component d is a signed
-    value derived from xxhash64(plane, d). No RNG state anywhere."""
+def _hyperplane_values(plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1],
+    derived from a fixed public mixer (splitmix64) over (plane, dim) —
+    plain Python floats folded into ARRAY LITERALS, so the whole
+    plane contributes one constant node to the plan instead of 64
+    hash expressions (a 512-node signature tree measurably dominated
+    this query's runtime via plan/codegen cost)."""
+
+    def mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
     return [
-        (
-            F.xxhash64(F.lit(f"plane{plane}:dim{d}")).cast("double")
-            / F.lit(float(2**63))
-        )
+        (mix(plane * 1_000_003 + d) / float(2**63)) - 1.0
         for d in range(EMB_DIM)
     ]
 
 
 def _lsh_signature(vec: Column) -> Column:
-    """H-bit random-hyperplane signature of a double-array column."""
-    bits = []
+    """H-bit random-hyperplane signature of a double-array column:
+    per plane, sign of dot(vec, plane) sets one bit."""
+    sig = None
     for p in range(ANN_PLANES):
-        plane = _hyperplane(p)
-        proj = None
-        for d, comp in enumerate(plane):
-            term = F.element_at(vec, d + 1) * comp
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+        plane = F.array(*[F.lit(c) for c in _hyperplane_values(p)])
+        proj = _dot(vec, plane)
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
     return sig.cast("long")
 
 
@@ -108,7 +112,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Multi-probe (flipping low-confidence bits) would raise
     recall at the same plan shape.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
     sig = emb.withColumn("bucket", _lsh_signature(F.col("v")))

@@ -78,7 +78,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode: driver heap IS the executor heap for all threads;
+        # size it so GC pauses don't dominate multi-query batteries
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -68,6 +68,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Scan + round-robin repartition to the session's parallelism.
+
+    The test fixtures are single-row-group parquet files, which scan
+    as ONE partition — so any expression-heavy narrow stage (shingle
+    building, minhash, per-row cosine, pandas UDFs) would run on one
+    core. Production inputs arrive in many splits and don't need
+    this; the repartition reproduces that layout locally. Use for
+    compute-bound per-row operators; plain aggregations stay on
+    :func:`load_table` (their partial-agg is cheaper than a shuffle
+    of the raw rows).
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
     """Reference R1+R10: all text files under a directory as one dataset.
 
