@@ -118,6 +118,28 @@ def test_zscore_scalar_udf(spark):
     assert abs(rows[1]) < 1e-9 and abs(rows[0] + rows[2]) < 1e-9
 
 
+def test_salted_agg_equals_direct(spark, sf_dir):
+    """Salted two-phase aggregation must be value-identical to the
+    direct groupBy (associative partials compose exactly)."""
+    from irio2024_mapreduce_spark.functions.skew import salted_agg_sum
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    direct = {
+        (r["o_orderstatus"], round(r["s"], 2), r["c"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["o_orderstatus"], round(r["sum_o_totalprice"], 2), r["cnt"])
+        for r in salted_agg_sum(
+            orders, ["o_orderstatus"], "o_totalprice", buckets=8
+        ).collect()
+    }
+    assert salted == direct
+
+
 def test_zscore_grouped(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)], ["g", "v"]
