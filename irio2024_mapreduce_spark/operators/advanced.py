@@ -74,6 +74,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 10_000_000.0),
+]
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders against a banded dimension on
+    ``lo <= price < hi``.
+
+    The bands side is tiny and broadcast, so the non-equi predicate
+    evaluates map-side (BroadcastNestedLoopJoin) — the right shape
+    when one side is small. For a large×large interval join the plan
+    becomes: bucket both sides by ``floor(value/width)``, equi-join
+    on the bucket, post-filter the boundary rows — same
+    bucket-equi-join trick as the dedup family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PIV_COLS = {p: "prio_" + p.split("-")[0] for p in PRIORITIES}
 
@@ -222,6 +259,21 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    "join_range": """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('budget', 0.0, 50000.0),
+            ('mid', 50000.0, 150000.0),
+            ('premium', 150000.0, 300000.0),
+            ('luxury', 300000.0, 10000000.0))
+        SELECT band,
+               COUNT(*)                    AS order_cnt,
+               ROUND(SUM(o_totalprice), 2) AS band_revenue,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band
+    """,
     "join_asof": """
         SELECT e.event_id, e.user_id, e.ts, e.event_type,
                p.value AS last_purchase_value,
@@ -290,6 +342,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "join_range": join_range,
     "join_asof": join_asof,
     "pivot_status_priority": pivot_status_priority,
     "stats_pack": stats_pack,
