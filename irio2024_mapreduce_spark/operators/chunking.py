@@ -1,0 +1,181 @@
+"""Document chunking + near-dup clustering — the last mile of a
+training-data pipeline (docs → dedup clusters → canonical docs →
+overlapping context-window chunks).
+
+``doc_chunk`` is a pure plan (explode over window starts + slice) —
+map-only, linear, oracle-checked. ``dedup_clusters`` is the declared
+iterative-algorithm representative (driver contract allows rows-only
+for these): connected components over the MinHash near-dup pair
+graph via smallest-label propagation — each iteration is one
+join + aggregate, state stays distributed, the driver only checks
+convergence counts. Bounded iterations; deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.dedup import dedup_near
+from irio2024_mapreduce_spark.sources.tables import (
+    load_table,
+    load_table_parallel,
+)
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    shaping for LLM training). Windows start every CHUNK_STRIDE
+    tokens; the tail window may be short but is never empty."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    # window start indexes: 1, 1+stride, ... while start <= n
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - 1, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            toks.alias("toks"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start"), CHUNK_TOKENS)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("toks") - F.col("start") + 1, F.lit(CHUNK_TOKENS)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+MAX_CC_ITERATIONS = 10
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs → canonical doc per
+    cluster + cluster size. Smallest-label propagation: every doc
+    starts labeled by itself; each round, every doc takes the min
+    label in its neighborhood; fixpoint = components.
+
+    Each iteration is a shuffle-bounded join (edges ⋈ labels) — no
+    driver-side graph. Iterations are bounded by component DIAMETER
+    (near-dup clusters are small by construction), not corpus size.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list incl. self-loops so isolated members keep labels
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    # localCheckpoint: materialize once and TRUNCATE LINEAGE — without
+    # it every iteration's action re-derives the MinHash pair graph
+    # from scratch and the label plan doubles per round (the classic
+    # iterative-DataFrame blowup).
+    edges = edges.localCheckpoint()
+    members = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = members.select("doc_id", F.col("doc_id").alias("label"))
+
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        # convergence check: any label still above a neighbor's?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    clusters = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    # include singleton docs (no near-dup edges) for the full picture
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    singletons = all_docs.join(members, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("label"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.col("doc_id").alias("canonical_doc"),
+    )
+    return (
+        clusters.select("label", "cluster_size", "canonical_doc")
+        .unionByName(singletons)
+        .select(
+            F.col("canonical_doc"),
+            F.col("cluster_size"),
+        )
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.min("canonical_doc").alias("min_canonical"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_SQL = {
+    "doc_chunk": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang, toks,
+                   unnest(range(1, greatest(len(toks) - 1, 1) + 1,
+                                {CHUNK_STRIDE})) AS start,
+                   generate_subscripts(range(1, greatest(len(toks) - 1, 1) + 1,
+                                {CHUNK_STRIDE}), 1) - 1 AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, lang, chunk_id::BIGINT AS chunk_id,
+               array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')
+                   AS chunk_text,
+               least(len(toks) - start + 1, {CHUNK_TOKENS})::BIGINT AS n_tokens
+        FROM s
+    """,
+    # dedup_clusters: iterative fixpoint — declared rows-only.
+}
+
+QUERIES = {
+    "doc_chunk": doc_chunk,
+    "dedup_clusters": dedup_clusters,
+}

@@ -52,6 +52,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod_name in (
         "advanced",
         "misc",
+        "chunking",
         "events",
         "json_array",
         "dedup",

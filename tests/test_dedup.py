@@ -63,6 +63,39 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
         assert hits / len(found) >= 0.9
 
 
+def test_dedup_clusters_accounts_for_every_doc(spark, sf_dir):
+    """Cluster sizes × counts must sum to the corpus size (every doc
+    in exactly one cluster), and reruns are deterministic."""
+    from irio2024_mapreduce_spark.operators.chunking import dedup_clusters
+
+    rows = dedup_clusters(spark, sf_dir).collect()
+    total_docs = sum(r["cluster_size"] * r["n_clusters"] for r in rows)
+    n = load_table(spark, sf_dir, "documents").count()
+    assert total_docs == n
+    rows2 = dedup_clusters(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_doc_chunk_covers_all_tokens(spark, sf_dir):
+    """Every document's chunks must start at stride offsets and the
+    first chunk must begin with the document's first token."""
+    from irio2024_mapreduce_spark.operators.chunking import doc_chunk
+    from pyspark.sql import functions as F
+
+    chunks = doc_chunk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        chunks.filter(F.col("chunk_id") == 0)
+        .join(docs, "doc_id")
+        .select("doc_id", "chunk_text", "text")
+        .collect()
+    )
+    assert len(first) == docs.count()
+    for r in first:
+        assert r["text"].startswith(r["chunk_text"].split(" ")[0])
+        assert r["text"].split(" ")[0] == r["chunk_text"].split(" ")[0]
+
+
 def test_ngram_banding_subset_of_truth(spark, sf_dir):
     truth = _exact_pairs(spark, sf_dir, 0.5)
     banded = {
