@@ -16,6 +16,7 @@ def test_every_oracle_key_has_a_query():
         "dedup_simhash",
         "similarity_ann",
         "multimodal_decode",
+        "dedup_clusters",
     }
 
 
