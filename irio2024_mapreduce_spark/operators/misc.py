@@ -114,6 +114,33 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (sketch) aggregates next to their exact twins:
+    HyperLogLog++ distinct counts and t-digest-style quantiles.
+
+    These are THE 100 TB aggregates — bounded memory versus exact
+    percentile's O(group) buffer and exact distinct's full dedup
+    shuffle. Sketch internals differ across engines, so this is
+    rows-only; the exact columns in the same output row make the
+    error observable (and are asserted < 5% in tests).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2
+            ).alias("approx_median"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLE_SQL = {
     "string_funcs2": """
         SELECT p_partkey,
@@ -171,6 +198,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "sketches": sketches,
     "string_funcs2": string_funcs2,
     "null_handling": null_handling,
     "conditional_agg": conditional_agg,

@@ -92,6 +92,18 @@ def test_stats_pack_values_sane(spark, sf_dir):
         assert r["median_price"] <= r["p90_price"]
 
 
+def test_sketches_error_bounds(spark, sf_dir):
+    """Approximate aggregates must land within 5% of their exact
+    twins computed in the same row."""
+    from irio2024_mapreduce_spark.operators.misc import sketches
+
+    for r in sketches(spark, sf_dir).collect():
+        assert abs(r["approx_orders"] - r["exact_orders"]) <= max(
+            0.05 * r["exact_orders"], 2
+        )
+        assert r["approx_median"] > 0
+
+
 def test_pivot_counts_sum_to_total(spark, sf_dir):
     from irio2024_mapreduce_spark.operators.advanced import (
         pivot_status_priority,

@@ -17,6 +17,7 @@ def test_every_oracle_key_has_a_query():
         "similarity_ann",
         "multimodal_decode",
         "dedup_clusters",
+        "sketches",
     }
 
 
