@@ -133,8 +133,11 @@ def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.countDistinct("l_orderkey").alias("exact_orders"),
             F.round(
-                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2
+                F.percentile_approx("l_extendedprice", 0.5, 10000), 2
             ).alias("approx_median"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+                "exact_median"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")

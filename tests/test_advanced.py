@@ -101,7 +101,10 @@ def test_sketches_error_bounds(spark, sf_dir):
         assert abs(r["approx_orders"] - r["exact_orders"]) <= max(
             0.05 * r["exact_orders"], 2
         )
-        assert r["approx_median"] > 0
+        assert (
+            abs(r["approx_median"] - r["exact_median"])
+            <= 0.05 * r["exact_median"]
+        )
 
 
 def test_pivot_counts_sum_to_total(spark, sf_dir):
