@@ -63,10 +63,15 @@ def main() -> None:
     # warm-up: pay JVM/codegen init outside the timings
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    missing = [name for name in HEADLINE if name not in qs]
+    if missing:
+        raise SystemExit(
+            f"bench: headline queries missing from registry: {missing} — "
+            "a silent skip would shrink the reported total and read as a "
+            "speedup"
+        )
     results: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in qs:
-            continue
         best = float("inf")
         for _ in range(ITERATIONS):
             t0 = time.perf_counter()

@@ -29,12 +29,19 @@ def salted_agg_sum(
     """Two-phase salted ``sum(value) group by keys`` with identical
     results to the direct aggregation.
 
-    ``salt_on`` defaults to a hash of the value column — any
-    expression with per-row spread works; it only controls which
-    partial-reducer a row lands on.
+    ``salt_on`` controls only which partial-reducer a row lands on —
+    any expression works without affecting results (the merge phase is
+    associative). The default is a per-row id rather than a hash of
+    the data: hashing a data column degenerates to ONE bucket exactly
+    when the hot key's values are constant or NULL — the very case
+    salting exists for.
     """
     salt = (
-        F.pmod(F.xxhash64(salt_on if salt_on is not None else F.col(value_col)), buckets)
+        F.pmod(
+            F.xxhash64(salt_on) if salt_on is not None
+            else F.monotonically_increasing_id(),
+            buckets,
+        )
     ).alias("_salt")
     partial = (
         df.select(*key_cols, F.col(value_col), salt)

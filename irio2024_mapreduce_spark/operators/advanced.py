@@ -30,6 +30,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrast a range join (quadratic per key) or per-key collect.
     """
     events = load_table(spark, sf_dir, "events")
+    # Collapse same-instant purchases per user (max value wins) BEFORE
+    # the as-of: with ties on (user_id, ts), both Spark's window last()
+    # and a native ASOF JOIN would pick an arbitrary row — making the
+    # right side unique per instant makes the result deterministic on
+    # every engine.
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
     left = events.filter(F.col("event_type") != "purchase").select(
         "event_id",
         "user_id",
@@ -39,12 +49,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("p_ts"),
         F.lit(0).alias("is_right"),
     )
-    right = events.filter(F.col("event_type") == "purchase").select(
+    right = purchases.select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
         "ts",
         F.lit(None).cast("string").alias("event_type"),
-        F.col("value").alias("p_value"),
+        "p_value",
         F.col("ts").alias("p_ts"),
         F.lit(1).alias("is_right"),
     )
@@ -276,10 +286,13 @@ ORACLE_SQL = {
     """,
     "join_asof": """
         SELECT e.event_id, e.user_id, e.ts, e.event_type,
-               p.value AS last_purchase_value,
-               p.ts    AS last_purchase_ts
+               p.p_value AS last_purchase_value,
+               p.ts      AS last_purchase_ts
         FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, MAX(value) AS p_value FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ) p
           ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
     "pivot_status_priority": """

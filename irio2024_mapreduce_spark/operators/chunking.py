@@ -91,6 +91,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = members.select("doc_id", F.col("doc_id").alias("label"))
 
+    converged = False
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(
@@ -113,6 +114,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # pointer-jumping (label ← label's label): halves the distance
+        # to the component minimum each round, so convergence is
+        # O(log diameter) instead of O(diameter) — a 10-round budget
+        # then covers ~2^10-long near-dup chains
+        jump = new_labels.select(
+            F.col("doc_id").alias("jdoc"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            new_labels.join(
+                jump, new_labels.label == jump.jdoc, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("jlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
         new_labels = new_labels.localCheckpoint()
         # convergence check: any label still above a neighbor's?
         changed = (
@@ -124,7 +143,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in "
+            f"{MAX_CC_ITERATIONS} iterations — component diameter exceeds "
+            "2^iterations; raise MAX_CC_ITERATIONS"
+        )
 
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),

@@ -106,7 +106,7 @@ ORACLE_SQL = {
     """,
     "event_session": """
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
                           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
@@ -114,7 +114,7 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts, value,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM flagged
         )

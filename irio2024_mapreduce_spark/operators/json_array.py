@@ -64,11 +64,11 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL = {
     "json_extract": """
         SELECT event_type,
-               COUNT(*)                                        AS cnt,
-               SUM(json_extract_string(props, '$.k')::BIGINT)  AS sum_k,
-               SUM(json_extract_string(props, '$.k')::BIGINT)  AS sum_k_parsed,
-               MIN(json_extract_string(props, '$.k')::BIGINT)  AS min_k,
-               MAX(json_extract_string(props, '$.k')::BIGINT)  AS max_k
+               COUNT(*)                                                 AS cnt,
+               SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_parsed,
+               MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type

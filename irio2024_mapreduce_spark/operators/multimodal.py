@@ -67,7 +67,9 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media-shaped table from documents: binary payload
     (UTF-8 of the text — a stand-in for image bytes) + metadata."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # a NULL payload has no media bytes
+    )
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
@@ -130,6 +132,7 @@ ORACLE_SQL = {
                lang,
                n_chars                     AS orig_chars
         FROM documents
+        WHERE text IS NOT NULL
     """,
 }
 

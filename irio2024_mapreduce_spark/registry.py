@@ -62,13 +62,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "pipeline_queries",
         "streaming_queries",
     ):
-        try:
-            mod = __import__(
-                f"irio2024_mapreduce_spark.operators.{mod_name}",
-                fromlist=["QUERIES", "ORACLE_SQL"],
-            )
-        except ImportError:
-            continue
+        # imports are strict: a broken operator module must fail the
+        # contract loudly, not silently shrink the checked surface
+        mod = __import__(
+            f"irio2024_mapreduce_spark.operators.{mod_name}",
+            fromlist=["QUERIES", "ORACLE_SQL"],
+        )
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLE_SQL", {}))
     return queries, oracles

@@ -53,18 +53,22 @@ def _sessionize(
     else:
         start, last, n, sv = None, None, 0, 0.0
 
-    closed: list[tuple] = []
+    # Accumulate ALL chunks before sorting: applyInPandasWithState
+    # hands a key's micro-batch rows as multiple Arrow chunks in
+    # shuffle order — sorting each chunk independently would fold
+    # out-of-order events and corrupt the gap decisions.
+    events: list[tuple] = []
     for batch in batches:
-        for ts, value in sorted(
-            zip(batch["ts_us"].tolist(), batch["value"].tolist())
-        ):
-            if start is None:
-                start, last, n, sv = ts, ts, 1, float(value)
-            elif ts - last > _GAP_US:
-                closed.append((user_id, start, last, n, sv))
-                start, last, n, sv = ts, ts, 1, float(value)
-            else:
-                last, n, sv = ts, n + 1, sv + float(value)
+        events.extend(zip(batch["ts_us"].tolist(), batch["value"].tolist()))
+    closed: list[tuple] = []
+    for ts, value in sorted(events):
+        if start is None:
+            start, last, n, sv = ts, ts, 1, float(value)
+        elif ts - last > _GAP_US:
+            closed.append((user_id, start, last, n, sv))
+            start, last, n, sv = ts, ts, 1, float(value)
+        else:
+            last, n, sv = ts, n + 1, sv + float(value)
     if start is not None:
         state.update((start, last, n, sv))
     if closed:
@@ -94,11 +98,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts arrives as int64 nanoseconds (nanosAsLong) → microseconds
     from pyspark.sql import functions as F
 
-    prepared = stream.select(
-        "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        "value",
+    ts_types = {f.name: f.dataType.simpleString() for f in raw_schema}
+    ts_us = (
+        F.expr("ts div 1000")
+        if ts_types.get("ts") == "bigint"  # int64 nanos (nanosAsLong)
+        else F.unix_micros("ts")
     )
+    prepared = stream.select("user_id", ts_us.alias("ts_us"), "value")
     sessions = prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize,
         outputStructType=OUTPUT_SCHEMA,
@@ -117,7 +123,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL = {
     "streaming_sessionize": """
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
                           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
@@ -125,7 +131,7 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts, value,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM flagged
         ), agg AS (
