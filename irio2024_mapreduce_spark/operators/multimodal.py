@@ -49,6 +49,78 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+def resize_image(
+    payload: bytes, target: tuple[int, int], fake: bool = False
+) -> bytes:
+    """Resize an image payload to ``target`` (w, h).
+
+    Real resize needs PIL/libvips — not in this container. The fake
+    path is deterministic: output bytes are a seeded digest stream of
+    length proportional to the target area, so downstream size/hash
+    accounting is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+    w, h = target
+    need = max((w * h) // 64, 16)
+    out = bytearray()
+    seed = hashlib.sha256(payload + f":{w}x{h}".encode()).digest()
+    while len(out) < need:
+        seed = hashlib.sha256(seed).digest()
+        out.extend(seed)
+    return bytes(out[:need])
+
+
+def sample_frames(
+    payload: bytes, n_frames: int, fake: bool = False
+) -> list[tuple[int, bytes]]:
+    """Sample ``n_frames`` evenly spaced frames from a video payload
+    as (frame_index, frame_bytes). Real decode needs ffmpeg/pyav;
+    the fake path derives deterministic per-frame bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg/pyav (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+    duration = max(len(payload), 1)  # pretend 1 byte == 1 frame of video
+    idxs = [int(i * duration / n_frames) for i in range(n_frames)]
+    return [
+        (ix, hashlib.sha256(payload + f":frame{ix}".encode()).digest())
+        for ix in idxs
+    ]
+
+
+RESIZED_SCHEMA = "doc_id long, out_w long, out_h long, resized_bytes long, resized_sha string"
+FRAMES_SCHEMA = "doc_id long, frame_index long, frame_sha string"
+THUMB = (128, 96)
+FRAMES_PER_VIDEO = 4
+
+
+def _resize_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    resized = [resize_image(p, THUMB, fake=True) for p in batch["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "out_w": THUMB[0],
+            "out_h": THUMB[1],
+            "resized_bytes": [len(r) for r in resized],
+            "resized_sha": [hashlib.sha256(r).hexdigest() for r in resized],
+        }
+    )
+
+
+def _frames_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    rows = {"doc_id": [], "frame_index": [], "frame_sha": []}
+    for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+        for ix, fb in sample_frames(payload, FRAMES_PER_VIDEO, fake=True):
+            rows["doc_id"].append(doc_id)
+            rows["frame_index"].append(ix)
+            rows["frame_sha"].append(fb.hex())
+    return pd.DataFrame(rows)
+
+
 def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     payloads = batch["payload"]
     dims = [decode_image(p, fake=True) for p in payloads]
@@ -106,6 +178,51 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (thumbnail) stage over image-typed media + per-batch
+    accounting — map-only mapInPandas, payload in / payload-stats out
+    (shipping resized bytes onward works the same way; stats keep the
+    fixture check light). Rows-only (stubbed resize)."""
+    media = media_table(spark, sf_dir).filter(
+        F.col("media_type") == "image/png"
+    )
+    resized = media.select("doc_id", "payload").mapInPandas(
+        lambda it: (_resize_batch(b) for b in it), schema=RESIZED_SCHEMA
+    )
+    return (
+        resized.groupBy("out_w", "out_h")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("resized_bytes").alias("total_bytes"),
+            F.countDistinct("resized_sha").alias("distinct_outputs"),
+        )
+        .orderBy("out_w")
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage over video-typed media: one payload row
+    explodes to FRAMES_PER_VIDEO frame rows inside the pandas batch
+    (mapInPandas may return more rows than it got — the frame
+    extraction shape). Rows-only (stubbed sampler)."""
+    media = media_table(spark, sf_dir).filter(
+        F.col("media_type") == "video/mp4"
+    )
+    frames = media.select("doc_id", "payload").mapInPandas(
+        lambda it: (_frames_batch(b) for b in it), schema=FRAMES_SCHEMA
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("frame_sha").alias("distinct_frames"),
+            F.min("frame_index").alias("first_frame"),
+            F.max("frame_index").alias("last_frame"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only pass over the media table — payload column is
     pruned from the scan entirely; md5/octet_length run on the binary
@@ -139,4 +256,6 @@ ORACLE_SQL = {
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_meta": multimodal_meta,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
 }

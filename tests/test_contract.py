@@ -18,6 +18,8 @@ def test_every_oracle_key_has_a_query():
         "multimodal_decode",
         "dedup_clusters",
         "sketches",
+        "multimodal_resize",
+        "multimodal_frames",
     }
 
 

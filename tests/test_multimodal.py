@@ -32,6 +32,42 @@ def test_media_schema(spark, sf_dir):
     assert types["meta"].startswith("struct<")
 
 
+def test_resize_gated_and_deterministic():
+    from irio2024_mapreduce_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError, match="PIL|libvips"):
+        resize_image(b"img", (128, 96))
+    a = resize_image(b"img", (128, 96), fake=True)
+    b = resize_image(b"img", (128, 96), fake=True)
+    assert a == b and len(a) == (128 * 96) // 64
+    assert resize_image(b"img", (64, 64), fake=True) != a[: (64 * 64) // 64]
+
+
+def test_frame_sampling_shape():
+    from irio2024_mapreduce_spark.operators.multimodal import sample_frames
+
+    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+        sample_frames(b"vid", 4)
+    frames = sample_frames(b"v" * 100, 4, fake=True)
+    assert [ix for ix, _ in frames] == [0, 25, 50, 75]
+    assert len({fb for _, fb in frames}) == 4  # distinct frame bytes
+
+
+def test_resize_and_frames_queries(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        FRAMES_PER_VIDEO,
+        multimodal_frames,
+        multimodal_resize,
+    )
+
+    rs = multimodal_resize(spark, sf_dir).collect()
+    assert len(rs) == 1 and rs[0]["out_w"] == 128
+    assert rs[0]["distinct_outputs"] == rs[0]["n_images"]  # no collisions
+    fr = multimodal_frames(spark, sf_dir).collect()
+    assert all(r["n_frames"] == FRAMES_PER_VIDEO for r in fr)
+    assert all(r["first_frame"] == 0 for r in fr)
+
+
 def test_decode_pipeline_deterministic(spark, sf_dir):
     a = sorted(map(tuple, multimodal_decode(spark, sf_dir).collect()))
     b = sorted(map(tuple, multimodal_decode(spark, sf_dir).collect()))
