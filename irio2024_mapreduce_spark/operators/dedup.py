@@ -80,9 +80,21 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, hash-of-band-slice) → exact-Jaccard verify. Deterministic
     (seeded hashes, no RNG). Candidate volume is governed by the
     (b, r) S-curve, not by n².
+
+    Exact duplicates are collapsed FIRST (group by sha2, min doc_id
+    as representative): a group of d identical docs forms a d-clique
+    in every LSH band, so candidate pairs grow with d² — measured 34×
+    runtime for 10× data on a duplicate-heavy corpus before this
+    collapse, 1.2× after (tools/stress_scale.py). Identical docs
+    don't need MinHash; the hash collapse catches them in one linear
+    aggregation, and near-dup pairs are reported between distinct
+    contents' representatives.
     """
-    docs = load_table_parallel(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("shingles")
+    raw_docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = (
+        raw_docs.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .select("doc_id", _shingles().alias("shingles"))
     )
     # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
     # the resulting 8-byte longs (xxhash64 seeded by the perm id):

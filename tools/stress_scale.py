@@ -1,0 +1,66 @@
+"""Scaling probe: run the text/dedup operator family at 1× and N×
+corpus size and report the observed time scaling.
+
+The N× corpus is the sf0.1 documents table replicated with shifted
+doc_ids and written as MULTI-FILE parquet (real splits, unlike the
+single-row-group fixtures) — every original doc gains N-1 exact
+duplicates, which is the realistic shape of crawl data and the worst
+case for near-dup candidate generation (every group is an N-clique in
+the LSH band graph).
+
+Usage: python tools/stress_scale.py [N]    (default 10)
+Prints one JSON line with per-query seconds at 1x and Nx.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark import registry
+from irio2024_mapreduce_spark.session import get_spark
+
+QUERIES = ["wordcount", "dedup_exact", "dedup_near", "text_analysis", "doc_chunk"]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stage = tempfile.mkdtemp(prefix="stress_")
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    scaled = None
+    for k in range(n):
+        part = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        )
+        scaled = part if scaled is None else scaled.unionByName(part)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(stage, "documents.parquet")
+    )
+
+    qs = registry.queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        times = {}
+        for label, d in [("1x", base), (f"{n}x", stage)]:
+            qs[name](spark, d).write.mode("overwrite").format("noop").save()
+            t0 = time.perf_counter()
+            qs[name](spark, d).write.mode("overwrite").format("noop").save()
+            times[label] = round(time.perf_counter() - t0, 2)
+        times["ratio"] = round(times[f"{n}x"] / max(times["1x"], 0.01), 1)
+        out[name] = times
+    print(json.dumps({"scale": n, "results": out}))
+
+
+if __name__ == "__main__":
+    main()
