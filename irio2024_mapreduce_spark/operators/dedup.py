@@ -207,8 +207,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each bit; sign of the per-bit total sets the bit. Pairs via
     pigeonhole banding: 4 × 16-bit chunks — hamming ≤ 3 guarantees an
     equal chunk, so candidates come from an equi-join.
+
+    Exact duplicates are collapsed first (see dedup_near): identical
+    docs share a simhash, so a d-duplicate group would otherwise form
+    a d-clique in every chunk bucket (d² candidates).
     """
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    )
     tok_counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -281,14 +289,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 over banded candidate pairs.
 
     Banding: pairs must share a length bucket (n_tokens div 8) — the oracle
-    implements the identical blocking, so this is hash-checkable.
+    implements the identical blocking (including the exact-duplicate
+    collapse prefix), so this is hash-checkable.
     At 100 TB the band join replaces the n² compare; recall loss at
     bucket edges is the documented trade (MinHash covers the rest).
     """
-    docs = load_table_parallel(spark, sf_dir, "documents").select(
-        "doc_id",
-        _shingles().alias("shingles"),
-        (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .select(
+            "doc_id",
+            _shingles().alias("shingles"),
+            (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+        )
     )
     l, r = docs.alias("l"), docs.alias("r")
     return (
@@ -353,14 +367,17 @@ ORACLE_SQL = {
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": """
-        WITH sh AS (
+        WITH reps AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+            FROM documents GROUP BY md5(text)
+        ), sh AS (
             SELECT doc_id,
                    (len(string_split(text, ' ')) // 8)::BIGINT AS len_band,
                    list_distinct(list_transform(
                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
                        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
                    )) AS shingles
-            FROM documents
+            FROM reps
         )
         SELECT * FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
