@@ -143,6 +143,106 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 8
+IVF_ITERATIONS = 3
+IVF_NPROBE = 2
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer, queries
+    probe their IVF_NPROBE nearest centroid cells.
+
+    Fully deterministic: initial centroids are the vectors with the
+    smallest xxhash64(vec_id) (seeded pseudo-random pick), then
+    IVF_ITERATIONS Lloyd steps run as join+aggregate rounds with
+    ``localCheckpoint`` truncating lineage (same iterative pattern as
+    dedup_clusters). At 100 TB the cell assignment is written once at
+    ingest (partition by cell); queries touch nprobe/k of the corpus.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    emb = emb.localCheckpoint()  # reused across Lloyd iterations
+
+    w_init = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= IVF_CENTROIDS)
+        .select(
+            F.col("rn").alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    ).localCheckpoint()
+
+    def nearest_cell(vec_col: str, cents: DataFrame) -> DataFrame:
+        """Assign each vector to its max-cosine centroid."""
+        scored = emb.join(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cell",
+            _cosine(F.col(vec_col), F.col("cv")).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", "cell")
+        )
+
+    for _ in range(IVF_ITERATIONS):
+        assigned = nearest_cell("v", centroids)
+        # new centroid = element-wise mean of members (posexplode +
+        # per-dimension avg + reassemble in dimension order)
+        dims = assigned.select(
+            "cell", F.posexplode("v").alias("d", "x")
+        )
+        centroids = (
+            dims.groupBy("cell", "d")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "mx"))
+                ).alias("pairs")
+            )
+            .select(
+                "cell",
+                F.transform("pairs", lambda p: p["mx"]).alias("cv"),
+            )
+        ).localCheckpoint()
+
+    corpus_cells = nearest_cell("v", centroids).filter(
+        F.col("vec_id") >= N_QUERIES
+    )
+    # queries probe their IVF_NPROBE closest cells
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    q_scored = q.join(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "cell",
+        _cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    q_cells = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    scored = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 ORACLE_SQL = {
     "similarity_topk": f"""
         SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -169,4 +269,5 @@ ORACLE_SQL = {
 QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_ann": similarity_ann,
+    "similarity_ivf": similarity_ivf,
 }

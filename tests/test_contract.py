@@ -20,6 +20,7 @@ def test_every_oracle_key_has_a_query():
         "sketches",
         "multimodal_resize",
         "multimodal_frames",
+        "similarity_ivf",
     }
 
 
