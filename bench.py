@@ -47,7 +47,8 @@ HEADLINE = [
     "conditional_agg",
 ]
 
-ITERATIONS = 2  # report min — steady-state, post-JIT
+# report min of N — steady-state, post-JIT, robust to background load
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
 def run_once(df) -> None:

@@ -90,10 +90,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and near-dup pairs are reported between distinct
     contents' representatives.
     """
-    raw_docs = load_table_parallel(spark, sf_dir, "documents")
+    # NB: repartition AFTER the collapse — AQE coalesces the tiny
+    # post-groupBy exchange to one partition, which would serialize
+    # all downstream shingle/minhash compute onto a single task.
     docs = (
-        raw_docs.groupBy(F.sha2("text", 256).alias("_h"))
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _shingles().alias("shingles"))
     )
     # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
@@ -213,9 +217,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a d-clique in every chunk bucket (d² candidates).
     """
     docs = (
-        load_table_parallel(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     tok_counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
@@ -295,9 +300,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket edges is the documented trade (MinHash covers the rest).
     """
     docs = (
-        load_table_parallel(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             _shingles().alias("shingles"),
