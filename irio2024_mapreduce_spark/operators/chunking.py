@@ -73,8 +73,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side graph. Iterations are bounded by component DIAMETER
     (near-dup clusters are small by construction), not corpus size.
     """
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # symmetric edge list incl. self-loops so isolated members keep labels
+    near_pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # dedup_near collapses exact duplicates to representatives and never
+    # emits pairs among them — re-add those edges here (rep ↔ duplicate)
+    # so byte-identical twins cluster together instead of surfacing as
+    # singletons.
+    docs_raw = load_table(spark, sf_dir, "documents")
+    hashed = docs_raw.select(
+        "doc_id", F.sha2("text", 256).alias("_h")
+    )
+    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+    exact_pairs = (
+        hashed.join(reps, "_h")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = near_pairs.unionByName(exact_pairs)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -25,7 +25,10 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = events.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        # try_cast: null on malformed values, matching the oracle's
+        # TRY_CAST (a strict ANSI cast would abort the whole query on
+        # one dirty row)
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
         F.from_json("props", PROPS_SCHEMA)["k"].alias("k_parsed"),
     )
     return (

@@ -152,40 +152,49 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer, queries
     probe their IVF_NPROBE nearest centroid cells.
 
-    Fully deterministic: initial centroids are the vectors with the
-    smallest xxhash64(vec_id) (seeded pseudo-random pick), then
-    IVF_ITERATIONS Lloyd steps run as join+aggregate rounds with
-    ``localCheckpoint`` truncating lineage (same iterative pattern as
-    dedup_clusters). At 100 TB the cell assignment is written once at
-    ingest (partition by cell); queries touch nprobe/k of the corpus.
+    Deterministic: initial centroids are the vectors with the smallest
+    xxhash64(vec_id) picked via TakeOrdered (parallel partial top-k —
+    never a global single-partition sort), then IVF_ITERATIONS Lloyd
+    steps run as join+aggregate rounds with ``localCheckpoint``
+    truncating lineage (same iterative pattern as dedup_clusters).
+    Centroid means are rounded to 9 dp to damp float merge-order
+    sensitivity across partitionings. At 100 TB the cell assignment is
+    written once at ingest (partition by cell); queries touch nprobe/k
+    of the corpus.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
     emb = emb.localCheckpoint()  # reused across Lloyd iterations
 
-    w_init = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")))
-    centroids = (
-        emb.withColumn("rn", F.row_number().over(w_init))
-        .filter(F.col("rn") <= IVF_CENTROIDS)
-        .select(
-            F.col("rn").alias("cell"),
-            F.col("v").alias("cv"),
-        )
+    # orderBy+limit plans as TakeOrderedAndProject; the 8-row result
+    # then gets cell ids from a window over just those 8 rows
+    init_key = F.xxhash64(F.col("vec_id").cast("string"))
+    seeds = emb.select("vec_id", "v", init_key.alias("_k")).orderBy("_k").limit(
+        IVF_CENTROIDS
+    )
+    w_seed = Window.orderBy("_k")
+    centroids = seeds.select(
+        F.row_number().over(w_seed).alias("cell"), F.col("v").alias("cv")
     ).localCheckpoint()
 
     def nearest_cell(vec_col: str, cents: DataFrame) -> DataFrame:
-        """Assign each vector to its max-cosine centroid."""
+        """Assign each vector to its max-cosine centroid — map-side
+        argmax via max_by over (sim, -cell), no per-row window sort."""
         scored = emb.join(F.broadcast(cents)).select(
             "vec_id",
             "v",
             "cell",
             _cosine(F.col(vec_col), F.col("cv")).alias("sim"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
         return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cell"), F.struct(F.col("sim"), -F.col("cell"))
+                ).alias("cell"),
+                F.first("v").alias("v"),  # constant per vec_id
+            )
             .select("vec_id", "v", "cell")
         )
 
@@ -198,7 +207,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centroids = (
             dims.groupBy("cell", "d")
-            .agg(F.avg("x").alias("mx"))
+            .agg(F.round(F.avg("x"), 9).alias("mx"))
             .groupBy("cell")
             .agg(
                 F.array_sort(

@@ -68,7 +68,15 @@ def _sessionize(
             closed.append((user_id, start, last, n, sv))
             start, last, n, sv = ts, ts, 1, float(value)
         else:
-            last, n, sv = ts, n + 1, sv + float(value)
+            # ts may be BEFORE `last` when a late event straddles
+            # micro-batches: merge it into the open session but never
+            # move `last` backwards (a regressed `last` would corrupt
+            # every subsequent gap decision and can emit sessions with
+            # session_last < session_start). Events later than
+            # state-persisted history are merged here rather than
+            # re-opening closed sessions — the streaming-standard
+            # watermark-style tolerance.
+            last, n, sv = max(last, ts), n + 1, sv + float(value)
     if start is not None:
         state.update((start, last, n, sv))
     if closed:

@@ -15,9 +15,14 @@ from irio2024_mapreduce_spark.sources.tables import load_table
 
 
 def _exact_pairs(spark, sf_dir, threshold=0.5) -> set[tuple[int, int]]:
-    """Ground truth: full O(n²) shingle-Jaccard (test-only)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
+    """Ground truth: full O(n²) shingle-Jaccard over exact-duplicate
+    REPRESENTATIVES (the operators' contract: identical texts collapse
+    to min-doc_id before pairwise comparison). Test-only."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .select("doc_id", _shingles().alias("sh"))
     )
     l, r = docs.alias("l"), docs.alias("r")
     pairs = (

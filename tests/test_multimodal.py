@@ -60,9 +60,23 @@ def test_resize_and_frames_queries(spark, sf_dir):
         multimodal_resize,
     )
 
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.multimodal import media_table
+
     rs = multimodal_resize(spark, sf_dir).collect()
     assert len(rs) == 1 and rs[0]["out_w"] == 128
-    assert rs[0]["distinct_outputs"] == rs[0]["n_images"]  # no collisions
+    # resized_sha is a pure function of the payload: distinct outputs
+    # must equal distinct image payloads (duplicate texts collide by
+    # design, so don't assume == n_images)
+    n_distinct_payloads = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "image/png")
+        .select("payload")
+        .distinct()
+        .count()
+    )
+    assert rs[0]["distinct_outputs"] == n_distinct_payloads
     fr = multimodal_frames(spark, sf_dir).collect()
     assert all(r["n_frames"] == FRAMES_PER_VIDEO for r in fr)
     assert all(r["first_frame"] == 0 for r in fr)
