@@ -153,8 +153,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 content hash of the
     whitespace-normalized lowercased text + a shape signature
-    (first/last token, token count). The rolling-hash variant lives
-    in tests (not portable to the SQL oracle)."""
+    (first/last token, token count). The order-sensitive rolling-hash
+    variant is :func:`rolling_hash` (not portable to the SQL oracle;
+    unit-tested)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace("text", "\\s+", " "))
     toks = _ws_tokens()
@@ -167,6 +168,19 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, -1),
             F.size(toks).cast("string"),
         ).alias("shape_sig"),
+    )
+
+
+def rolling_hash(tokens: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint: left fold of
+    ``h ← xxhash64(h, token)`` over the token sequence (the rolling-
+    hash variant of :func:`fingerprint` — permutations of the same
+    tokens produce different hashes, unlike a bag-of-words digest).
+    Chained xxhash64 instead of the classic ``h*31+c`` polynomial
+    because ANSI mode forbids wrapping long arithmetic. Not portable
+    to the SQL oracle; covered by unit tests."""
+    return F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: F.xxhash64(acc, t)
     )
 
 

@@ -110,3 +110,18 @@ def test_exact_dedup_keeps_min_doc_id(spark):
         .collect()
     }
     assert out == {(1, 2), (2, 1)}
+
+
+def test_rolling_hash_order_sensitive(spark):
+    """Same token bag, different order → different fingerprint;
+    identical sequences → identical fingerprint."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.text_analysis import rolling_hash
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], ["text"]
+    ).select(rolling_hash(F.split("text", " ")).alias("h"))
+    h1, h2, h3 = [r["h"] for r in df.collect()]
+    assert h1 == h3  # deterministic for identical sequences
+    assert h1 != h2  # order matters (md5-of-sorted-bag would collide)
