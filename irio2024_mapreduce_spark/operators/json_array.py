@@ -15,28 +15,39 @@ from pyspark.sql import types as T
 
 from irio2024_mapreduce_spark.sources.tables import load_table
 
-PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.StringType())])
+
+# Only integral strings are cast to BIGINT — engine-specific numeric-
+# string coercion ('1.5' truncates in Spark, fails in DuckDB) never
+# gets a chance to diverge. Written as regexp_extract+nullif (single
+# reference to the parsed value) so the one from_json isn't duplicated
+# into a when/otherwise pair by projection collapse.
+_INT_RE = "^(-?[0-9]+)$"
 
 
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON extraction from events.props + an aggregate over
-    the extracted value (proves the extraction feeds the planner)."""
+    the extracted value (proves the extraction feeds the planner).
+
+    ONE ``from_json`` parse per row (a single JsonToStructs node in
+    the optimized plan — asserted in tests/test_plans.py); every
+    downstream use extracts from the parsed struct. Casting is
+    regex-guarded to integral strings so both engines agree exactly.
+    """
     events = load_table(spark, sf_dir, "events")
+    k_raw = F.from_json("props", PROPS_SCHEMA)["k"]
     parsed = events.select(
         "event_id",
         "event_type",
-        # try_cast: null on malformed values, matching the oracle's
-        # TRY_CAST (a strict ANSI cast would abort the whole query on
-        # one dirty row)
-        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
-        F.from_json("props", PROPS_SCHEMA)["k"].alias("k_parsed"),
+        F.nullif(F.regexp_extract(k_raw, _INT_RE, 1), F.lit(""))
+        .cast("long")
+        .alias("k_int"),
     )
     return (
         parsed.groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
             F.sum("k_int").alias("sum_k"),
-            F.sum("k_parsed").alias("sum_k_parsed"),
             F.min("k_int").alias("min_k"),
             F.max("k_int").alias("max_k"),
         )
@@ -65,14 +76,23 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT
+    # (int128) — uncast it hash-diverges under the driver's
+    # canonicalization even when every value matches (r01 lesson).
     "json_extract": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(NULLIF(regexp_extract(
+                            json_extract_string(props, '$.k'),
+                            '^(-?[0-9]+)$', 1), '') AS BIGINT) AS k_int
+            FROM events
+        )
         SELECT event_type,
-               COUNT(*)                                                 AS cnt,
-               SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_parsed,
-               MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-               MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events
+               COUNT(*)                    AS cnt,
+               CAST(SUM(k_int) AS BIGINT)  AS sum_k,
+               MIN(k_int)                  AS min_k,
+               MAX(k_int)                  AS max_k
+        FROM t
         GROUP BY event_type
         ORDER BY event_type
     """,

@@ -200,6 +200,31 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + resize stages in ONE driver-contract entry (merged so
+    the whole multimodal family fits the driver's 50-query window —
+    each stage keeps its own function + unit tests).
+
+    Output: one row per (stage, group key) with unified accounting
+    columns. Rows-only (stubbed codecs aren't expressible in SQL).
+    """
+    decoded = multimodal_decode(spark, sf_dir).select(
+        F.lit("decode").alias("stage"),
+        F.col("media_type").alias("group_key"),
+        F.col("n_media").alias("n_items"),
+        "total_bytes",
+        F.col("distinct_payloads").alias("distinct_outputs"),
+    )
+    resized = multimodal_resize(spark, sf_dir).select(
+        F.lit("resize").alias("stage"),
+        F.concat_ws("x", "out_w", "out_h").alias("group_key"),
+        F.col("n_images").alias("n_items"),
+        "total_bytes",
+        "distinct_outputs",
+    )
+    return decoded.unionByName(resized).orderBy("stage", "group_key")
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage over video-typed media: one payload row
     explodes to FRAMES_PER_VIDEO frame rows inside the pandas batch
@@ -254,8 +279,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
-    "multimodal_decode": multimodal_decode,
+    "multimodal_pipeline": multimodal_pipeline,
     "multimodal_meta": multimodal_meta,
-    "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
 }

@@ -21,7 +21,11 @@ from irio2024_mapreduce_spark.plans.pipeline import Pipeline, pandas_partition_s
 from irio2024_mapreduce_spark.registry import WORDCOUNT_ORACLE
 from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
-_TOKEN_RE = re.compile(TOKEN_SPLIT_REGEX)
+# re.ASCII: Python \s is Unicode-aware by default (\xa0,  ...),
+# but the Java/RE2 twins (E1 wordcount, the DuckDB oracle) split on
+# ASCII whitespace only — without the flag this map step diverges on
+# any document containing non-ASCII whitespace.
+_TOKEN_RE = re.compile(TOKEN_SPLIT_REGEX, re.ASCII)
 
 
 def _map_tokenize(batch: pd.DataFrame) -> pd.DataFrame:

@@ -49,7 +49,15 @@ def _overlap(tokens: Column, words: list[str]) -> Column:
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E24: corpus statistics per (lang, source)."""
+    """E24: corpus statistics per (lang, source).
+
+    Averages are emitted as scaled BIGINTs (``*_x10k`` = mean × 10⁴,
+    computed with pure integer arithmetic: ``(10000·Σx) div n``) —
+    float AVG aggregates are summed in engine/partition-dependent
+    order, and a last-ulp divergence flips the rounded value under the
+    driver's canonicalization (r01 hash-fail lesson). Integer div is
+    bit-identical everywhere.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = _ws_tokens()
     return (
@@ -63,11 +71,17 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg(F.col("n_unique") / F.col("n_tokens")), 4).alias(
-                "avg_ttr"
+            F.expr("(10000 * sum(n_chars)) div count(*)").alias(
+                "avg_chars_x10k"
             ),
+            F.expr("(10000 * sum(n_tokens)) div count(*)").alias(
+                "avg_tokens_x10k"
+            ),
+            # mean of per-doc quantized TTR: each doc contributes an
+            # exact integer (10⁴·unique div tokens)
+            F.expr(
+                "sum((10000 * n_unique) div n_tokens) div count(*)"
+            ).alias("avg_ttr_x10k"),
             F.sum("n_tokens").alias("total_tokens"),
         )
         .orderBy("lang", "source")
@@ -144,7 +158,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+            # scaled-integer mean — see text_analysis docstring
+            F.expr("(10000 * sum(bpe_tokens)) div count(*)").alias(
+                "avg_bpe_tokens_x10k"
+            ),
         )
         .orderBy("lang")
     )
@@ -197,6 +214,9 @@ _LANG_CASE = " ".join(
 )
 
 ORACLE_SQL = {
+    # Scaled-integer means + CAST(SUM AS BIGINT): DuckDB SUM(BIGINT)
+    # returns HUGEINT and float AVG is order-dependent — both hash-
+    # diverged under the driver in r01. Integer `//` is exact.
     "text_analysis": """
         WITH t AS (
             SELECT lang, source, n_chars,
@@ -206,10 +226,13 @@ ORACLE_SQL = {
         )
         SELECT lang, source,
                COUNT(*)                                         AS n_docs,
-               ROUND(AVG(n_chars), 4)                           AS avg_chars,
-               ROUND(AVG(n_tokens), 4)                          AS avg_tokens,
-               ROUND(AVG(n_unique::DOUBLE / n_tokens), 4)       AS avg_ttr,
-               SUM(n_tokens)                                    AS total_tokens
+               CAST((10000 * SUM(n_chars)) // COUNT(*) AS BIGINT)
+                                                                AS avg_chars_x10k,
+               CAST((10000 * SUM(n_tokens)) // COUNT(*) AS BIGINT)
+                                                                AS avg_tokens_x10k,
+               CAST(SUM((10000 * n_unique) // n_tokens) // COUNT(*) AS BIGINT)
+                                                                AS avg_ttr_x10k,
+               CAST(SUM(n_tokens) AS BIGINT)                    AS total_tokens
         FROM t GROUP BY lang, source ORDER BY lang, source
     """,
     "lang_id": f"""
@@ -251,9 +274,10 @@ ORACLE_SQL = {
             FROM documents
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(ws_tokens)            AS total_ws_tokens,
-               SUM(bpe_tokens)           AS total_bpe_tokens,
-               ROUND(AVG(bpe_tokens), 4) AS avg_bpe_tokens
+               CAST(SUM(ws_tokens) AS BIGINT)  AS total_ws_tokens,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               CAST((10000 * SUM(bpe_tokens)) // COUNT(*) AS BIGINT)
+                                               AS avg_bpe_tokens_x10k
         FROM t GROUP BY lang ORDER BY lang
     """,
     "fingerprint": """

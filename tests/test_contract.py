@@ -15,13 +15,18 @@ def test_every_oracle_key_has_a_query():
         "dedup_near",
         "dedup_simhash",
         "similarity_ann",
-        "multimodal_decode",
         "dedup_clusters",
         "sketches",
-        "multimodal_resize",
+        "multimodal_pipeline",
         "multimodal_frames",
         "similarity_ivf",
     }
+
+
+def test_registry_fits_driver_window():
+    # the driver grades only the first 50 entries (r01: 55 registered,
+    # exactly 50 graded) — every registered query must be inside
+    assert len(registry.queries()) <= registry.DRIVER_QUERY_WINDOW
 
 
 def test_entry_smoke(spark):

@@ -74,3 +74,15 @@ def test_rollup_uses_expand(spark, sf_dir):
 def test_similarity_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = plan_of(similarity_topk(spark, sf_dir), mode="simple")
     assert "Broadcast" in plan  # query side broadcast; corpus streams
+
+
+def test_json_extract_parses_once(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.json_array import json_extract
+
+    plan = plan_of(json_extract(spark, sf_dir), mode="extended")
+    optimized = plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    # one from_json per row — a second parse of the same column would
+    # double the dominant per-row cost at 100 TB
+    assert optimized.count("from_json") == 1

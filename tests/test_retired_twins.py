@@ -1,0 +1,66 @@
+"""Retired-twin queries stay correct even though they're deregistered
+from the driver contract (the driver grades only the first 50
+registry entries — see registry.DRIVER_QUERY_WINDOW).
+
+Each retired twin is run on Spark and compared against its DuckDB
+oracle with the same row-count / column / value-hash discipline as
+tools/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from irio2024_mapreduce_spark.operators import advanced, misc
+from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
+from tools.check_oracle import value_hash
+
+RETIRED = {
+    **{
+        name: (misc.RETIRED_TWIN_QUERIES[name], misc.RETIRED_TWIN_ORACLES[name])
+        for name in misc.RETIRED_TWIN_QUERIES
+    },
+    **{
+        name: (
+            advanced.RETIRED_TWIN_QUERIES[name],
+            advanced.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in advanced.RETIRED_TWIN_QUERIES
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_retired_set_is_exactly_the_documented_twins():
+    assert set(RETIRED) == {
+        "string_funcs2",
+        "null_handling",
+        "agg_cube",
+        "window_lag_lead",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED))
+def test_retired_twin_matches_oracle(name, spark, sf_dir, duck):
+    fn, sql = RETIRED[name]
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert value_hash(s_cols, s_rows) == value_hash(d_cols, d_rows)
