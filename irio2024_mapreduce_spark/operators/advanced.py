@@ -141,16 +141,151 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("o_orderstatus")
 
 
+QUANTILES = [("median_price", 0.5), ("p90_price", 0.9)]
+
+# Histogram bucket width for the two-phase exact quantile: wide enough
+# that the histogram stays tiny (~value_range/width buckets — shuffle
+# and cumulative window are O(histogram), not O(rows)), narrow enough
+# that the phase-2 rescan touches only ~rows/buckets values per hit.
+QUANTILE_BUCKET_WIDTH = 64
+
+
+def _exact_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Two-phase EXACT interpolated quantiles (quantile_cont) per
+    return flag — no O(table) sort anywhere.
+
+    Phase 1: histogram — bucket every row by ``floor(price)`` and
+    count per (flag, bucket). Map-side partial agg; shuffle volume is
+    #distinct integer buckets (bounded by the value domain, ~10⁵ here),
+    never #rows. Group sizes (``n``) fall out of the same histogram,
+    and a cumulative-count window over the TINY histogram (one
+    partition per flag of #buckets rows) locates the bucket containing
+    each needed global rank.
+
+    Phase 2: rescan only rows in those ≤4 candidate buckets (one
+    broadcast join against the hit list), rank within each
+    (flag, bucket, target) group (window over O(bucket) rows per task,
+    never O(table)), add the bucket's cumulative offset to get the
+    exact global rank, and interpolate the two bracketing values.
+
+    At 100 TB the same plan holds: the full table is touched by
+    exactly two linear scans; the only sorts are #bucket-sized. If the
+    value domain were unbounded/ultra-skewed, swap ``floor(price)``
+    for a finer or adaptive bucketing — the plan shape is unchanged.
+    """
+    bucketed = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / QUANTILE_BUCKET_WIDTH)
+        .cast("long")
+        .alias("b"),
+    )
+    bcounts = bucketed.groupBy("l_returnflag", "b").agg(
+        F.count("*").alias("bc")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = bcounts.select(
+        "l_returnflag",
+        "b",
+        (F.sum("bc").over(wcum) - F.col("bc") + 1).alias("cum_start"),
+        F.sum("bc").over(wcum).alias("cum_end"),
+        F.sum("bc").over(wall).alias("n"),
+    )
+
+    # quantile_cont: pos = p*(n-1) (0-based) → bracketing 1-based
+    # ranks lo=floor(pos)+1 (weight 1-frac) and lo+1 (weight frac);
+    # exploded against every histogram row, kept where the rank falls
+    # inside the row's cumulative span. Pure plan — n comes from the
+    # histogram itself, so no extra scan of the fact table.
+    qdefs = F.array(
+        *[
+            F.struct(F.lit(name).alias("q"), F.lit(p).alias("p"))
+            for name, p in QUANTILES
+        ]
+    )
+    pos = F.col("qd.p") * (F.col("n") - 1)
+    spans = cum.select(
+        "l_returnflag",
+        "b",
+        "cum_start",
+        "cum_end",
+        "n",
+        F.explode(qdefs).alias("qd"),
+    ).select(
+        "l_returnflag",
+        "b",
+        "cum_start",
+        "cum_end",
+        F.col("qd.q").alias("q"),
+        (F.floor(pos) + 1).alias("lo"),
+        (pos - F.floor(pos)).alias("frac"),
+    )
+    hits = (
+        spans.select(
+            "l_returnflag", "b", "cum_start", "cum_end", "q",
+            F.col("lo").alias("rank"),
+            (F.lit(1.0) - F.col("frac")).alias("weight"),
+        )
+        .unionByName(
+            spans.select(
+                "l_returnflag", "b", "cum_start", "cum_end", "q",
+                (F.col("lo") + 1).alias("rank"),
+                F.col("frac").alias("weight"),
+            )
+        )
+        .filter(
+            (F.col("weight") > 0)  # also drops out-of-range lo+1=n+1
+            & (F.col("rank") >= F.col("cum_start"))
+            & (F.col("rank") <= F.col("cum_end"))
+        )
+        .select("l_returnflag", "b", "cum_start", "q", "rank", "weight")
+    )
+
+    # one row per (bucket row × target hitting that bucket); ranking
+    # per (flag, bucket, target) keeps row_number correct even when
+    # two targets land in the same bucket
+    cand = bucketed.join(F.broadcast(hits), ["l_returnflag", "b"])
+    wloc = Window.partitionBy("l_returnflag", "b", "q", "rank").orderBy(
+        "l_extendedprice"
+    )
+    picked = (
+        cand.withColumn(
+            "grank", F.row_number().over(wloc) + F.col("cum_start") - 1
+        )
+        .filter(F.col("grank") == F.col("rank"))
+        .select(
+            "l_returnflag",
+            "q",
+            (F.col("l_extendedprice") * F.col("weight")).alias("wv"),
+        )
+    )
+    return picked.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("q") == name, F.col("wv")).otherwise(0.0)),
+                4,
+            ).alias(name)
+            for name, _ in QUANTILES
+        ]
+    )
+
+
 def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per return flag: stddev, variance,
     correlation, covariance, exact interpolated median + p90
     (quantile_cont definition).
 
-    Percentiles are computed SORT-BASED — rank each group once, pick
-    the two bracketing ranks per quantile, interpolate — instead of
-    Spark's ``percentile`` aggregate, whose per-group value buffer is
-    GC-heavy at sf0.1 already and O(group size) memory at 100 TB.
-    The sort spills; memory stays bounded.
+    Percentiles use the two-phase histogram rank in
+    :func:`_exact_quantiles` — the naive alternative (row_number over
+    a window partitioned by the ~3-value l_returnflag) sorts the
+    entire table in 3 tasks, which is a scale-killer at 100 TB (and
+    was the 2nd-slowest headline query at sf0.1). The bounded-memory
+    approximate twin is ``sketches``.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     moments = lineitem.groupBy("l_returnflag").agg(
@@ -162,31 +297,7 @@ def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = lineitem.select(
-        "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
-    )
-    # quantile_cont: pos = p*(n-1) (0-based); interpolate the two
-    # bracketing ranks. weight(lo) = 1-frac, weight(hi) = frac.
-    quantiles = ranked.join(
-        F.broadcast(moments.select("l_returnflag", "n")), "l_returnflag"
-    )
-    exprs = []
-    for alias, p in [("median_price", 0.5), ("p90_price", 0.9)]:
-        pos = F.lit(p) * (F.col("n") - 1)
-        lo = F.floor(pos) + 1  # 1-based rank of lower bracket
-        frac = pos - F.floor(pos)
-        exprs.append(
-            F.round(
-                F.sum(
-                    F.when(F.col("rn") == lo, F.col("l_extendedprice") * (1 - frac))
-                    .when(F.col("rn") == lo + 1, F.col("l_extendedprice") * frac)
-                    .otherwise(0.0)
-                ),
-                4,
-            ).alias(alias)
-        )
-    pcts = quantiles.groupBy("l_returnflag").agg(*exprs)
+    pcts = _exact_quantiles(lineitem)
     return (
         moments.join(pcts, "l_returnflag")
         .select(

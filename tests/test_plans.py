@@ -76,6 +76,23 @@ def test_similarity_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "Broadcast" in plan  # query side broadcast; corpus streams
 
 
+def test_stats_pack_quantile_window_is_bucket_bounded(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.advanced import stats_pack
+
+    plan = plan_of(stats_pack(spark, sf_dir), mode="extended")
+    optimized = plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    # the row-level ranking window must partition by (flag, bucket, ...),
+    # never by the ~3-value flag alone — that would sort the whole fact
+    # table in 3 tasks at 100 TB
+    rn_lines = [ln for ln in optimized.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        spec = ln.split("windowspecdefinition(")[1]
+        assert " b#" in spec or spec.startswith("b#") or ", b#" in ln, ln
+
+
 def test_json_extract_parses_once(spark, sf_dir):
     from irio2024_mapreduce_spark.operators.json_array import json_extract
 
