@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
@@ -34,6 +35,29 @@ from irio2024_mapreduce_spark.sources.tables import load_table, load_table_paral
 MINHASH_PERMS = 32
 LSH_BANDS = 8
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+
+# Hot-bucket guard: a (band, band_hash) bucket of b members emits
+# O(b²) candidate pairs — one boilerplate-heavy bucket (near-identical
+# but not byte-identical docs, so the exact-dup collapse can't catch
+# them) turns LSH quadratic. Buckets above the cap are dropped from
+# candidate generation in that band: their pairs can still surface via
+# the doc's other LSH_BANDS-1 bands, and clusters genuinely larger
+# than the cap belong to dedup_clusters, not pairwise output. The cap
+# bounds candidates at ≤ cap·bands per doc — linear in corpus size.
+LSH_BUCKET_CAP = 256
+SIMHASH_BUCKET_CAP = 256
+
+
+def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop all rows of any bucket (= distinct ``keys`` combo) with
+    more than ``cap`` members. One window count over the same keys the
+    candidate self-join shuffles on — the exchange is shared."""
+    w = Window.partitionBy(*keys)
+    return (
+        rows.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
 
 
 
@@ -79,7 +103,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → K seeded xxhash64 min-hashes → band rows → equi-join on
     (band, hash-of-band-slice) → exact-Jaccard verify. Deterministic
     (seeded hashes, no RNG). Candidate volume is governed by the
-    (b, r) S-curve, not by n².
+    (b, r) S-curve, not by n² — and buckets hotter than
+    LSH_BUCKET_CAP (boilerplate corpora) are dropped before the
+    self-join, bounding candidates per doc at cap·bands.
 
     Exact duplicates are collapsed FIRST (group by sha2, min doc_id
     as representative): a group of d identical docs forms a d-clique
@@ -100,6 +126,48 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _shingles().alias("shingles"))
     )
+    pairs = _minhash_candidates(docs)
+    # Verify only the surviving candidate pairs. Melt pairs to
+    # (pair, role, doc_id) and join the RAW text once — so (a) the
+    # candidate subtree is computed once, not once per side-join, and
+    # (b) shingles are recomputed only for candidate rows (post-join
+    # projection), never for the whole corpus a second time.
+    melted = pairs.select(
+        F.struct("doc_a", "doc_b").alias("pair"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")),
+                F.struct(F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")),
+            )
+        ).alias("m"),
+    ).select("pair", "m.role", "m.doc_id")
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_sh = melted.join(raw, "doc_id").select(
+        "pair", "role", _shingles().alias("sh")
+    )
+    return (
+        with_sh.groupBy("pair")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("sh")), ignorenulls=True)
+            .alias("sh_a"),
+            F.first(F.when(F.col("role") == "b", F.col("sh")), ignorenulls=True)
+            .alias("sh_b"),
+        )
+        .select(
+            F.col("pair.doc_a").alias("doc_a"),
+            F.col("pair.doc_b").alias("doc_b"),
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _minhash_candidates(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, shingles) → deduplicated candidate pairs
+    (doc_a, doc_b) via MinHash signatures + LSH banding, with the
+    hot-bucket cap applied before the band self-join."""
     # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
     # the resulting 8-byte longs (xxhash64 seeded by the perm id):
     # ~K× cheaper than K salted string hashes — fixed-width hashing
@@ -154,7 +222,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
 
-    pairs = (
+    # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
+    banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
+
+    return (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -167,39 +238,6 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.doc_id").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # Verify only the surviving candidate pairs. Melt pairs to
-    # (pair, role, doc_id) and join the RAW text once — so (a) the
-    # candidate subtree is computed once, not once per side-join, and
-    # (b) shingles are recomputed only for candidate rows (post-join
-    # projection), never for the whole corpus a second time.
-    melted = pairs.select(
-        F.struct("doc_a", "doc_b").alias("pair"),
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")),
-                F.struct(F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")),
-            )
-        ).alias("m"),
-    ).select("pair", "m.role", "m.doc_id")
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    with_sh = melted.join(raw, "doc_id").select(
-        "pair", "role", _shingles().alias("sh")
-    )
-    return (
-        with_sh.groupBy("pair")
-        .agg(
-            F.first(F.when(F.col("role") == "a", F.col("sh")), ignorenulls=True)
-            .alias("sh_a"),
-            F.first(F.when(F.col("role") == "b", F.col("sh")), ignorenulls=True)
-            .alias("sh_b"),
-        )
-        .select(
-            F.col("pair.doc_a").alias("doc_a"),
-            F.col("pair.doc_b").alias("doc_b"),
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -222,6 +260,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    cand = _simhash_candidates(docs)
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_candidates(
+    docs: DataFrame, bucket_cap: int = SIMHASH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, text) → candidate pairs (doc_a, doc_b, sh_a, sh_b)
+    via 64-bit SimHash + 4×16-bit pigeonhole banding, with the
+    hot-bucket cap applied before the chunk self-join."""
     tok_counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -263,8 +318,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "chunk_val", F.expr("(simhash >> cast(chunk * 16 as int)) & 65535")
     )
+    # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
+    chunks = _cap_buckets(chunks, ["chunk", "chunk_val"], bucket_cap)
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    return (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -278,14 +335,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.simhash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

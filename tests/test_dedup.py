@@ -109,3 +109,71 @@ def test_ngram_banding_subset_of_truth(spark, sf_dir):
     }
     # banding only prunes candidates — it can never invent pairs
     assert banded <= truth
+
+
+# ---------------------------------------------------------------- bucket caps
+def _boilerplate_docs(spark, n=200, common_tokens=60):
+    """Adversarial corpus: n docs sharing a large common prefix
+    (near-identical, NOT byte-identical — the exact-dup collapse
+    cannot catch them), so every doc lands in the same LSH/simhash
+    buckets."""
+    common = " ".join(f"boiler{i}" for i in range(common_tokens))
+    rows = [(i, f"{common} unique{i}") for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    from irio2024_mapreduce_spark.operators.dedup import (
+        LSH_BANDS,
+        _minhash_candidates,
+    )
+
+    docs = _boilerplate_docs(spark)
+    shingled = docs.select("doc_id", _shingles().alias("shingles"))
+    n = docs.count()
+    uncapped = _minhash_candidates(shingled, bucket_cap=10**9).count()
+    cap = 16
+    capped = _minhash_candidates(shingled, bucket_cap=cap).count()
+    # without the cap the shared buckets are quadratic cliques
+    assert uncapped > n * 20
+    # with the cap, each doc contributes < cap pairs per band — linear
+    assert capped <= n * cap * LSH_BANDS
+    assert capped < uncapped
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    from irio2024_mapreduce_spark.operators.dedup import _simhash_candidates
+
+    docs = _boilerplate_docs(spark)
+    n = docs.count()
+    uncapped = _simhash_candidates(docs, bucket_cap=10**9).count()
+    cap = 16
+    capped = _simhash_candidates(docs, bucket_cap=cap).count()
+    assert uncapped > n * 20
+    assert capped <= n * cap * 4  # 4 pigeonhole chunks
+    assert capped < uncapped
+
+
+def test_default_cap_leaves_testdata_results_unchanged(spark, sf_dir):
+    """The cap is a DoS guard: on the benchmark corpus no bucket
+    exceeds it, so dedup_near output is identical with and without."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _minhash_candidates,
+        _shingles as _sh,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .select("doc_id", _sh().alias("shingles"))
+    )
+    with_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in _minhash_candidates(docs).collect()
+    }
+    without = {
+        (r["doc_a"], r["doc_b"])
+        for r in _minhash_candidates(docs, bucket_cap=10**9).collect()
+    }
+    assert with_cap == without
