@@ -47,6 +47,15 @@ LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 LSH_BUCKET_CAP = 256
 SIMHASH_BUCKET_CAP = 256
 
+# Same guard for the exact pairwise variants (ngram-Jaccard's length
+# band, embedding-cosine's label block): a block of b members costs
+# O(b²) comparisons, so blocks above the cap are excluded from the
+# exact pairwise output — identically on both engines (the DuckDB
+# oracles implement the same QUALIFY) — and belong to the sub-
+# quadratic paths instead (dedup_near / similarity_ann). 1024² ≈ 1M
+# comparisons is the most one block is ever allowed to cost.
+PAIRWISE_BLOCK_CAP = 1024
+
 
 def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop all rows of any bucket (= distinct ``keys`` combo) with
@@ -344,9 +353,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banding: pairs must share a length bucket (n_tokens div 8) — the oracle
     implements the identical blocking (including the exact-duplicate
-    collapse prefix), so this is hash-checkable.
-    At 100 TB the band join replaces the n² compare; recall loss at
-    bucket edges is the documented trade (MinHash covers the rest).
+    collapse prefix AND the block-size cap), so this is hash-checkable.
+
+    This is the VERIFY TWIN, not the scale path: within a band the
+    compare is all-pairs, so bands above PAIRWISE_BLOCK_CAP are
+    excluded on both engines (their members are served by the
+    sub-quadratic dedup_near). Recall loss at bucket edges is the
+    documented trade (MinHash covers the rest).
     """
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -359,6 +372,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(_tokens()) / 8).cast("long").alias("len_band"),
         )
     )
+    docs = _cap_buckets(docs, ["len_band"], PAIRWISE_BLOCK_CAP)
     l, r = docs.alias("l"), docs.alias("r")
     return (
         l.join(
@@ -383,12 +397,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic in double (float arrays cast first) so Spark and
     the DuckDB oracle compute bit-comparable cosines.
+
+    VERIFY TWIN: all-pairs within a label block, so blocks above
+    PAIRWISE_BLOCK_CAP are excluded on both engines — the scale path
+    for unbounded blocks is similarity_ann/similarity_ivf.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    emb = _cap_buckets(emb, ["label"], PAIRWISE_BLOCK_CAP)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -421,7 +440,7 @@ ORACLE_SQL = {
                MIN(n_chars) AS n_chars
         FROM documents GROUP BY text
     """,
-    "dedup_ngram_jaccard": """
+    "dedup_ngram_jaccard": f"""
         WITH reps AS (
             SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
             FROM documents GROUP BY md5(text)
@@ -433,6 +452,8 @@ ORACLE_SQL = {
                        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
                    )) AS shingles
             FROM reps
+            QUALIFY COUNT(*) OVER (PARTITION BY len_band)
+                    <= {PAIRWISE_BLOCK_CAP}
         )
         SELECT * FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -443,14 +464,19 @@ ORACLE_SQL = {
               ON a.len_band = b.len_band AND a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.5
     """,
-    "dedup_embedding": """
+    "dedup_embedding": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            QUALIFY COUNT(*) OVER (PARTITION BY label)
+                    <= {PAIRWISE_BLOCK_CAP}
+        )
         SELECT * FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                          6) AS cosine
-            FROM embeddings a JOIN embeddings b
+            FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cosine >= 0.4
     """,

@@ -177,3 +177,26 @@ def test_default_cap_leaves_testdata_results_unchanged(spark, sf_dir):
         for r in _minhash_candidates(docs, bucket_cap=10**9).collect()
     }
     assert with_cap == without
+
+
+def test_pairwise_block_cap_excludes_oversized_blocks(spark, sf_dir, tmp_path, monkeypatch):
+    """dedup_ngram_jaccard must drop a length band larger than
+    PAIRWISE_BLOCK_CAP (all-pairs within a band is O(band²))."""
+    import irio2024_mapreduce_spark.operators.dedup as dd
+
+    # 40 near-identical docs, all the same token count → one length band
+    common = " ".join(f"tok{i}" for i in range(31))
+    rows = [(i, f"{common} end{i}", "en", "s", 1) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "blockcap")
+    df.repartition(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    # default cap (1024) admits the 40-doc band → pairs found
+    assert dd.dedup_ngram_jaccard(spark, d).count() > 0
+    # cap below the band size → band excluded → no pairs
+    monkeypatch.setattr(dd, "PAIRWISE_BLOCK_CAP", 10)
+    assert dd.dedup_ngram_jaccard(spark, d).count() == 0

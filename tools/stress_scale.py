@@ -27,7 +27,18 @@ from pyspark.sql import functions as F
 from irio2024_mapreduce_spark import registry
 from irio2024_mapreduce_spark.session import get_spark
 
-QUERIES = ["wordcount", "dedup_exact", "dedup_near", "text_analysis", "doc_chunk"]
+# dedup_ngram_jaccard rides the same exact-dup collapse as dedup_near
+# (replicated docs collapse to the same reps) and its length-band
+# blocks are additionally bounded by PAIRWISE_BLOCK_CAP — the probe
+# verifies the measured ratio stays ~linear.
+QUERIES = [
+    "wordcount",
+    "dedup_exact",
+    "dedup_near",
+    "dedup_ngram_jaccard",
+    "text_analysis",
+    "doc_chunk",
+]
 
 
 def main() -> None:
