@@ -73,10 +73,51 @@ def test_ivf_recall_beats_random(spark, sf_dir):
 
 
 def test_ann_recall_floor(spark, sf_dir):
-    """Bucketed search trades recall for 2^H× less work; with H=8
-    random hyperplanes on random-ish vectors recall is modest — just
-    assert the machinery returns plausible hits, deterministically."""
+    """Multi-table multi-probe LSH on the UNCLUSTERED synthetic
+    corpus. Top-5 neighbors here have cosine ≈ 0.33 ⇒ per-plane
+    agreement p ≈ 0.61 ⇒ no sublinear bucketing reaches 0.8 recall on
+    this data (that would require probing most of the bucket space).
+    Measured recall with 4 tables × (1+4+6) probes is ~0.52-0.54;
+    assert a 0.4 floor with margin. The ≥0.8 claim is asserted on a
+    clustered corpus below, where LSH is actually applicable."""
     a = sorted(map(tuple, similarity_ann(spark, sf_dir).collect()))
     b = sorted(map(tuple, similarity_ann(spark, sf_dir).collect()))
     assert a == b
-    assert len(a) > 0
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_topk(spark, sf_dir).collect()
+    }
+    got = {(q, n) for q, n, _c, _r in a}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, recall
+
+
+def test_ann_multiprobe_recall_clustered(spark):
+    """On clustered data (each query has 5 planted near-copies,
+    cosine ≈ 0.999) the multi-table multi-probe machinery must find
+    ≥ 0.8 of the true top-k — this is the regime LSH is built for."""
+    import random
+
+    from irio2024_mapreduce_spark.operators.similarity import _ann_topk
+
+    rng = random.Random(42)
+    dim = 64
+    vecs: dict[int, list[float]] = {}
+    planted: set[tuple[int, int]] = set()
+    for q in range(10):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs[q] = base
+        for j in range(5):
+            nid = 10 + q * 5 + j
+            vecs[nid] = [x + rng.uniform(-0.05, 0.05) for x in base]
+            planted.add((q, nid))
+    for i in range(100, 300):
+        vecs[i] = [rng.uniform(-1, 1) for _ in range(dim)]
+    df = spark.createDataFrame(
+        sorted(vecs.items()), ["vec_id", "v"]
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in _ann_topk(df).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, recall
