@@ -95,14 +95,24 @@ def _sessionize(
         )
 
 
-def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed sessions per user from the event stream (the open tail
-    session of each user remains in state, unemitted — exactly the
-    semantics a forever-running job would show)."""
+def run_sessionize_stream(
+    spark: SparkSession,
+    src_dir: str,
+    raw_schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the stateful sessionizer over a file-stream source
+    directory and return the drained result table.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per source
+    file — the two-batch state-carry test uses it to prove sessions
+    straddling micro-batches are stitched from state, not recomputed.
+    """
     ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(_stage_dir(path))
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     # ts arrives as int64 nanoseconds (nanosAsLong) → microseconds
     from pyspark.sql import functions as F
 
@@ -125,9 +135,21 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed sessions per user from the event stream (the open tail
+    session of each user remains in state, unemitted — exactly the
+    semantics a forever-running job would show)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    return run_sessionize_stream(spark, _stage_dir(path), raw_schema)
+
+
 # Oracle: closed sessions == all gaps-and-islands sessions EXCEPT each
 # user's last one (which is still open in state when the stream drains).
-# Valid because the fixture is one parquet file → one micro-batch.
+# The same result holds across MULTIPLE micro-batches (state carries
+# the open session) as long as files arrive in event-time order —
+# proven by tests/test_streaming.py::test_sessionize_state_carries_across_micro_batches.
 ORACLE_SQL = {
     "streaming_sessionize": """
         WITH flagged AS (

@@ -69,3 +69,47 @@ def test_watermark_withholds_open_windows(spark, sf_dir):
     assert withheld  # the tail windows within the watermark delay
     max_emitted = max(w for w, _, _ in emitted)
     assert all(w >= max_emitted for w, _, _ in withheld)
+
+
+def test_sessionize_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
+    """Split the event fixture into two time-ordered files and force
+    one micro-batch per file: closed sessions must equal the
+    single-batch run — i.e., a session straddling the batch boundary
+    is stitched from the state store, not dropped or restarted."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        run_sessionize_stream,
+        streaming_sessionize,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = events.selectExpr("percentile(ts, 0.5) AS m").collect()[0]["m"]
+    src = tmp_path / "two_batch_src"
+    src.mkdir()
+    halves = [
+        events.filter(F.col("ts") <= m),
+        events.filter(F.col("ts") > m),
+    ]
+    for i, half in enumerate(halves):
+        stage = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        # FileStreamSource picks files up oldest-mtime-first: pin the
+        # order so batch0 (earlier events) is the first micro-batch
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    assert halves[0].count() > 0 and halves[1].count() > 0
+
+    two_batch = run_sessionize_stream(
+        spark, str(src), events.schema, max_files_per_trigger=1
+    )
+    one_batch = streaming_sessionize(spark, sf_dir)
+    a = sorted(map(tuple, two_batch.collect()))
+    b = sorted(map(tuple, one_batch.collect()))
+    assert a == b and len(a) > 0
