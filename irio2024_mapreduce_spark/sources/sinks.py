@@ -49,11 +49,19 @@ def write_bucketed_table(
     bucket_cols: list[str],
     n_buckets: int = 64,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: joins/aggregations on ``bucket_cols``
-    skip their shuffle (co-located partitioning persisted at write
-    time) — the answer to 'orders ⋈ lineitem shuffles 100 TB'."""
+    """Bucketed table: joins/aggregations on ``bucket_cols`` skip
+    their shuffle (co-located partitioning persisted at write time) —
+    the answer to 'orders ⋈ lineitem shuffles 100 TB'. The
+    shuffle-free join plan is asserted in tests/test_bucketed_join.py.
+
+    ``path`` makes the table external (data at ``path`` instead of the
+    session warehouse — ``spark.sql.warehouse.dir`` is static config
+    and can't be set on a live session)."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
