@@ -21,8 +21,11 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.StringType())])
 # string coercion ('1.5' truncates in Spark, fails in DuckDB) never
 # gets a chance to diverge. Written as regexp_extract+nullif (single
 # reference to the parsed value) so the one from_json isn't duplicated
-# into a when/otherwise pair by projection collapse.
-_INT_RE = "^(-?[0-9]+)$"
+# into a when/otherwise pair by projection collapse. \A/\z anchors,
+# NOT ^/$: Java's $ matches before a trailing newline, RE2's doesn't,
+# so '123\n' would extract on Spark but not on DuckDB; \A/\z mean
+# absolute string edges in both engines.
+_INT_RE = r"\A(-?[0-9]+)\z"
 
 
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,8 +42,12 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = events.select(
         "event_id",
         "event_type",
+        # try_cast, not cast: the regex guards integral FORM, not
+        # MAGNITUDE — under ANSI mode a >int64 digit string would
+        # abort the whole query on one dirty row (TRY_CAST mirrors it
+        # in the oracle)
         F.nullif(F.regexp_extract(k_raw, _INT_RE, 1), F.lit(""))
-        .cast("long")
+        .try_cast("long")
         .alias("k_int"),
     )
     return (
@@ -82,9 +89,9 @@ ORACLE_SQL = {
     "json_extract": """
         WITH t AS (
             SELECT event_type,
-                   CAST(NULLIF(regexp_extract(
+                   TRY_CAST(NULLIF(regexp_extract(
                             json_extract_string(props, '$.k'),
-                            '^(-?[0-9]+)$', 1), '') AS BIGINT) AS k_int
+                            '\\A(-?[0-9]+)\\z', 1), '') AS BIGINT) AS k_int
             FROM events
         )
         SELECT event_type,

@@ -152,17 +152,27 @@ def _probes_of(sig: Column, projs: Column) -> Column:
     """Probe buckets for a query: its own signature plus every
     single- and pair-flip of the ANN_PROBE_BITS planes with the
     smallest |projection| (the bits most likely to disagree with a
-    true neighbor's signature sit closest to the hyperplane)."""
-    absp = F.transform(projs, lambda x: F.abs(x))
-    sorted_abs = F.array_sort(absp)
+    true neighbor's signature sit closest to the hyperplane).
+
+    Flip planes are picked by sorting (|proj|, plane-index) STRUCTS —
+    value-based array_position would resolve tied |projections| (e.g.
+    a zero vector) to the same first index, collapsing distinct probes
+    back into the primary bucket."""
+    idx = F.expr(
+        "array(" + ", ".join(str(p) for p in range(ANN_PLANES)) + ")"
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            projs,
+            idx,
+            lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("i")),
+        )
+    )
     flip_masks = [
         F.element_at(
-            _masks(),
-            F.array_position(absp, F.element_at(sorted_abs, i + 1)).cast(
-                "int"
-            ),
+            _masks(), (F.element_at(ranked, k + 1)["i"] + 1).cast("int")
         )
-        for i in range(ANN_PROBE_BITS)
+        for k in range(ANN_PROBE_BITS)
     ]
     probes = [sig]
     probes += [sig.bitwiseXOR(m) for m in flip_masks]

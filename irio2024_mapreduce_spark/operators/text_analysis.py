@@ -71,12 +71,19 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.expr("(10000 * sum(n_chars)) div count(*)").alias(
-                "avg_chars_x10k"
-            ),
-            F.expr("(10000 * sum(n_tokens)) div count(*)").alias(
-                "avg_tokens_x10k"
-            ),
+            # div-first decomposition: floor(10000·s/c) computed as
+            # 10000·(s div c) + (10000·(s % c)) div c — `10000·s`
+            # directly would ANSI-overflow int64 once a group's sum
+            # passes ~9.2e14 (DuckDB silently promotes to HUGEINT;
+            # this form is abort-free AND identical on both engines)
+            F.expr(
+                "10000 * (sum(n_chars) div count(*)) + "
+                "(10000 * (sum(n_chars) % count(*))) div count(*)"
+            ).alias("avg_chars_x10k"),
+            F.expr(
+                "10000 * (sum(n_tokens) div count(*)) + "
+                "(10000 * (sum(n_tokens) % count(*))) div count(*)"
+            ).alias("avg_tokens_x10k"),
             # mean of per-doc quantized TTR: each doc contributes an
             # exact integer (10⁴·unique div tokens)
             F.expr(
@@ -158,10 +165,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            # scaled-integer mean — see text_analysis docstring
-            F.expr("(10000 * sum(bpe_tokens)) div count(*)").alias(
-                "avg_bpe_tokens_x10k"
-            ),
+            # scaled-integer mean, div-first against int64 overflow —
+            # see text_analysis
+            F.expr(
+                "10000 * (sum(bpe_tokens) div count(*)) + "
+                "(10000 * (sum(bpe_tokens) % count(*))) div count(*)"
+            ).alias("avg_bpe_tokens_x10k"),
         )
         .orderBy("lang")
     )
@@ -226,10 +235,12 @@ ORACLE_SQL = {
         )
         SELECT lang, source,
                COUNT(*)                                         AS n_docs,
-               CAST((10000 * SUM(n_chars)) // COUNT(*) AS BIGINT)
-                                                                AS avg_chars_x10k,
-               CAST((10000 * SUM(n_tokens)) // COUNT(*) AS BIGINT)
-                                                                AS avg_tokens_x10k,
+               CAST(10000 * (SUM(n_chars) // COUNT(*)) +
+                    (10000 * (SUM(n_chars) % COUNT(*))) // COUNT(*)
+                    AS BIGINT)                                  AS avg_chars_x10k,
+               CAST(10000 * (SUM(n_tokens) // COUNT(*)) +
+                    (10000 * (SUM(n_tokens) % COUNT(*))) // COUNT(*)
+                    AS BIGINT)                                  AS avg_tokens_x10k,
                CAST(SUM((10000 * n_unique) // n_tokens) // COUNT(*) AS BIGINT)
                                                                 AS avg_ttr_x10k,
                CAST(SUM(n_tokens) AS BIGINT)                    AS total_tokens
@@ -276,8 +287,9 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(ws_tokens) AS BIGINT)  AS total_ws_tokens,
                CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-               CAST((10000 * SUM(bpe_tokens)) // COUNT(*) AS BIGINT)
-                                               AS avg_bpe_tokens_x10k
+               CAST(10000 * (SUM(bpe_tokens) // COUNT(*)) +
+                    (10000 * (SUM(bpe_tokens) % COUNT(*))) // COUNT(*)
+                    AS BIGINT)                 AS avg_bpe_tokens_x10k
         FROM t GROUP BY lang ORDER BY lang
     """,
     "fingerprint": """

@@ -63,12 +63,21 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         .agg(F.count("*").alias("n"))
     )
     plan = _plan(joined)
-    join_section = plan.split("HashAggregate")[0]
+    # formatted explain prints the tree ROOT-FIRST, so everything
+    # after the join line (within the tree section) is the join's
+    # input subtree — exactly where a shuffle would sit. Splitting
+    # before the first HashAggregate would inspect only the header.
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
+    marker = "SortMergeJoin" if "SortMergeJoin" in tree else "ShuffledHashJoin"
+    below_join = tree.split(marker, 1)[1]
     # co-located buckets: the join consumes storage partitioning
-    # directly — any Exchange before the join would be the 100 TB
-    # shuffle the bucketing exists to remove
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    assert "Exchange" not in join_section, join_section
+    # directly — any Exchange below the join is the 100 TB shuffle
+    # the bucketing exists to remove
+    assert "Exchange" not in below_join, below_join
+    # sanity against a vacuous split: the join inputs (scans) must
+    # actually be visible in the inspected section
+    assert "Scan" in below_join, below_join
 
 
 def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
