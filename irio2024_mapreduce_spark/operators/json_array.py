@@ -90,7 +90,9 @@ ORACLE_SQL = {
         WITH t AS (
             SELECT event_type,
                    TRY_CAST(NULLIF(regexp_extract(
-                            json_extract_string(props, '$.k'),
+                            CASE WHEN json_valid(props)
+                                 THEN json_extract_string(props, '$.k')
+                            END,
                             '\\A(-?[0-9]+)\\z', 1), '') AS BIGINT) AS k_int
             FROM events
         )

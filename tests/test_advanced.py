@@ -118,3 +118,49 @@ def test_pivot_counts_sum_to_total(spark, sf_dir):
         sum(r[c] for c in r.asDict() if c.startswith("prio_")) for r in rows
     )
     assert total == load_table(spark, sf_dir, "orders").count()
+
+
+# ------------------------------------------------- two-phase quantile edges
+def _quantiles_via_spark_builtin(spark, rows):
+    """Ground truth: Spark's exact percentile aggregate (quantile_cont
+    definition) on the same data."""
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    return {
+        r["l_returnflag"]: (r["m"], r["p"])
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("m"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p"),
+        )
+        .collect()
+    }
+
+
+def _quantiles_via_histogram(spark, rows):
+    from irio2024_mapreduce_spark.operators.advanced import _exact_quantiles
+
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    return {
+        r["l_returnflag"]: (r["median_price"], r["p90_price"])
+        for r in _exact_quantiles(df).collect()
+    }
+
+
+def test_two_phase_quantile_edge_cases(spark):
+    """The histogram rank must agree with the exact percentile
+    aggregate on the shapes where off-by-one rank bugs live: single
+    rows, two rows, all-equal values, values straddling bucket
+    boundaries, and ranks whose lo/lo+1 brackets sit in DIFFERENT
+    buckets (63.9 vs 64.1 with bucket width 64)."""
+    cases = [
+        ("single", [1234.56]),
+        ("two", [10.0, 20.0]),
+        ("equal", [64.0] * 7),
+        ("boundary", [63.9, 63.95, 64.0, 64.05, 64.1]),
+        ("cross_bucket", [1.0, 63.9, 64.1, 200.0, 500.0, 1000.0]),
+        ("frac_zero", [1.0, 2.0, 3.0, 4.0, 5.0]),  # 0.5*(n-1) integral
+    ]
+    rows = [(k, v) for k, vals in cases for v in vals]
+    want = _quantiles_via_spark_builtin(spark, rows)
+    got = _quantiles_via_histogram(spark, rows)
+    assert got == want, {k: (got.get(k), want.get(k)) for k in want}

@@ -125,3 +125,53 @@ def test_rolling_hash_order_sensitive(spark):
     h1, h2, h3 = [r["h"] for r in df.collect()]
     assert h1 == h3  # deterministic for identical sequences
     assert h1 != h2  # order matters (md5-of-sorted-bag would collide)
+
+
+def test_json_extract_integer_guard_parity_on_dirty_values(spark, tmp_path):
+    """The integral-string guard must behave IDENTICALLY on Spark and
+    DuckDB for every dirty shape that made the engines diverge:
+    floats ('1.5' truncates in Spark's plain cast, fails DuckDB's),
+    newline-terminated digits (Java $ matches before \\n, RE2 $
+    doesn't), over-int64 digit strings (ANSI cast would abort the
+    query), missing keys, and non-numeric strings."""
+    import duckdb
+
+    from irio2024_mapreduce_spark.operators.json_array import (
+        ORACLE_SQL,
+        json_extract,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": 7}'),
+        (2, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": -3}'),
+        (3, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": 1.5}'),
+        # \\n in the JSON text = escaped newline = VALID json whose
+        # value contains a real newline (the $-anchor trap)
+        (4, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": "123\\n"}'),
+        (5, dt.datetime(2024, 1, 1), 1, "a", 0.0,
+         '{"k": "12345678901234567890123"}'),
+        (6, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": "nope"}'),
+        (7, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"x": 1}'),
+        # raw newline byte inside a JSON string = MALFORMED json:
+        # Spark's from_json nulls the row, DuckDB needs json_valid()
+        (8, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": "9\n9"}'),
+        (9, dt.datetime(2024, 1, 1), 1, "b", 0.0, '{"k": "042"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "dirty_events")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = sorted(map(tuple, json_extract(spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(ORACLE_SQL["json_extract"]).fetchall()))
+    assert got == want, (got, want)
+    # only 7, -3 and 042 survive the guard
+    by_type = {r[0]: r for r in got}
+    assert by_type["a"][1] == 8 and by_type["a"][2] == 4  # cnt=8, sum=7-3
+    assert by_type["b"][2] == 42
