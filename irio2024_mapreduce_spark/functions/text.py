@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 # One-or-more ASCII punctuation or whitespace chars — the split
 # delimiter. Verified equal to re.escape(string.punctuation)+\s
 # semantics by tests/test_wordcount.py.
-TOKEN_SPLIT_REGEX = "[!-/:-@\\[-`{-~\\s]+"
+#
+# Whitespace is an EXPLICIT class, not \s: \s differs across the three
+# regex engines this constant feeds (Java \s includes \x0b, RE2's \s
+# does not, Python's is Unicode-wide without re.ASCII). The explicit
+# class [ \t\n\x0b\f\r] is Python's re.ASCII \s — the reference's
+# semantics — and parses identically in Java, RE2 and Python.
+TOKEN_SPLIT_REGEX = "[!-/:-@\\[-`{-~ \\t\\n\\x0b\\f\\r]+"
 
 # Sanity: the char-class ranges must cover string.punctuation exactly.
 _RANGES = [(33, 47), (58, 64), (91, 96), (123, 126)]

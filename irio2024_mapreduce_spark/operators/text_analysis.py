@@ -31,7 +31,9 @@ STOPWORDS = {
 
 # BPE-ish token pattern: word pieces OR single non-space symbols —
 # a public approximation of byte-pair tokenizer pre-splitting.
-BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+# Explicit ASCII whitespace class, not \s — Java's \s includes \x0b,
+# RE2's doesn't, and this pattern runs on both engines.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
 
 PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
 
@@ -183,7 +185,8 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is :func:`rolling_hash` (not portable to the SQL oracle;
     unit-tested)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    # explicit ASCII whitespace class — \s is engine-dependent (\x0b)
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\x0b\\f\\r]+", " "))
     toks = _ws_tokens()
     return docs.select(
         "doc_id",
@@ -294,7 +297,7 @@ ORACLE_SQL = {
     """,
     "fingerprint": """
         SELECT doc_id,
-               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
+               md5(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS content_md5,
                string_split(text, ' ')[1] || ':' ||
                string_split(text, ' ')[-1] || ':' ||
                len(string_split(text, ' '))::VARCHAR              AS shape_sig

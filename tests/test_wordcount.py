@@ -85,3 +85,46 @@ def test_tokenizer_matches_python_reference(spark, tmp_path):
 def test_every_punctuation_char_separates(spark, tmp_path, punct):
     (tmp_path / "f").write_text(f"aa{punct}bb")
     assert run_wc(spark, tmp_path) == {("aa", 1), ("bb", 1)}
+
+
+def test_tokenizer_control_char_parity_across_engines(spark):
+    """\\x0b (vertical tab) is where Java's \\s, RE2's \\s and Python's
+    \\s disagree — the explicit whitespace class in TOKEN_SPLIT_REGEX
+    must make all three engines split identically, and NBSP (\\xa0,
+    Unicode whitespace) must NOT split on any of them (reference
+    parity: Python re.ASCII)."""
+    import re
+
+    import duckdb
+
+    from irio2024_mapreduce_spark.functions.text import (
+        TOKEN_SPLIT_REGEX,
+        wordcount,
+    )
+
+    texts = ["a\x0bb", "x\xa0y", "p\tq r\ns"]
+    df = spark.createDataFrame([(t,) for t in texts], ["value"])
+    got = {(r["word"], r["cnt"]) for r in wordcount(df).collect()}
+
+    # Python reference semantics (re.ASCII \s == the explicit class)
+    pyre = re.compile(TOKEN_SPLIT_REGEX)
+    want: dict[str, int] = {}
+    for t in texts:
+        for w in pyre.split(t):
+            if w:
+                want[w] = want.get(w, 0) + 1
+    assert got == set(want.items())
+    assert ("a", 1) in got and ("b", 1) in got          # \x0b splits
+    assert ("x\xa0y", 1) in got                          # NBSP doesn't
+
+    # DuckDB (RE2) agrees
+    con = duckdb.connect()
+    duck = {}
+    for t in texts:
+        for (w,) in con.execute(
+            "SELECT unnest(regexp_split_to_array(?, ?))",
+            [t, TOKEN_SPLIT_REGEX],
+        ).fetchall():
+            if w:
+                duck[w] = duck.get(w, 0) + 1
+    assert set(duck.items()) == got
