@@ -373,18 +373,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = _cap_buckets(docs, ["len_band"], PAIRWISE_BLOCK_CAP)
-    l, r = docs.alias("l"), docs.alias("r")
-    return (
+    # Posting-list formulation: explode to (band, shingle, doc) and
+    # equi-join on (band, shingle), counting shared shingles per pair.
+    # Identical exact Jaccard (|A∩B| from the join, |A∪B| = |A|+|B|−∩
+    # — shingle sets are distinct by construction), but the work is
+    # proportional to Σ per-shingle posting-list², not band² array
+    # intersections: measured 25 s → join-bound seconds at sf0.1, and
+    # at 100 TB the hot path is a shuffle on (band, shingle) instead
+    # of an all-pairs nested loop per band.
+    posting = docs.select(
+        "doc_id",
+        "len_band",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    l, r = posting.alias("l"), posting.alias("r")
+    shared = (
         l.join(
             r,
             (F.col("l.len_band") == F.col("r.len_band"))
+            & (F.col("l.sh") == F.col("r.sh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.select(
+            "doc_a",
+            "doc_b",
             F.round(
-                _jaccard(F.col("l.shingles"), F.col("r.shingles")), 6
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
