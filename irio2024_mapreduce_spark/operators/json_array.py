@@ -38,7 +38,16 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex-guarded to integral strings so both engines agree exactly.
     """
     events = load_table(spark, sf_dir, "events")
-    k_raw = F.from_json("props", PROPS_SCHEMA)["k"]
+    # allowSingleQuotes=false: Jackson accepts {'k': 1} by default,
+    # DuckDB's json_valid never does — disable so both engines reject
+    # it. Residual known asymmetry (documented, out of the oracle
+    # contract because the corpus is strict JSON and the dirty-value
+    # classes are pinned by tests): Jackson tolerates trailing garbage
+    # after the object and rejects trailing commas; yyjson is the
+    # reverse. No engine-local switch aligns those two.
+    k_raw = F.from_json(
+        "props", PROPS_SCHEMA, {"allowSingleQuotes": "false"}
+    )["k"]
     parsed = events.select(
         "event_id",
         "event_type",

@@ -42,6 +42,26 @@ def _ws_tokens(col: str = "text") -> Column:
     return F.split(col, " ")
 
 
+def _scaled_mean(col: str) -> Column:
+    """Exact mean × 10⁴ as BIGINT via the div-first decomposition
+    floor(10000·s/c) = 10000·(s div c) + (10000·(s mod c)) div c —
+    ``10000·s`` directly would ANSI-overflow int64 once a group's sum
+    passes ~9.2e14 (DuckDB silently promotes to HUGEINT; this form is
+    abort-free AND identical on both engines). SQL twin:
+    :data:`_SCALED_MEAN_SQL`."""
+    return F.expr(
+        f"10000 * (sum({col}) div count(*)) + "
+        f"(10000 * (sum({col}) % count(*))) div count(*)"
+    )
+
+
+# DuckDB twin of _scaled_mean — .format(c=column)
+_SCALED_MEAN_SQL = (
+    "CAST(10000 * (SUM({c}) // COUNT(*)) + "
+    "(10000 * (SUM({c}) % COUNT(*))) // COUNT(*) AS BIGINT)"
+)
+
+
 def _overlap(tokens: Column, words: list[str]) -> Column:
     return F.size(
         F.array_intersect(
@@ -73,19 +93,8 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            # div-first decomposition: floor(10000·s/c) computed as
-            # 10000·(s div c) + (10000·(s % c)) div c — `10000·s`
-            # directly would ANSI-overflow int64 once a group's sum
-            # passes ~9.2e14 (DuckDB silently promotes to HUGEINT;
-            # this form is abort-free AND identical on both engines)
-            F.expr(
-                "10000 * (sum(n_chars) div count(*)) + "
-                "(10000 * (sum(n_chars) % count(*))) div count(*)"
-            ).alias("avg_chars_x10k"),
-            F.expr(
-                "10000 * (sum(n_tokens) div count(*)) + "
-                "(10000 * (sum(n_tokens) % count(*))) div count(*)"
-            ).alias("avg_tokens_x10k"),
+            _scaled_mean("n_chars").alias("avg_chars_x10k"),
+            _scaled_mean("n_tokens").alias("avg_tokens_x10k"),
             # mean of per-doc quantized TTR: each doc contributes an
             # exact integer (10⁴·unique div tokens)
             F.expr(
@@ -167,12 +176,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            # scaled-integer mean, div-first against int64 overflow —
-            # see text_analysis
-            F.expr(
-                "10000 * (sum(bpe_tokens) div count(*)) + "
-                "(10000 * (sum(bpe_tokens) % count(*))) div count(*)"
-            ).alias("avg_bpe_tokens_x10k"),
+            _scaled_mean("bpe_tokens").alias("avg_bpe_tokens_x10k"),
         )
         .orderBy("lang")
     )
@@ -229,7 +233,7 @@ ORACLE_SQL = {
     # Scaled-integer means + CAST(SUM AS BIGINT): DuckDB SUM(BIGINT)
     # returns HUGEINT and float AVG is order-dependent — both hash-
     # diverged under the driver in r01. Integer `//` is exact.
-    "text_analysis": """
+    "text_analysis": f"""
         WITH t AS (
             SELECT lang, source, n_chars,
                    len(string_split(text, ' '))::BIGINT                AS n_tokens,
@@ -238,12 +242,8 @@ ORACLE_SQL = {
         )
         SELECT lang, source,
                COUNT(*)                                         AS n_docs,
-               CAST(10000 * (SUM(n_chars) // COUNT(*)) +
-                    (10000 * (SUM(n_chars) % COUNT(*))) // COUNT(*)
-                    AS BIGINT)                                  AS avg_chars_x10k,
-               CAST(10000 * (SUM(n_tokens) // COUNT(*)) +
-                    (10000 * (SUM(n_tokens) % COUNT(*))) // COUNT(*)
-                    AS BIGINT)                                  AS avg_tokens_x10k,
+               {_SCALED_MEAN_SQL.format(c="n_chars")}           AS avg_chars_x10k,
+               {_SCALED_MEAN_SQL.format(c="n_tokens")}          AS avg_tokens_x10k,
                CAST(SUM((10000 * n_unique) // n_tokens) // COUNT(*) AS BIGINT)
                                                                 AS avg_ttr_x10k,
                CAST(SUM(n_tokens) AS BIGINT)                    AS total_tokens
@@ -290,9 +290,7 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(ws_tokens) AS BIGINT)  AS total_ws_tokens,
                CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-               CAST(10000 * (SUM(bpe_tokens) // COUNT(*)) +
-                    (10000 * (SUM(bpe_tokens) % COUNT(*))) // COUNT(*)
-                    AS BIGINT)                 AS avg_bpe_tokens_x10k
+               {_SCALED_MEAN_SQL.format(c="bpe_tokens")} AS avg_bpe_tokens_x10k
         FROM t GROUP BY lang ORDER BY lang
     """,
     "fingerprint": """

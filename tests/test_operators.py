@@ -155,7 +155,10 @@ def test_json_extract_integer_guard_parity_on_dirty_values(spark, tmp_path):
         # raw newline byte inside a JSON string = MALFORMED json:
         # Spark's from_json nulls the row, DuckDB needs json_valid()
         (8, dt.datetime(2024, 1, 1), 1, "a", 0.0, '{"k": "9\n9"}'),
-        (9, dt.datetime(2024, 1, 1), 1, "b", 0.0, '{"k": "042"}'),
+        # single-quoted JSON: Jackson would accept without
+        # allowSingleQuotes=false; DuckDB never does
+        (9, dt.datetime(2024, 1, 1), 1, "a", 0.0, "{'k': 5}"),
+        (10, dt.datetime(2024, 1, 1), 1, "b", 0.0, '{"k": "042"}'),
     ]
     df = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -173,5 +176,5 @@ def test_json_extract_integer_guard_parity_on_dirty_values(spark, tmp_path):
     assert got == want, (got, want)
     # only 7, -3 and 042 survive the guard
     by_type = {r[0]: r for r in got}
-    assert by_type["a"][1] == 8 and by_type["a"][2] == 4  # cnt=8, sum=7-3
+    assert by_type["a"][1] == 9 and by_type["a"][2] == 4  # cnt=9, sum=7-3
     assert by_type["b"][2] == 42
