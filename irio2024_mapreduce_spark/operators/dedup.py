@@ -60,13 +60,32 @@ PAIRWISE_BLOCK_CAP = 1024
 def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop all rows of any bucket (= distinct ``keys`` combo) with
     more than ``cap`` members. One window count over the same keys the
-    candidate self-join shuffles on — the exchange is shared."""
+    candidate self-join shuffles on — the exchange is shared. Use ONLY
+    for HIGH-cardinality keys (LSH band hashes): the window shuffles
+    whole rows into one task per key, which is exactly the
+    low-cardinality scale-killer — see :func:`_cap_blocks_lowcard`."""
     w = Window.partitionBy(*keys)
     return (
         rows.withColumn("_bsz", F.count("*").over(w))
         .filter(F.col("_bsz") <= cap)
         .drop("_bsz")
     )
+
+
+def _cap_blocks_lowcard(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Block cap for LOW-cardinality keys (length bands, labels):
+    block sizes come from a map-side-combined groupBy (output ≤
+    #distinct keys — tiny), and the admitted-key list is broadcast
+    back as a map-side inner join. No row ever shuffles on the block
+    key, so one popular block can't serialize into a single task the
+    way a window partitioned by it would."""
+    ok = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= cap)
+        .select(*keys)
+    )
+    return rows.join(F.broadcast(ok), keys, "inner")
 
 
 
@@ -372,7 +391,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(_tokens()) / 8).cast("long").alias("len_band"),
         )
     )
-    docs = _cap_buckets(docs, ["len_band"], PAIRWISE_BLOCK_CAP)
+    docs = _cap_blocks_lowcard(docs, ["len_band"], PAIRWISE_BLOCK_CAP)
     # Posting-list formulation: explode to (band, shingle, doc) and
     # equi-join on (band, shingle), counting shared shingles per pair.
     # Identical exact Jaccard (|A∩B| from the join, |A∪B| = |A|+|B|−∩
@@ -433,7 +452,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    emb = _cap_buckets(emb, ["label"], PAIRWISE_BLOCK_CAP)
+    emb = _cap_blocks_lowcard(emb, ["label"], PAIRWISE_BLOCK_CAP)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
