@@ -15,11 +15,19 @@ Scale design (the point of every choice here):
 * **simhash** — 64-bit signature; pairs found by pigeonhole banding
   (4 × 16-bit chunks: hamming ≤ 3 ⇒ at least one chunk equal), so
   again an equi-join, not a cross join.
-* **n-gram Jaccard (exact)** — banded by (lang, length bucket) before
-  the pairwise compare; the oracle implements the identical banding.
-* **embedding cosine** — brute pairwise above a cosine threshold,
-  blocked by label (the ANN/LSH scale path lives in
-  ``operators/similarity.py``).
+* **n-gram Jaccard (exact)** — length-banded, then a POSTING-LIST
+  join: shingle sets explode to (band, shingle, doc) and pairs with a
+  shared shingle are counted via an equi-join — never an all-pairs
+  array compare. The oracle implements the identical banding + block
+  cap.
+* **embedding cosine** — pairwise above a cosine threshold within
+  label blocks bounded by PAIRWISE_BLOCK_CAP (the ANN/LSH scale path
+  lives in ``operators/similarity.py``).
+
+Every candidate-generating bucket/block is size-capped (hot-bucket
+guards) so no boilerplate-heavy key can turn candidate generation
+quadratic; caps are mirrored in the DuckDB oracles where results are
+hash-checked.
 """
 
 from __future__ import annotations
