@@ -33,3 +33,11 @@ def test_entry_smoke(spark):
     df = registry.entry(spark)
     assert df.columns == ["word", "cnt"]
     assert df.count() > 0
+
+
+def test_bench_headline_queries_are_registered():
+    # bench.py errors at runtime on missing names; catch it at test
+    # time instead so retiring a twin can't silently break the bench
+    import bench
+
+    assert set(bench.HEADLINE) <= set(registry.queries())

@@ -200,3 +200,62 @@ def test_pairwise_block_cap_excludes_oversized_blocks(spark, sf_dir, tmp_path, m
     # cap below the band size → band excluded → no pairs
     monkeypatch.setattr(dd, "PAIRWISE_BLOCK_CAP", 10)
     assert dd.dedup_ngram_jaccard(spark, d).count() == 0
+
+
+def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
+    """The posting-list formulation must produce the same pairs and
+    values as a direct array-intersection Jaccard over the same
+    banding — including short docs (<3 tokens → degenerate shingle)
+    and pairs with zero overlap."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _jaccard,
+        _shingles,
+        dedup_ngram_jaccard,
+    )
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",      # near-dup of the first
+        "a b c d e f g h i j",  # different length band
+        "q",                    # 1 token
+        "q r",                  # 2 tokens
+        "z z z z z z z z",      # repeated token
+        "m n o p q r s t",      # unrelated, same band as first
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "plj")
+    df.repartition(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, d).collect()
+    }
+
+    # reference: direct array jaccard over the same banding
+    from pyspark.sql import functions as F2
+
+    docs = df.select(
+        "doc_id",
+        _shingles().alias("sh"),
+        (F2.size(F2.split("text", " ")) / 8).cast("long").alias("b"),
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    want = {
+        (x["a"], x["b"]): x["j"]
+        for x in l.join(
+            r,
+            (F2.col("l.b") == F2.col("r.b"))
+            & (F2.col("l.doc_id") < F2.col("r.doc_id")),
+        )
+        .select(
+            F2.col("l.doc_id").alias("a"),
+            F2.col("r.doc_id").alias("b"),
+            F2.round(_jaccard(F2.col("l.sh"), F2.col("r.sh")), 6).alias("j"),
+        )
+        .filter(F2.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == want and (0, 1) in got
