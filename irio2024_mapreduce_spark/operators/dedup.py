@@ -319,33 +319,28 @@ def _simhash_candidates(
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.xxhash64(F.concat(F.lit("simhash:"), F.col("tok"))))
     )
-    # one row per (doc, bit): vote = ±cnt by bit value
-    bits = tok_counts.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-        "cnt",
-        "h",
-    ).select(
-        "doc_id",
-        "j",
-        F.when(
-            F.expr("(h >> cast(j as int)) & 1") == 1,
-            F.col("cnt"),
-        )
-        .otherwise(-F.col("cnt"))
-        .alias("vote"),
+    # 64 conditional-sum COLUMNS, not 64 exploded rows per token: the
+    # row form pushed 64× the token rows through the bit-vote shuffle
+    # (32M rows at sf0.1); as columns the per-bit votes ride map-side
+    # partial aggregation and the shuffle carries one 64-column row
+    # per (doc, partition). Every doc gets a row, so the old
+    # left-join fixup for all-negative-vote docs disappears too.
+    vote_cols = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = tok_counts.groupBy("doc_id").agg(*vote_cols)
+    # bit j set iff total vote > 0; bitwise-OR fold of the 64 masks
+    # (shiftleft handles j=63 → the sign bit without ANSI overflow)
+    sig_expr = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
     )
-    simhash = (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("total"))
-        .filter(F.col("total") > 0)
-        .groupBy("doc_id")
-        .agg(F.bit_or(F.expr("shiftleft(1L, cast(j as int))")).alias("simhash"))
-    )
-    # docs whose every bit-vote was ≤0 produce no row above; re-join to
-    # keep them with signature 0
-    all_docs = docs.select("doc_id")
-    simhash = all_docs.join(simhash, "doc_id", "left").fillna({"simhash": 0})
+    simhash = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
 
     chunks = simhash.select(
         "doc_id",
