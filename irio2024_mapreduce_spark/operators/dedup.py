@@ -314,22 +314,32 @@ def _simhash_candidates(
     via 64-bit SimHash + 4×16-bit pigeonhole banding, with the
     hot-bucket cap applied before the chunk self-join."""
     tok_counts = (
-        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        # explode_outer, not explode: a NULL-text doc has a NULL token
+        # array and plain explode would drop it entirely — it must
+        # keep its historical signature-0 row (its votes are zeroed
+        # below via the h IS NULL guard)
+        docs.select("doc_id", F.explode_outer(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64(F.concat(F.lit("simhash:"), F.col("tok"))))
+        .withColumn(
+            "h",
+            F.when(
+                F.col("tok").isNotNull(),
+                F.xxhash64(F.concat(F.lit("simhash:"), F.col("tok"))),
+            ),
+        )
     )
     # 64 conditional-sum COLUMNS, not 64 exploded rows per token: the
     # row form pushed 64× the token rows through the bit-vote shuffle
     # (32M rows at sf0.1); as columns the per-bit votes ride map-side
     # partial aggregation and the shuffle carries one 64-column row
-    # per (doc, partition). Every doc gets a row, so the old
-    # left-join fixup for all-negative-vote docs disappears too.
+    # per (doc, partition). Every doc (incl. NULL-text) gets a row, so
+    # the old left-join fixup for signature-0 docs disappears too.
     vote_cols = [
         F.sum(
-            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
+            F.when(F.col("h").isNull(), F.lit(0))
+            .when(F.expr(f"(h >> {j}) & 1") == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
         ).alias(f"v{j}")
         for j in range(64)
     ]

@@ -213,14 +213,21 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
         dedup_ngram_jaccard,
     )
 
+    # docs 10/11: a 15-token and a 17-token near-dup (Jaccard ≈ 0.79
+    # over shingles) that sit in DIFFERENT length bands (15//8=1,
+    # 17//8=2) — the pair must be ABSENT from both implementations,
+    # exercising the len_band predicate in the posting-list join
+    base15 = " ".join(f"w{i}" for i in range(15))
     texts = [
         "a b c d e f g h",
         "a b c d e f g x",      # near-dup of the first
-        "a b c d e f g h i j",  # different length band
+        "a b c d e f g h i j",  # longer, same band (10//8 == 8//8)
         "q",                    # 1 token
         "q r",                  # 2 tokens
         "z z z z z z z z",      # repeated token
         "m n o p q r s t",      # unrelated, same band as first
+        base15,
+        base15 + " y0 y1",      # cross-band near-dup of base15
     ]
     rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
     df = spark.createDataFrame(
@@ -259,3 +266,17 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
         .collect()
     }
     assert got == want and (0, 1) in got
+    # the cross-band near-dup pair must be excluded by the banding
+    # (both impls agree BECAUSE the posting join carries len_band);
+    # sanity-check the pair really would pass the threshold unbanded
+    assert (7, 8) not in got
+    from irio2024_mapreduce_spark.operators.dedup import _jaccard as _j
+
+    unbanded = (
+        docs.alias("x")
+        .join(docs.alias("y"), F2.col("x.doc_id") < F2.col("y.doc_id"))
+        .filter((F2.col("x.doc_id") == 7) & (F2.col("y.doc_id") == 8))
+        .select(_j(F2.col("x.sh"), F2.col("y.sh")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert unbanded >= 0.5
