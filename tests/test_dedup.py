@@ -280,3 +280,34 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
         .collect()[0]["j"]
     )
     assert unbanded >= 0.5
+
+
+def test_embedding_block_cap_excludes_oversized_blocks(spark, sf_dir, monkeypatch):
+    """dedup_embedding must drop a label block larger than
+    PAIRWISE_BLOCK_CAP (all-pairs within a block is O(block²))."""
+    import irio2024_mapreduce_spark.operators.dedup as dd
+
+    baseline = dd.dedup_embedding(spark, sf_dir).count()
+    assert baseline > 0
+    # every label block at this SF exceeds a cap of 2 → no pairs
+    monkeypatch.setattr(dd, "PAIRWISE_BLOCK_CAP", 2)
+    assert dd.dedup_embedding(spark, sf_dir).count() == 0
+
+
+def test_lowcard_block_cap_is_broadcast_not_shuffle(spark, sf_dir):
+    """_cap_blocks_lowcard must admit rows via a BROADCAST join of the
+    tiny block-size list — shuffling rows on a ~10-value block key
+    would serialize a popular block into one task at 100 TB."""
+    import contextlib
+    import io
+
+    from irio2024_mapreduce_spark.operators.dedup import dedup_embedding
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup_embedding(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge path anywhere: the only non-broadcast join in this
+    # query would be a row shuffle keyed on label
+    assert "SortMergeJoin" not in plan
