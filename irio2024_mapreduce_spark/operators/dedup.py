@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
 
@@ -64,20 +63,38 @@ SIMHASH_BUCKET_CAP = 256
 # comparisons is the most one block is ever allowed to cost.
 PAIRWISE_BLOCK_CAP = 1024
 
+# Hot-shingle guard for the posting-list join: a (band, shingle)
+# posting of m docs emits m² join rows, and a stop-word 3-gram shared
+# by a whole length band costs block_cap² rows for ZERO discriminative
+# signal (a shingle every candidate shares doesn't separate pairs).
+# Postings longer than the cap are dropped from the join on BOTH
+# engines — their shared count simply doesn't contribute to the
+# intersection, biasing Jaccard downward identically. 256 = ¼ of the
+# block cap bounds any one shingle at 64k join rows.
+NGRAM_POSTING_CAP = 256
+
 
 def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop all rows of any bucket (= distinct ``keys`` combo) with
-    more than ``cap`` members. One window count over the same keys the
-    candidate self-join shuffles on — the exchange is shared. Use ONLY
-    for HIGH-cardinality keys (LSH band hashes): the window shuffles
-    whole rows into one task per key, which is exactly the
-    low-cardinality scale-killer — see :func:`_cap_blocks_lowcard`."""
-    w = Window.partitionBy(*keys)
-    return (
-        rows.withColumn("_bsz", F.count("*").over(w))
+    more than ``cap`` members. For HIGH-cardinality keys (LSH band
+    hashes); low-cardinality keys use :func:`_cap_blocks_lowcard`.
+
+    Bucket sizes come from a map-side-combined groupBy (one row per
+    bucket), and admission is a shuffled-HASH join back on the keys —
+    NOT a window: a window partitioned by the bucket key first
+    buffers/sorts the adversarial hot bucket whole inside a single
+    WindowExec task before dropping it (straggler/OOM at exactly the
+    corpus the cap defends against), and not a sort-merge join, which
+    would re-introduce the same per-key sort. The hash join streams
+    the hot bucket's rows through one partition without buffering
+    them, and its build side is the tiny admitted-keys aggregate."""
+    sizes = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
         .filter(F.col("_bsz") <= cap)
-        .drop("_bsz")
+        .select(*keys)
     )
+    return rows.join(sizes.hint("shuffle_hash"), keys, "inner")
 
 
 def _cap_blocks_lowcard(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
@@ -380,19 +397,15 @@ def _simhash_candidates(
 
 
 # ---------------------------------------------------------------- ngram jaccard
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5 over banded candidate pairs.
-
-    Banding: pairs must share a length bucket (n_tokens div 8) — the oracle
-    implements the identical blocking (including the exact-duplicate
-    collapse prefix AND the block-size cap), so this is hash-checkable.
-
-    This is the VERIFY TWIN, not the scale path: within a band the
-    compare is all-pairs, so bands above PAIRWISE_BLOCK_CAP are
-    excluded on both engines (their members are served by the
-    sub-quadratic dedup_near). Recall loss at bucket edges is the
-    documented trade (MinHash covers the rest).
-    """
+def _ngram_posting_join(
+    spark: SparkSession,
+    sf_dir: str,
+    posting_cap: int = NGRAM_POSTING_CAP,
+) -> DataFrame:
+    """Shared-shingle join rows for :func:`dedup_ngram_jaccard` —
+    factored out so tools/stress_scale.py can measure the raw
+    posting-join row count (the quantity NGRAM_POSTING_CAP bounds)
+    under an adversarial stop-word corpus."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .groupBy(F.sha2("text", 256).alias("_h"))
@@ -419,14 +432,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
+    # hot-shingle guard (see NGRAM_POSTING_CAP): (band, shingle) is
+    # high-cardinality, so the groupBy+hash-join cap applies
+    posting = _cap_buckets(posting, ["len_band", "sh"], posting_cap)
     l, r = posting.alias("l"), posting.alias("r")
+    return l.join(
+        r,
+        (F.col("l.len_band") == F.col("r.len_band"))
+        & (F.col("l.sh") == F.col("r.sh"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 over banded candidate pairs.
+
+    Banding: pairs must share a length bucket (n_tokens div 8) — the oracle
+    implements the identical blocking (including the exact-duplicate
+    collapse prefix, the block-size cap AND the hot-shingle posting
+    cap), so this is hash-checkable.
+
+    This is the VERIFY TWIN, not the scale path: within a band the
+    compare is all-pairs, so bands above PAIRWISE_BLOCK_CAP are
+    excluded on both engines (their members are served by the
+    sub-quadratic dedup_near), and shingles whose posting list exceeds
+    NGRAM_POSTING_CAP are dropped from the intersection count on both
+    engines (stop-word 3-grams carry no pair-separating signal but
+    cost posting² join rows). Recall loss at bucket edges is the
+    documented trade (MinHash covers the rest).
+    """
     shared = (
-        l.join(
-            r,
-            (F.col("l.len_band") == F.col("r.len_band"))
-            & (F.col("l.sh") == F.col("r.sh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        _ngram_posting_join(spark, sf_dir)
         .groupBy(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
@@ -498,6 +534,10 @@ ORACLE_SQL = {
                MIN(n_chars) AS n_chars
         FROM documents GROUP BY text
     """,
+    # Same posting-list formulation as the Spark plan (NOT an array
+    # intersect): the hot-shingle posting cap changes the computed
+    # intersection count, so the oracle must count shared shingles
+    # through the identical capped join to stay hash-comparable.
     "dedup_ngram_jaccard": f"""
         WITH reps AS (
             SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
@@ -512,14 +552,28 @@ ORACLE_SQL = {
             FROM reps
             QUALIFY COUNT(*) OVER (PARTITION BY len_band)
                     <= {PAIRWISE_BLOCK_CAP}
-        )
-        SELECT * FROM (
+        ), posting0 AS (
+            SELECT doc_id, len_band, len(shingles)::BIGINT AS n_sh,
+                   unnest(shingles) AS s
+            FROM sh
+        ), posting AS (
+            SELECT * FROM posting0
+            QUALIFY COUNT(*) OVER (PARTITION BY len_band, s)
+                    <= {NGRAM_POSTING_CAP}
+        ), shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                   a.n_sh AS n_a, b.n_sh AS n_b,
+                   COUNT(*) AS n_shared
+            FROM posting a JOIN posting b
+              ON a.len_band = b.len_band AND a.s = b.s
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   ROUND(n_shared::DOUBLE / (n_a + n_b - n_shared), 6)
                        AS jaccard
-            FROM sh a JOIN sh b
-              ON a.len_band = b.len_band AND a.doc_id < b.doc_id
+            FROM shared
         ) WHERE jaccard >= 0.5
     """,
     "dedup_embedding": f"""

@@ -282,6 +282,50 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
     assert unbanded >= 0.5
 
 
+def test_ngram_posting_cap_bounds_join_rows(spark, tmp_path):
+    """A stop-word shingle shared by m docs costs m² posting-join
+    rows; the (band, shingle) posting cap must drop it (it carries no
+    pair-separating signal) and shrink the join accordingly."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _ngram_posting_join,
+    )
+
+    # 60 docs: identical 12-token stop-word prefix (hot shingles,
+    # posting size 60) + 10 unique tokens each → all in one length
+    # band (22 tokens), near-zero true similarity between docs
+    stop = " ".join(f"the{i}" for i in range(12))
+    rows = [
+        (i, stop + " " + " ".join(f"u{i}x{j}" for j in range(10)),
+         "en", "s", 1)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "hotshingle")
+    df.repartition(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    uncapped = _ngram_posting_join(spark, d, posting_cap=10**9).count()
+    capped = _ngram_posting_join(spark, d, posting_cap=30).count()
+    # the 10 hot shingles each cost 60·59/2 = 1770 rows uncapped
+    assert uncapped >= 10 * 1770
+    # with the cap, only the (disjoint) unique-token shingles remain
+    # in postings — no two docs share one, so the join is empty
+    assert capped == 0
+
+    # and at the DEFAULT cap (postings of 60 < 256 are admitted) the
+    # query output itself is unchanged semantics: no pair reaches the
+    # 0.5 threshold because shared/hot shingles are a minority of
+    # each doc's shingle set
+    from irio2024_mapreduce_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    assert dedup_ngram_jaccard(spark, d).count() == 0
+
+
 def test_embedding_block_cap_excludes_oversized_blocks(spark, sf_dir, monkeypatch):
     """dedup_embedding must drop a label block larger than
     PAIRWISE_BLOCK_CAP (all-pairs within a block is O(block²))."""

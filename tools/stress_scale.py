@@ -10,6 +10,14 @@ the LSH band graph).
 
 Usage: python tools/stress_scale.py [N]    (default 10)
 Prints one JSON line with per-query seconds at 1x and Nx.
+
+`python tools/stress_scale.py --adversarial` instead probes the
+ngram-Jaccard posting-list join with a stop-word corpus: every doc
+shares a dense set of stop-word 3-grams (one length band, hot posting
+lists), which is the worst case for a posting join — each shingle
+shared by m docs contributes m² join rows. The probe reports the
+posting-join row count with the per-(band, shingle) posting cap
+enabled vs disabled.
 """
 
 from __future__ import annotations
@@ -41,7 +49,49 @@ QUERIES = [
 ]
 
 
+def adversarial_postings() -> None:
+    """Stop-word corpus: n_docs docs, each = the same 40 stop words
+    (shuffled deterministically per doc) + a few unique tokens. All
+    docs land in one length band and every stop-word 3-gram's posting
+    list is ~corpus-sized. Measures the posting-join row count (the
+    candidate volume the cap exists to bound) capped vs uncapped."""
+    import irio2024_mapreduce_spark.operators.dedup as dd
+
+    spark = get_spark("stress-adversarial")
+    spark.sparkContext.setLogLevel("ERROR")
+    # 800 < PAIRWISE_BLOCK_CAP so the length band is ADMITTED — the
+    # posting cap must be the guard that bounds the join, not the
+    # block cap one level up
+    n_docs = 800
+    stop = [f"the{i}" for i in range(40)]
+    rows = []
+    for i in range(n_docs):
+        toks = stop[i % 7 :] + stop[: i % 7] + [f"uniq{i}a", f"uniq{i}b"]
+        rows.append((i, " ".join(toks), "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    stage = tempfile.mkdtemp(prefix="stress_adv_")
+    df.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(stage, "documents.parquet")
+    )
+
+    out = {}
+    for label, cap in [("capped", dd.NGRAM_POSTING_CAP), ("uncapped", 10**9)]:
+        joined = dd._ngram_posting_join(spark, stage, posting_cap=cap)
+        t0 = time.perf_counter()
+        cnt = joined.count()
+        out[label] = {
+            "posting_join_rows": cnt,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+    print(json.dumps({"adversarial_postings": out, "n_docs": n_docs}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
+        adversarial_postings()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stress")
