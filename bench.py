@@ -23,7 +23,11 @@ from irio2024_mapreduce_spark.session import get_spark
 
 # Representative of every operator family: scan+flatMap+agg, hash agg,
 # broadcast & shuffle joins, window w/ frame, time windows, dedup,
-# similarity, text analysis. Keep in sync as new families land.
+# similarity, text analysis, clustering. Keep in sync as new families
+# land. NB: the list GREW by five in round 3 (simhash, ngram-jaccard,
+# ann, ivf, clusters — so the round-2 candidate-cap/posting-list/
+# multi-probe work is regression-guarded) — r03+ totals are not
+# comparable to r01/r02 totals; compare per-query times.
 HEADLINE = [
     "wordcount",
     "filter_project",
@@ -39,7 +43,12 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "dedup_near",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "similarity_topk",
+    "similarity_ann",
+    "similarity_ivf",
     "text_analysis",
     "join_asof",
     "stats_pack",

@@ -3,12 +3,16 @@ training-data pipeline (docs → dedup clusters → canonical docs →
 overlapping context-window chunks).
 
 ``doc_chunk`` is a pure plan (explode over window starts + slice) —
-map-only, linear, oracle-checked. ``dedup_clusters`` is the declared
-iterative-algorithm representative (driver contract allows rows-only
-for these): connected components over the MinHash near-dup pair
-graph via smallest-label propagation — each iteration is one
-join + aggregate, state stays distributed, the driver only checks
-convergence counts. Bounded iterations; deterministic.
+map-only, linear, oracle-checked. ``dedup_clusters`` is the
+iterative-algorithm representative: connected components over the
+near-dup pair graph via smallest-label propagation — each iteration
+is one join + aggregate, state stays distributed. Bounded
+iterations; deterministic. Its edge set is the ORACLE-CHECKED
+``dedup_ngram_jaccard`` pair set (plus exact-duplicate edges), which
+makes the whole query hash-checkable: DuckDB reproduces the same
+edges and closes them with a recursive CTE. (``dedup_near``'s
+seeded-MinHash edges would force a rows-only check — same clustering
+code, unverifiable edge generator.)
 """
 
 from __future__ import annotations
@@ -16,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio2024_mapreduce_spark.operators.dedup import dedup_near
+from irio2024_mapreduce_spark.operators.dedup import (
+    ORACLE_SQL as _DEDUP_ORACLE_SQL,
+    dedup_ngram_jaccard,
+)
 from irio2024_mapreduce_spark.sources.tables import (
     load_table,
     load_table_parallel,
@@ -72,12 +79,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each iteration is a shuffle-bounded join (edges ⋈ labels) — no
     driver-side graph. Iterations are bounded by component DIAMETER
     (near-dup clusters are small by construction), not corpus size.
+
+    Edges come from the oracle-checked ``dedup_ngram_jaccard`` pair
+    set so the component structure is hash-verifiable end-to-end (the
+    DuckDB oracle rebuilds the identical edges and takes their
+    transitive closure with a recursive CTE).
     """
-    near_pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # dedup_near collapses exact duplicates to representatives and never
-    # emits pairs among them — re-add those edges here (rep ↔ duplicate)
-    # so byte-identical twins cluster together instead of surfacing as
-    # singletons.
+    near_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # the pairwise query collapses exact duplicates to representatives
+    # and never emits pairs among them — re-add those edges here
+    # (rep ↔ duplicate) so byte-identical twins cluster together
+    # instead of surfacing as singletons.
     docs_raw = load_table(spark, sf_dir, "documents")
     hashed = docs_raw.select(
         "doc_id", F.sha2("text", 256).alias("_h")
@@ -212,7 +224,54 @@ ORACLE_SQL = {
                least(len(toks) - start + 1, {CHUNK_TOKENS})::BIGINT AS n_tokens
         FROM s
     """,
-    # dedup_clusters: iterative fixpoint — declared rows-only.
+    # Connected components as a recursive CTE: the edge set is the
+    # already-oracled dedup_ngram_jaccard pair query (embedded
+    # verbatim so the two can never drift) plus exact-duplicate
+    # rep↔dup edges; component label = min reachable doc_id —
+    # identical to the Spark side's label-propagation fixpoint.
+    # Equality joins (not IS NOT DISTINCT FROM) so NULL-text docs get
+    # no exact edges, matching Spark's null-dropping equi-join.
+    "dedup_clusters": """
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM (
+                {NGRAM_PAIRS}
+            )
+            UNION
+            SELECT r.rep AS doc_a, d.doc_id AS doc_b
+            FROM documents d
+            JOIN (SELECT md5(text) AS h, MIN(doc_id) AS rep
+                  FROM documents GROUP BY md5(text)) r
+              ON md5(d.text) = r.h AND d.doc_id <> r.rep
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS doc_id FROM edges
+        ), reach AS (
+            SELECT doc_id, doc_id AS r FROM nodes
+            UNION
+            SELECT e.dst AS doc_id, reach.r
+            FROM reach JOIN edges e ON e.src = reach.doc_id
+        ), labels AS (
+            SELECT doc_id, MIN(r) AS label FROM reach GROUP BY doc_id
+        ), clusters AS (
+            SELECT label, COUNT(*)::BIGINT AS cluster_size,
+                   MIN(doc_id) AS canonical_doc
+            FROM labels GROUP BY label
+        ), singles AS (
+            SELECT doc_id AS label, 1::BIGINT AS cluster_size,
+                   doc_id AS canonical_doc
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM nodes)
+        ), allc AS (
+            SELECT * FROM clusters UNION ALL SELECT * FROM singles
+        )
+        SELECT cluster_size,
+               COUNT(*)::BIGINT AS n_clusters,
+               MIN(canonical_doc) AS min_canonical
+        FROM allc GROUP BY cluster_size ORDER BY cluster_size
+    """.replace("{NGRAM_PAIRS}", _DEDUP_ORACLE_SQL["dedup_ngram_jaccard"]),
 }
 
 QUERIES = {

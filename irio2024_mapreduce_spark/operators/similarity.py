@@ -289,6 +289,35 @@ IVF_ITERATIONS = 3
 IVF_NPROBE = 2
 
 
+def _centroid_update(assigned: DataFrame) -> DataFrame:
+    """New centroid per cell = element-wise mean of member vectors.
+
+    Computed as EMB_DIM conditional-sum COLUMNS over one groupBy —
+    the same shape as the simhash bit votes: per-dimension partial
+    sums ride map-side combine, so the shuffle carries one
+    (EMB_DIM+1)-column row per (cell, partition) instead of the old
+    posexplode form's EMB_DIM rows per member vector (64× row
+    inflation through the Lloyd-round shuffle). Means are rounded to
+    9 dp to damp float merge-order sensitivity across partitionings
+    (same as before)."""
+    sums = assigned.groupBy("cell").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.element_at("v", d + 1)).alias(f"_s{d}")
+            for d in range(EMB_DIM)
+        ],
+    )
+    return sums.select(
+        "cell",
+        F.array(
+            *[
+                F.round(F.col(f"_s{d}") / F.col("_n"), 9)
+                for d in range(EMB_DIM)
+            ]
+        ).alias("cv"),
+    )
+
+
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer, queries
     probe their IVF_NPROBE nearest centroid cells.
@@ -341,25 +370,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(IVF_ITERATIONS):
         assigned = nearest_cell("v", centroids)
-        # new centroid = element-wise mean of members (posexplode +
-        # per-dimension avg + reassemble in dimension order)
-        dims = assigned.select(
-            "cell", F.posexplode("v").alias("d", "x")
-        )
-        centroids = (
-            dims.groupBy("cell", "d")
-            .agg(F.round(F.avg("x"), 9).alias("mx"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("d", "mx"))
-                ).alias("pairs")
-            )
-            .select(
-                "cell",
-                F.transform("pairs", lambda p: p["mx"]).alias("cv"),
-            )
-        ).localCheckpoint()
+        centroids = _centroid_update(assigned).localCheckpoint()
 
     corpus_cells = nearest_cell("v", centroids).filter(
         F.col("vec_id") >= N_QUERIES

@@ -94,17 +94,31 @@ def test_stats_pack_values_sane(spark, sf_dir):
 
 def test_sketches_error_bounds(spark, sf_dir):
     """Approximate aggregates must land within 5% of their exact
-    twins computed in the same row."""
+    twins computed in the same row — asserted at MULTIPLE scale
+    factors, not just the test default: sketch error is
+    data-dependent (HLL++ register collisions and t-digest centroid
+    merging both change with cardinality), so a bound that holds at
+    sf0.001 is no evidence for sf0.1."""
+    import os
+
     from irio2024_mapreduce_spark.operators.misc import sketches
 
-    for r in sketches(spark, sf_dir).collect():
-        assert abs(r["approx_orders"] - r["exact_orders"]) <= max(
-            0.05 * r["exact_orders"], 2
-        )
-        assert (
-            abs(r["approx_median"] - r["exact_median"])
-            <= 0.05 * r["exact_median"]
-        )
+    sf_dirs = [sf_dir] + [
+        d
+        for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if d != sf_dir and os.path.exists(d)
+    ]
+    for d in sf_dirs:
+        rows = sketches(spark, d).collect()
+        assert rows, f"sketches returned no groups at {d}"
+        for r in rows:
+            assert abs(r["approx_orders"] - r["exact_orders"]) <= max(
+                0.05 * r["exact_orders"], 2
+            ), f"HLL error out of bound at {d}: {r}"
+            assert (
+                abs(r["approx_median"] - r["exact_median"])
+                <= 0.05 * r["exact_median"]
+            ), f"quantile sketch error out of bound at {d}: {r}"
 
 
 def test_pivot_counts_sum_to_total(spark, sf_dir):

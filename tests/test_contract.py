@@ -15,7 +15,6 @@ def test_every_oracle_key_has_a_query():
         "dedup_near",
         "dedup_simhash",
         "similarity_ann",
-        "dedup_clusters",
         "sketches",
         "multimodal_pipeline",
         "multimodal_frames",
@@ -33,6 +32,80 @@ def test_entry_smoke(spark):
     df = registry.entry(spark)
     assert df.columns == ["word", "cnt"]
     assert df.count() > 0
+
+
+# The driver's grading window is POSITIONAL: it grades the first 50
+# queries() entries in dict order. This snapshot pins the exact ordered
+# list so a module reorder or an insertion can never silently change
+# which queries are graded — any change here must be an explicit,
+# reviewed edit.
+EXPECTED_QUERY_ORDER = [
+    "wordcount", "custom_step_udf", "streaming_wordcount",
+    "streaming_event_counts", "streaming_sessionize",
+    "multimodal_pipeline", "multimodal_meta", "multimodal_frames",
+    "filter_project", "agg_groupby", "agg_distinct", "agg_rollup",
+    "join_broadcast", "join_shuffle", "join_semi_anti", "join_outer",
+    "window_rank", "window_running", "sort_limit_topk", "set_ops",
+    "scalar_funcs", "join_range", "join_asof", "pivot_status_priority",
+    "stats_pack", "grouping_sets", "time_rollup", "sketches",
+    "conditional_agg", "deterministic_sample", "doc_chunk",
+    "dedup_clusters", "event_tumbling", "event_sliding",
+    "event_session", "json_extract", "array_ops", "dedup_exact",
+    "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "similarity_topk", "similarity_ann",
+    "similarity_ivf", "text_analysis", "lang_id", "quality_score",
+    "token_count", "fingerprint",
+]
+
+
+def test_registry_order_is_pinned():
+    assert list(registry.queries()) == EXPECTED_QUERY_ORDER
+
+
+def test_json_corpus_free_of_engine_asymmetric_leniency():
+    """json_extract is hash-graded while Jackson (Spark) and yyjson
+    (DuckDB) disagree on two leniency classes: Jackson tolerates
+    trailing garbage after a valid value, yyjson tolerates trailing
+    commas. No engine switch aligns them, so the oracle contract
+    instead REQUIRES the corpus to be free of both classes — asserted
+    here over every graded scale factor (strictly-valid JSON is parsed
+    identically by both engines and needs no check)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    decoder = json.JSONDecoder()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        props = pd.read_parquet(path, columns=["props"])["props"]
+        for p in props:
+            if p is None or not isinstance(p, str):
+                continue
+            try:
+                json.loads(p)
+                continue  # strictly valid → both engines agree
+            except ValueError:
+                pass
+            stripped = p.strip()
+            # Jackson-only leniency: valid JSON prefix + trailing junk
+            try:
+                _, end = decoder.raw_decode(stripped)
+                assert end >= len(stripped), (
+                    f"corpus value with trailing garbage (Jackson accepts, "
+                    f"yyjson rejects): {p!r}"
+                )
+            except ValueError:
+                pass  # no valid prefix → both engines reject
+            # yyjson-only leniency: trailing comma before a closer
+            import re
+
+            assert not re.search(r",\s*[}\]]\s*\Z", stripped), (
+                f"corpus value with trailing comma (yyjson accepts, "
+                f"Jackson rejects): {p!r}"
+            )
 
 
 def test_bench_headline_queries_are_registered():

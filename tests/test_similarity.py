@@ -92,6 +92,42 @@ def test_ann_recall_floor(spark, sf_dir):
     assert recall >= 0.4, recall
 
 
+def test_centroid_update_no_explode_and_correct_means(spark):
+    """The Lloyd-round centroid update must (a) contain no
+    Generate/posexplode node — per-dimension sums ride map-side
+    combine as columns, one shuffle row per (cell, partition) — and
+    (b) compute the element-wise member mean exactly."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        _centroid_update,
+    )
+
+    rows = [
+        (1, [1.0] * EMB_DIM),
+        (1, [3.0] * EMB_DIM),
+        (2, [5.0] * EMB_DIM),
+    ]
+    assigned = spark.createDataFrame(rows, ["cell", "v"]).select(
+        "cell", F.transform("v", lambda x: x.cast("double")).alias("v")
+    )
+    updated = _centroid_update(assigned)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        updated.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan  # no posexplode in the subtree
+
+    got = {r["cell"]: r["cv"] for r in updated.collect()}
+    assert got[1] == [2.0] * EMB_DIM
+    assert got[2] == [5.0] * EMB_DIM
+
+
 def test_ann_multiprobe_recall_clustered(spark):
     """On clustered data (each query has 5 planted near-copies,
     cosine ≈ 0.999) the multi-table multi-probe machinery must find
