@@ -84,6 +84,18 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
         )
     )
+    # Production state-store: RocksDB keeps streaming state (open
+    # sessions, window partials) off-heap and spillable — the default
+    # HDFS-backed provider holds every key in executor heap, which at
+    # 100 TB / millions of open sessions is an OOM. Off by default
+    # locally (tests run both providers the same way); flip on with
+    # SPARK_GRAFT_ROCKSDB_STATE=1.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -71,6 +71,78 @@ def test_watermark_withholds_open_windows(spark, sf_dir):
     assert all(w >= max_emitted for w, _, _ in withheld)
 
 
+def test_event_time_timeout_evicts_idle_state(spark, tmp_path):
+    """Production mode: a user who goes idle mid-stream must have
+    their open session FLUSHED (emitted as closed) and their state
+    evicted once the watermark passes last + gap — under NoTimeout
+    the same session stays open/unemitted forever. Three files, one
+    micro-batch each, so the watermark advances between batches:
+
+    * file0: user 1 (t0, t0+5m) and user 2 (t0)
+    * file1: user 2 only (t0+5h)   → watermark passes user 1's timeout
+    * file2: user 2 only (t0+10h)  → batch in which the timeout FIRES
+    """
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        run_sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    files = [
+        mk([(1, t0, 1.0), (1, t0 + m(minutes=5), 2.0), (2, t0, 3.0)]),
+        mk([(2, t0 + m(hours=5), 4.0)]),
+        mk([(2, t0 + m(hours=10), 5.0)]),
+    ]
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        stage = str(tmp_path / f"f{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = files[0].schema
+    flushed = run_sessionize_stream(
+        spark, str(src), schema,
+        max_files_per_trigger=1, timeout="event_time",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in flushed.collect()
+    }
+    # user 1's only session was flushed by the timeout (NoTimeout
+    # would withhold it as the open tail)...
+    assert (1, t0, 2) in got
+    # ...user 2's two gap-closed sessions are emitted normally...
+    assert (2, t0, 1) in got and (2, t0 + m(hours=5), 1) in got
+    # ...and user 2's live tail (t0+10h) is still open, not flushed
+    assert len(got) == 3
+
+    # control: bounded-replay mode over the SAME files withholds
+    # user 1's session (it is their open tail at drain time)
+    unflushed = run_sessionize_stream(
+        spark, str(src), schema,
+        max_files_per_trigger=1, timeout="none",
+    )
+    got_none = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in unflushed.collect()
+    }
+    assert (1, t0, 2) not in got_none
+    assert got_none == {(2, t0, 1), (2, t0 + m(hours=5), 1)}
+
+
 def test_sessionize_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
     """Split the event fixture into two time-ordered files and force
     one micro-batch per file: closed sessions must equal the
