@@ -123,22 +123,41 @@ def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Sketch internals differ across engines, so this is
     rows-only; the exact columns in the same output row make the
     error observable (and are asserted < 5% in tests).
+
+    The exact-distinct twin runs as its OWN aggregation joined back on
+    the 3-row result — never in the same ``agg`` as the sketch
+    buffers: a distinct aggregate rewrites the plan through an Expand
+    (2× every row) and pushes the TypedImperative percentile buffers
+    into a sort-based aggregate that serializes them per row —
+    measured 17× slower (13.5 s vs 0.8 s at sf0.01) and strictly
+    worse at scale, where Expand doubles the shuffle volume of the
+    whole table.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    sketched = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 10000), 2
+        ).alias("approx_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+            "exact_median"
+        ),
+        F.count("*").alias("n"),
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
     return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
-            ),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.round(
-                F.percentile_approx("l_extendedprice", 0.5, 10000), 2
-            ).alias("approx_median"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
-                "exact_median"
-            ),
-            F.count("*").alias("n"),
+        sketched.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "exact_orders",
+            "approx_median",
+            "exact_median",
+            "n",
         )
         .orderBy("l_returnflag")
     )
