@@ -110,10 +110,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # localCheckpoint: materialize once and TRUNCATE LINEAGE — without
-    # it every iteration's action re-derives the MinHash pair graph
+    # it every iteration's action re-derives the near-dup pair graph
     # from scratch and the label plan doubles per round (the classic
-    # iterative-DataFrame blowup).
-    edges = edges.localCheckpoint()
+    # iterative-DataFrame blowup). Lazy: the first convergence count
+    # triggers it, folding edge materialization into iteration 1's job.
+    edges = edges.localCheckpoint(eager=False)
     members = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = members.select("doc_id", F.col("doc_id").alias("label"))
 
@@ -158,7 +159,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it, so each iteration costs ONE job
+        # instead of two (eager checkpoint + count) — lineage is
+        # still truncated at materialization either way
+        new_labels = new_labels.localCheckpoint(eager=False)
         # convergence check: any label still above a neighbor's?
         changed = (
             new_labels.alias("n")

@@ -335,7 +335,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-    emb = emb.localCheckpoint()  # reused across Lloyd iterations
+    # reused across Lloyd iterations; lazy — the first broadcast/agg
+    # materializes it inside an already-running job
+    emb = emb.localCheckpoint(eager=False)
 
     # orderBy+limit plans as TakeOrderedAndProject; the 8-row result
     # then gets cell ids from a window over just those 8 rows
@@ -346,7 +348,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_seed = Window.orderBy("_k")
     centroids = seeds.select(
         F.row_number().over(w_seed).alias("cell"), F.col("v").alias("cv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def nearest_cell(vec_col: str, cents: DataFrame) -> DataFrame:
         """Assign each vector to its max-cosine centroid — map-side
@@ -370,7 +372,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(IVF_ITERATIONS):
         assigned = nearest_cell("v", centroids)
-        centroids = _centroid_update(assigned).localCheckpoint()
+        # lazy: the next round's broadcast (or the final probe join)
+        # materializes it — lineage still truncates at that point, so
+        # round plans don't compound
+        centroids = _centroid_update(assigned).localCheckpoint(eager=False)
 
     corpus_cells = nearest_cell("v", centroids).filter(
         F.col("vec_id") >= N_QUERIES
