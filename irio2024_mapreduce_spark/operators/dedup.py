@@ -330,14 +330,12 @@ def _simhash_candidates(
     """(doc_id, text) → candidate pairs (doc_a, doc_b, sh_a, sh_b)
     via 64-bit SimHash + 4×16-bit pigeonhole banding, with the
     hot-bucket cap applied before the chunk self-join."""
-    tok_counts = (
+    occurrences = (
         # explode_outer, not explode: a NULL-text doc has a NULL token
         # array and plain explode would drop it entirely — it must
         # keep its historical signature-0 row (its votes are zeroed
         # below via the h IS NULL guard)
         docs.select("doc_id", F.explode_outer(_tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
         .withColumn(
             "h",
             F.when(
@@ -346,21 +344,24 @@ def _simhash_candidates(
             ),
         )
     )
-    # 64 conditional-sum COLUMNS, not 64 exploded rows per token: the
-    # row form pushed 64× the token rows through the bit-vote shuffle
-    # (32M rows at sf0.1); as columns the per-bit votes ride map-side
-    # partial aggregation and the shuffle carries one 64-column row
-    # per (doc, partition). Every doc (incl. NULL-text) gets a row, so
-    # the old left-join fixup for signature-0 docs disappears too.
+    # 64 conditional-sum COLUMNS over token OCCURRENCES, one agg: each
+    # occurrence votes ±1 per bit, which sums to the same ±count per
+    # distinct token as a per-(doc, token) count pre-aggregation —
+    # minus that pre-agg's full shuffle of every (doc, token) row
+    # (token-proportional, i.e. corpus-sized at 100 TB). The column
+    # form (not 64 exploded rows) lets all votes ride map-side partial
+    # aggregation, so the only shuffle carries one 64-column row per
+    # (doc, partition). Every doc (incl. NULL-text) gets a row, so no
+    # left-join fixup for signature-0 docs is needed.
     vote_cols = [
         F.sum(
             F.when(F.col("h").isNull(), F.lit(0))
-            .when(F.expr(f"(h >> {j}) & 1") == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+            .when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1))
+            .otherwise(F.lit(-1))
         ).alias(f"v{j}")
         for j in range(64)
     ]
-    votes = tok_counts.groupBy("doc_id").agg(*vote_cols)
+    votes = occurrences.groupBy("doc_id").agg(*vote_cols)
     # bit j set iff total vote > 0; bitwise-OR fold of the 64 masks
     # (shiftleft handles j=63 → the sign bit without ANSI overflow)
     sig_expr = " | ".join(
