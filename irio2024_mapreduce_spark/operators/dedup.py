@@ -278,6 +278,14 @@ def _minhash_candidates(
     # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
     banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
 
+    # materialize ONCE before the self-join: both join sides otherwise
+    # instantiate the whole signature pipeline (K minhashes per
+    # shingle — the expensive part) as separate subtrees, and no
+    # exchange reuse rescues it because the planner broadcasts one
+    # side. Band rows are just (doc_id, band, band_hash) — cheap to
+    # hold; lazy, so the join's own action materializes it.
+    banded = banded.localCheckpoint(eager=False)
+
     return (
         banded.alias("l")
         .join(
@@ -379,6 +387,10 @@ def _simhash_candidates(
     )
     # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
     chunks = _cap_buckets(chunks, ["chunk", "chunk_val"], bucket_cap)
+    # one materialization of the signature pipeline for both join
+    # sides (see _minhash_candidates) — chunk rows are 4 small rows
+    # per doc
+    chunks = chunks.localCheckpoint(eager=False)
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
@@ -436,6 +448,12 @@ def _ngram_posting_join(
     # hot-shingle guard (see NGRAM_POSTING_CAP): (band, shingle) is
     # high-cardinality, so the groupBy+hash-join cap applies
     posting = _cap_buckets(posting, ["len_band", "sh"], posting_cap)
+    # one materialization of the shingle pipeline for both join sides
+    # (see _minhash_candidates); posting rows carry the shingle
+    # strings, i.e. ~3× corpus tokens — MEMORY_AND_DISK spillable, and
+    # strictly cheaper than recomputing the collapse+shingle+cap
+    # subtree twice
+    posting = posting.localCheckpoint(eager=False)
     l, r = posting.alias("l"), posting.alias("r")
     return l.join(
         r,
