@@ -143,6 +143,59 @@ def test_event_time_timeout_evicts_idle_state(spark, tmp_path):
     assert got_none == {(2, t0, 1), (2, t0 + m(hours=5), 1)}
 
 
+def test_sessionizer_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The SPARK_GRAFT_ROCKSDB_STATE flag pins
+    RocksDBStateStoreProvider — prove the class name is real and the
+    sessionizer produces identical results on it (providerClass is
+    read per query start, so it's runtime-settable for the test)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        run_sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1.0),
+            (1, t0 + m(minutes=5), 2.0),
+            (1, t0 + m(hours=2), 3.0),
+            (2, t0, 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    src = tmp_path / "rocks_src"
+    src.mkdir()
+    stage = str(tmp_path / "rocks_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        str(src / "b0.parquet"),
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = sorted(map(tuple, run_sessionize_stream(
+            spark, str(src), df.schema
+        ).collect()))
+    finally:
+        spark.conf.unset(key)
+    default = sorted(map(tuple, run_sessionize_stream(
+        spark, str(src), df.schema
+    ).collect()))
+    # one closed session (user 1's first), identical on both providers
+    assert rocks == default
+    assert len(rocks) == 1 and rocks[0][0] == 1 and rocks[0][3] == 2
+
+
 def test_sessionize_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
     """Split the event fixture into two time-ordered files and force
     one micro-batch per file: closed sessions must equal the
