@@ -93,6 +93,29 @@ def test_stats_pack_quantile_window_is_bucket_bounded(spark, sf_dir):
         assert " b#" in spec or spec.startswith("b#") or ", b#" in ln, ln
 
 
+def test_minhash_candidates_materialize_pipeline_once(spark, sf_dir):
+    """The band self-join must read ONE materialized candidate frame
+    (Scan ExistingRDD from the pre-join localCheckpoint) — without it
+    both join sides instantiate the whole signature pipeline (K
+    minhashes per shingle) as separate parquet-scan subtrees."""
+    from irio2024_mapreduce_spark.operators.dedup import dedup_near
+
+    import re
+
+    df = dedup_near(spark, sf_dir)
+    # simple mode: one line per node (formatted lists nodes twice)
+    plan = plan_of(df, mode="simple")
+    # candidate pipeline is behind the checkpoint on BOTH join sides
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    # the only parquet scan left is the verify side's raw-text read
+    assert plan.count("FileScan parquet") == 1, plan
+    # ...and both references point at the SAME materialized RDD
+    # (formatted mode carries the RDD id in the node arguments)
+    detailed = plan_of(df, mode="formatted")
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[\d+\]", detailed))
+    assert len(rdd_ids) == 1, rdd_ids
+
+
 def test_json_extract_parses_once(spark, sf_dir):
     from irio2024_mapreduce_spark.operators.json_array import json_extract
 
