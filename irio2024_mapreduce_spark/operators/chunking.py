@@ -91,9 +91,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rep ↔ duplicate) so byte-identical twins cluster together
     # instead of surfacing as singletons.
     docs_raw = load_table(spark, sf_dir, "documents")
+    # materialize the 32-byte (doc_id, hash) rows once: `reps` and the
+    # join below are two consumers of this frame, which would
+    # otherwise instantiate the scan+sha2 pass twice (corpus-sized at
+    # scale) — lazy, the join's action triggers it
     hashed = docs_raw.select(
         "doc_id", F.sha2("text", 256).alias("_h")
-    )
+    ).localCheckpoint(eager=False)
     reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
     exact_pairs = (
         hashed.join(reps, "_h")

@@ -87,7 +87,13 @@ def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     corpus the cap defends against), and not a sort-merge join, which
     would re-introduce the same per-key sort. The hash join streams
     the hot bucket's rows through one partition without buffering
-    them, and its build side is the tiny admitted-keys aggregate."""
+    them, and its build side is the tiny admitted-keys aggregate.
+
+    NB: NULL-keyed rows are DROPPED (inner equi-join semantics), not
+    capped as their own bucket the way the former window form counted
+    them. Every current call site feeds non-null keys (band hashes,
+    chunk values, exploded shingles); a caller with nullable keys
+    must pre-filter or coalesce them explicitly."""
     sizes = (
         rows.groupBy(*keys)
         .agg(F.count("*").alias("_bsz"))

@@ -292,29 +292,28 @@ IVF_NPROBE = 2
 def _centroid_update(assigned: DataFrame) -> DataFrame:
     """New centroid per cell = element-wise mean of member vectors.
 
-    Computed as EMB_DIM conditional-sum COLUMNS over one groupBy —
-    the same shape as the simhash bit votes: per-dimension partial
-    sums ride map-side combine, so the shuffle carries one
-    (EMB_DIM+1)-column row per (cell, partition) instead of the old
+    Computed as EMB_DIM per-dimension AVG columns over one groupBy —
+    the same shape as the simhash bit votes: avg partials (sum,
+    count) ride map-side combine, so the shuffle carries one
+    EMB_DIM-column row per (cell, partition) instead of the old
     posexplode form's EMB_DIM rows per member vector (64× row
-    inflation through the Lloyd-round shuffle). Means are rounded to
-    9 dp to damp float merge-order sensitivity across partitionings
-    (same as before)."""
-    sums = assigned.groupBy("cell").agg(
-        F.count("*").alias("_n"),
+    inflation through the Lloyd-round shuffle). ``try_element_at``
+    (NULL, never an ANSI error, on a short vector) + ``avg`` (skips
+    NULLs with a per-dimension denominator) preserve the posexplode
+    form's graceful handling of ragged/NULL-element vectors. Means
+    are rounded to 9 dp to damp float merge-order sensitivity across
+    partitionings (same as before)."""
+    means = assigned.groupBy("cell").agg(
         *[
-            F.sum(F.element_at("v", d + 1)).alias(f"_s{d}")
+            F.round(F.avg(F.try_element_at("v", F.lit(d + 1))), 9).alias(
+                f"_m{d}"
+            )
             for d in range(EMB_DIM)
         ],
     )
-    return sums.select(
+    return means.select(
         "cell",
-        F.array(
-            *[
-                F.round(F.col(f"_s{d}") / F.col("_n"), 9)
-                for d in range(EMB_DIM)
-            ]
-        ).alias("cv"),
+        F.array(*[F.col(f"_m{d}") for d in range(EMB_DIM)]).alias("cv"),
     )
 
 

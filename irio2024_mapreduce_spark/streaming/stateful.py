@@ -36,6 +36,7 @@ Two timeout modes:
 
 from __future__ import annotations
 
+import functools
 import os
 import uuid
 from collections.abc import Iterator
@@ -163,8 +164,6 @@ def run_sessionize_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
     # ts arrives as int64 nanoseconds (nanosAsLong) → microseconds
-    import functools
-
     from pyspark.sql import functions as F
 
     ts_types = {f.name: f.dataType.simpleString() for f in raw_schema}
