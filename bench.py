@@ -98,6 +98,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf_dir,
+                # 1/5/15-min load at run END: background load swings
+                # single runs 2×+ (see SCALE.md bench methodology) —
+                # this stamps each artifact with the evidence needed
+                # to read it
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -527,6 +527,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     emb = _cap_blocks_lowcard(emb, ["label"], PAIRWISE_BLOCK_CAP)
+    # one materialization of the scan+cast+cap pipeline for both
+    # sides of the label self-join (same pattern as the banded
+    # candidate generators)
+    emb = emb.localCheckpoint(eager=False)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -341,17 +341,33 @@ def test_embedding_block_cap_excludes_oversized_blocks(spark, sf_dir, monkeypatc
 def test_lowcard_block_cap_is_broadcast_not_shuffle(spark, sf_dir):
     """_cap_blocks_lowcard must admit rows via a BROADCAST join of the
     tiny block-size list — shuffling rows on a ~10-value block key
-    would serialize a popular block into one task at 100 TB."""
+    would serialize a popular block into one task at 100 TB. Asserted
+    on the helper's own plan (inside dedup_embedding the cap sits
+    behind the pre-self-join localCheckpoint, invisible to explain)."""
     import contextlib
     import io
 
-    from irio2024_mapreduce_spark.operators.dedup import dedup_embedding
+    from pyspark.sql import functions as F2
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        dedup_embedding(spark, sf_dir).explain(mode="formatted")
-    plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan
-    # no sort-merge path anywhere: the only non-broadcast join in this
-    # query would be a row shuffle keyed on label
-    assert "SortMergeJoin" not in plan
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _cap_blocks_lowcard,
+        dedup_embedding,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table_parallel
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F2.col("embedding").alias("v")
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    cap_plan = plan_of(_cap_blocks_lowcard(emb, ["label"], 1024))
+    assert "BroadcastHashJoin" in cap_plan
+    assert "SortMergeJoin" not in cap_plan
+
+    # and the full query still has no sort-merge path anywhere
+    assert "SortMergeJoin" not in plan_of(dedup_embedding(spark, sf_dir))
