@@ -350,23 +350,45 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def nearest_cell(vec_col: str, cents: DataFrame) -> DataFrame:
-        """Assign each vector to its max-cosine centroid — map-side
-        argmax via max_by over (sim, -cell), no per-row window sort."""
-        scored = emb.join(F.broadcast(cents)).select(
-            "vec_id",
-            "v",
-            "cell",
-            _cosine(F.col(vec_col), F.col("cv")).alias("sim"),
+        """Assign each vector to its max-cosine centroid with NO
+        shuffle: the k centroids collapse to ONE broadcast row
+        holding an array of (cell, cv) structs, and the argmax is a
+        per-row ``array_max`` over (sim, -cell) structs — fieldwise
+        struct comparison picks max sim, ties to the smallest cell,
+        exactly the former max_by semantics. The old join+groupBy
+        form shuffled k rows per vector every Lloyd round; this is
+        embarrassingly parallel map work (at 100 TB, assignment cost
+        is one corpus pass, no exchange)."""
+        unit = F.transform(
+            "cv", lambda x: x / F.sqrt(_dot(F.col("cv"), F.col("cv")))
         )
+        cent_row = cents.select("cell", unit.alias("cu")).agg(
+            F.collect_list(F.struct("cell", "cu")).alias("_cents")
+        )
+        vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
         return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.col("cell"), F.struct(F.col("sim"), -F.col("cell"))
-                ).alias("cell"),
-                F.first("v").alias("v"),  # constant per vec_id
+            emb.join(F.broadcast(cent_row))
+            .select(
+                "vec_id",
+                "v",
+                "_cents",
+                vnorm.alias("_vn"),
             )
-            .select("vec_id", "v", "cell")
+            .select(
+                "vec_id",
+                "v",
+                F.array_max(
+                    F.transform(
+                        "_cents",
+                        lambda c: F.struct(
+                            (_dot(F.col(vec_col), c["cu"]) / F.col("_vn"))
+                            .alias("sim"),
+                            (-c["cell"]).alias("negcell"),
+                        ),
+                    )
+                )["negcell"].cast("int").alias("_nc"),
+            )
+            .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
         )
 
     for _ in range(IVF_ITERATIONS):
