@@ -324,12 +324,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: initial centroids are the vectors with the smallest
     xxhash64(vec_id) picked via TakeOrdered (parallel partial top-k —
     never a global single-partition sort), then IVF_ITERATIONS Lloyd
-    steps run as join+aggregate rounds with ``localCheckpoint``
-    truncating lineage (same iterative pattern as dedup_clusters).
-    Centroid means are rounded to 9 dp to damp float merge-order
-    sensitivity across partitionings. At 100 TB the cell assignment is
-    written once at ingest (partition by cell); queries touch nprobe/k
-    of the corpus.
+    steps, each a map-only broadcast assignment (see ``nearest_cell``
+    — zero exchange) plus one per-cell mean aggregation, with lazy
+    ``localCheckpoint`` truncating lineage (same iterative pattern as
+    dedup_clusters). Centroid means are rounded to 9 dp to damp float
+    merge-order sensitivity across partitionings. At 100 TB the cell
+    assignment is written once at ingest (partition by cell); queries
+    touch nprobe/k of the corpus.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
