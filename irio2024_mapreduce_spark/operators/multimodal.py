@@ -19,7 +19,6 @@ granularity. Metadata-only queries never touch the payload column
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
