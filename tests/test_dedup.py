@@ -282,6 +282,28 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
     assert unbanded >= 0.5
 
 
+def test_cap_buckets_semantics(spark):
+    """Pin the helper's documented contract: buckets ≤ cap survive
+    whole, buckets > cap drop whole, and NULL-keyed rows are DROPPED
+    (inner equi-join semantics — callers with nullable keys must
+    pre-filter; every production call site feeds non-null keys)."""
+    from irio2024_mapreduce_spark.operators.dedup import _cap_buckets
+
+    rows = (
+        [("a", i) for i in range(3)]
+        + [("b", i) for i in range(5)]
+        + [(None, 0)]
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    kept = {(r["k"], r["v"]) for r in _cap_buckets(df, ["k"], 3).collect()}
+    assert kept == {("a", 0), ("a", 1), ("a", 2)}
+    # cap above every bucket: identity minus NULL-keyed rows
+    all_non_null = {
+        (r["k"], r["v"]) for r in _cap_buckets(df, ["k"], 100).collect()
+    }
+    assert all_non_null == {(k, v) for k, v in rows if k is not None}
+
+
 def test_ngram_posting_cap_bounds_join_rows(spark, tmp_path):
     """A stop-word shingle shared by m docs costs m² posting-join
     rows; the (band, shingle) posting cap must drop it (it carries no
