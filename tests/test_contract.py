@@ -114,3 +114,8 @@ def test_bench_headline_queries_are_registered():
     import bench
 
     assert set(bench.HEADLINE) <= set(registry.queries())
+    # the r01-comparable subtotal must cover exactly the rounds-1/2
+    # HEADLINE, all still present — else the cross-round comparison
+    # the field exists for silently breaks
+    assert len(bench.R01_COMPARABLE) == 20
+    assert set(bench.R01_COMPARABLE) <= set(bench.HEADLINE)
