@@ -111,6 +111,13 @@ def main() -> None:
             "a silent skip would shrink the reported total and read as a "
             "speedup"
         )
+    drifted = [name for name in R01_COMPARABLE if name not in HEADLINE]
+    if drifted:
+        raise SystemExit(
+            f"bench: r01-comparable queries missing from HEADLINE: "
+            f"{drifted} — a shrunken subtotal would read as a cross-round "
+            "speedup"
+        )
     results: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -121,9 +128,9 @@ def main() -> None:
         results[name] = round(best, 3)
 
     total = round(sum(results.values()), 3)
-    r01_subset = round(
-        sum(results[n] for n in R01_COMPARABLE if n in results), 3
-    )
+    # no membership guard: a missing name must raise (KeyError), not
+    # silently shrink the subtotal into a phantom speedup
+    r01_subset = round(sum(results[n] for n in R01_COMPARABLE), 3)
     print(
         json.dumps(
             {

@@ -114,8 +114,17 @@ def test_bench_headline_queries_are_registered():
     import bench
 
     assert set(bench.HEADLINE) <= set(registry.queries())
-    # the r01-comparable subtotal must cover exactly the rounds-1/2
-    # HEADLINE, all still present — else the cross-round comparison
-    # the field exists for silently breaks
-    assert len(bench.R01_COMPARABLE) == 20
+    # the r01-comparable subtotal must cover EXACTLY the rounds-1/2
+    # HEADLINE (no swaps, drops, or duplicates) — else the cross-round
+    # comparison the field exists for is silently wrong
+    assert sorted(bench.R01_COMPARABLE) == sorted(
+        [
+            "wordcount", "filter_project", "agg_groupby", "agg_rollup",
+            "join_broadcast", "join_shuffle", "join_outer",
+            "window_running", "sort_limit_topk", "event_sliding",
+            "event_session", "json_extract", "dedup_exact", "dedup_near",
+            "similarity_topk", "text_analysis", "join_asof", "stats_pack",
+            "time_rollup", "conditional_agg",
+        ]
+    )
     assert set(bench.R01_COMPARABLE) <= set(bench.HEADLINE)

@@ -282,6 +282,32 @@ def test_posting_list_jaccard_equals_array_jaccard(spark, tmp_path):
     assert unbanded >= 0.5
 
 
+def test_simhash_null_text_gets_signature_zero(spark):
+    """A NULL-text doc must keep its signature-0 row (this regressed
+    once before — the columnar vote rewrite silently dropped it). The
+    current mechanism is subtle: its single explode_outer row has a
+    NULL hash, so every bit sum aggregates to NULL and the signature
+    CASE falls through to 0 — pin the end state, not the mechanism."""
+    from pyspark.sql import functions as F2
+
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _simhash_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, None)], ["doc_id", "text"]
+    )
+    # reach the internal simhash frame via the candidate generator's
+    # chunk rows: every doc contributes 4 chunk rows carrying simhash
+    cand_input = docs  # _simhash_candidates takes (doc_id, text)
+    pairs = _simhash_candidates(cand_input).collect()
+    # docs 2 and 3 share signature 0 → they must surface as a
+    # candidate pair with sh_a == sh_b == 0
+    by_pair = {(r["doc_a"], r["doc_b"]): (r["sh_a"], r["sh_b"]) for r in pairs}
+    assert (2, 3) in by_pair, by_pair
+    assert by_pair[(2, 3)] == (0, 0)
+
+
 def test_cap_buckets_semantics(spark):
     """Pin the helper's documented contract: buckets ≤ cap survive
     whole, buckets > cap drop whole, and NULL-keyed rows are DROPPED
