@@ -38,12 +38,21 @@ from irio2024_mapreduce_spark.session import get_spark
 # dedup_ngram_jaccard rides the same exact-dup collapse as dedup_near
 # (replicated docs collapse to the same reps) and its length-band
 # blocks are additionally bounded by PAIRWISE_BLOCK_CAP — the probe
-# verifies the measured ratio stays ~linear.
+# verifies the measured ratio stays ~linear. dedup_clusters stresses
+# the exact-edge path (every replica adds a rep↔dup edge: ~N·docs
+# edges) and label propagation over N× members; similarity_ann /
+# similarity_ivf run over the N×-replicated embeddings table
+# (replicas carry shifted vec_ids ≥ N_QUERIES, so the query set stays
+# the original 10 and the corpus grows N×).
 QUERIES = [
     "wordcount",
     "dedup_exact",
     "dedup_near",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "similarity_ann",
+    "similarity_ivf",
     "text_analysis",
     "doc_chunk",
 ]
@@ -107,6 +116,22 @@ def main() -> None:
         scaled = part if scaled is None else scaled.unionByName(part)
     scaled.repartition(32).write.mode("overwrite").parquet(
         os.path.join(stage, "documents.parquet")
+    )
+    # embeddings: replicas shift vec_id past the query range so the
+    # query set stays the original N_QUERIES vectors while the corpus
+    # grows n× (duplicate vectors = worst case for bucketed ANN: every
+    # replica group lands in identical buckets)
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    scaled_emb = None
+    for k in range(n):
+        part = emb if k == 0 else emb.filter(
+            F.col("vec_id") >= 10  # replicas never become queries
+        ).withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+        scaled_emb = (
+            part if scaled_emb is None else scaled_emb.unionByName(part)
+        )
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(stage, "embeddings.parquet")
     )
 
     qs = registry.queries()
