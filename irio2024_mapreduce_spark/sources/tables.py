@@ -95,3 +95,61 @@ def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
     ``mapreduce/coordinator/algorithm.py:26-32``).
     """
     return spark.read.text(path)
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """All CSV files under a directory, with an EXPLICIT schema.
+
+    Schema inference is deliberately not offered: at 100 TB inference
+    triggers an extra full (or sampled) scan before the real one, and
+    a sampling-dependent schema is a correctness hazard (a column can
+    silently flip type between runs). PERMISSIVE mode + a corrupt
+    column keeps one malformed row from failing a 100 TB job while
+    making the damage queryable (``WHERE _corrupt_record IS NOT
+    NULL``) instead of silent."""
+    return (
+        spark.read.schema(_with_corrupt_col(schema, corrupt_col))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def read_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """All JSON-lines files under a directory, with an EXPLICIT
+    schema — the landing format of most crawl/training-data drops.
+    Same inference/corruption policy as :func:`read_csv_dir`; the
+    line-per-record layout is what makes JSONL splittable (a
+    multi-line JSON array would force one task per file)."""
+    return (
+        spark.read.schema(_with_corrupt_col(schema, corrupt_col))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def _with_corrupt_col(schema, corrupt_col: str):
+    """PERMISSIVE mode only captures the offending line if the schema
+    CONTAINS the corrupt column (else malformed rows silently become
+    all-NULL rows) — append it when absent. Accepts a StructType or a
+    DDL string."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    return schema
