@@ -143,6 +143,61 @@ def test_event_time_timeout_evicts_idle_state(spark, tmp_path):
     assert got_none == {(2, t0, 1), (2, t0 + m(hours=5), 1)}
 
 
+def test_sessionize_late_event_merges_without_regressing_last(
+    spark, tmp_path
+):
+    """A late event older than the open session's `last` (straddling
+    a micro-batch boundary) must merge into the session — counted,
+    summed — WITHOUT moving `last` backwards: the closed session must
+    still report the true latest timestamp, and the next event's gap
+    decision must be made against it."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        run_sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+
+    files = [
+        # batch 0: session open with start=t0, last=t0+10m
+        mk([(1, t0, 1.0), (1, t0 + m(minutes=10), 2.0)]),
+        # batch 1: a LATE event (t0+5m < last) then a gap-closing one
+        mk([(1, t0 + m(minutes=5), 4.0), (1, t0 + m(hours=2), 8.0)]),
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        stage = str(tmp_path / f"late{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    out = run_sessionize_stream(
+        spark, str(src), files[0].schema, max_files_per_trigger=1
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # the t0+2h event stays open in state
+    r = rows[0]
+    assert r["session_start"] == t0
+    # last must be the TRUE latest (t0+10m), not the late arrival
+    assert r["session_last"] == t0 + m(minutes=10)
+    # the late event was merged, not dropped and not a new session
+    assert r["n_events"] == 3
+    assert r["sum_value"] == 7.0
+
+
 def test_sessionizer_runs_on_rocksdb_state_store(spark, tmp_path):
     """The SPARK_GRAFT_ROCKSDB_STATE flag pins
     RocksDBStateStoreProvider — prove the class name is real and the
