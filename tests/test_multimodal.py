@@ -5,15 +5,50 @@ from __future__ import annotations
 import pytest
 
 from irio2024_mapreduce_spark.operators.multimodal import (
+    _try_import_pil,
     decode_image,
     media_table,
     multimodal_decode,
 )
 
+HAVE_PIL = _try_import_pil() is not None
 
-def test_real_decode_is_gated():
-    with pytest.raises(NotImplementedError, match="PIL|libvips"):
+
+def _png_payload(w: int, h: int) -> bytes:
+    """A real encoded PNG of the given size (only called under PIL)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(HAVE_PIL, reason="Pillow present: real path active")
+def test_real_decode_is_gated_without_pil():
+    with pytest.raises(NotImplementedError, match="Pillow|libvips"):
         decode_image(b"\x89PNG...")
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not importable here")
+def test_real_decode_with_pil():
+    """Where Pillow exists, fake=False decodes real bytes: true
+    dimensions come back, and the fake path stays byte-identical to
+    the no-PIL environments (hash-derived, codec-independent)."""
+    payload = _png_payload(37, 53)
+    assert decode_image(payload) == (37, 53)
+    assert decode_image(payload, fake=True) == decode_image(
+        payload, fake=True
+    )
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not importable here")
+def test_real_resize_with_pil():
+    from irio2024_mapreduce_spark.operators.multimodal import resize_image
+
+    out = resize_image(_png_payload(200, 100), (64, 32))
+    assert decode_image(out) == (64, 32)  # round-trips through decode
 
 
 def test_fake_decode_deterministic():
@@ -35,8 +70,9 @@ def test_media_schema(spark, sf_dir):
 def test_resize_gated_and_deterministic():
     from irio2024_mapreduce_spark.operators.multimodal import resize_image
 
-    with pytest.raises(NotImplementedError, match="PIL|libvips"):
-        resize_image(b"img", (128, 96))
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow|libvips"):
+            resize_image(b"img", (128, 96))
     a = resize_image(b"img", (128, 96), fake=True)
     b = resize_image(b"img", (128, 96), fake=True)
     assert a == b and len(a) == (128 * 96) // 64

@@ -42,6 +42,35 @@ def test_read_csv_dir_explicit_schema_and_corruption(spark, tmp_path):
     assert bad[0]["doc_id"] is None
 
 
+def test_corrupt_filter_runs_in_spark_and_schema_not_mutated(
+    spark, tmp_path
+):
+    """The advertised corrupt-row query must work ENGINE-side (not
+    just Python post-collect): Spark rejects a raw-scan query whose
+    only referenced column is the internal corrupt column, so a data
+    column must ride along. Also pins that the caller's StructType is
+    never mutated by the corrupt-column append."""
+    from pyspark.sql import types as T
+
+    d = tmp_path / "csv_mut"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "doc_id,lang,text\n1,en,ok\nnot_a_long,xx,oops\n"
+    )
+    caller_schema = T.StructType.fromDDL(DOC_SCHEMA)
+    df = read_csv_dir(spark, str(d), caller_schema)
+    # Spark-side filter on the corrupt column (with a data column
+    # selected alongside — the documented pattern)
+    bad = (
+        df.select("doc_id", "_corrupt_record")
+        .filter(F.col("_corrupt_record").isNotNull())
+        .collect()
+    )
+    assert len(bad) == 1 and "not_a_long" in bad[0]["_corrupt_record"]
+    # the schema object the caller passed in must be untouched
+    assert caller_schema.fieldNames() == ["doc_id", "lang", "text"]
+
+
 def test_read_jsonl_dir_explicit_schema_and_corruption(spark, tmp_path):
     d = tmp_path / "jsonl_src"
     d.mkdir()

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark import registry
+from irio2024_mapreduce_spark.operators.similarity import N_QUERIES
 from irio2024_mapreduce_spark.session import get_spark
 
 # dedup_ngram_jaccard rides the same exact-dup collapse as dedup_near
@@ -125,7 +126,7 @@ def main() -> None:
     scaled_emb = None
     for k in range(n):
         part = emb if k == 0 else emb.filter(
-            F.col("vec_id") >= 10  # replicas never become queries
+            F.col("vec_id") >= N_QUERIES  # replicas never become queries
         ).withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
         scaled_emb = (
             part if scaled_emb is None else scaled_emb.unionByName(part)
