@@ -69,6 +69,11 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERATIONS = 10
 
+# observability: rounds the last dedup_clusters call needed (includes
+# the final no-change confirmation round) — read by tests/probes, never
+# by query logic
+_LAST_CC_ROUNDS = 0
+
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs → canonical doc per
@@ -120,10 +125,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triggers it, folding edge materialization into iteration 1's job.
     edges = edges.localCheckpoint(eager=False)
     members = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = members.select("doc_id", F.col("doc_id").alias("label"))
+    # seed every member with its exact-dup REPRESENTATIVE instead of
+    # itself: the rep is in the same component by construction (the
+    # rep↔dup edge above), so the fixpoint is unchanged, but exact
+    # cliques — the dominant component shape in replicated crawl
+    # data — start already converged and most components settle in
+    # round 1 instead of 2.
+    seeds = hashed.join(reps, "_h").select(
+        "doc_id", F.col("rep").alias("_seed")
+    )
+    labels = (
+        members.join(seeds, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_seed", F.col("doc_id")).alias("label"),
+        )
+    )
 
+    global _LAST_CC_ROUNDS
     converged = False
-    for _ in range(MAX_CC_ITERATIONS):
+    for _round in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -134,51 +155,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nl").alias("neighbor_label"))
         )
-        new_labels = (
+        # carry the pre-round label through as _old: the convergence
+        # check then is a FILTER on the round's own output instead of
+        # a corpus-sized join against the previous labels frame
+        half = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.src, "left"
             )
             .select(
                 "doc_id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("neighbor_label", F.col("label"))
                 ).alias("label"),
             )
+            # materialize ONCE before the self-join below — both jump
+            # sides would otherwise instantiate the whole
+            # edges⋈labels⋈agg subtree as separate plans (the classic
+            # self-join double-subtree); lazy, so the convergence
+            # count is still the round's single action
+            .localCheckpoint(eager=False)
         )
         # pointer-jumping (label ← label's label): halves the distance
         # to the component minimum each round, so convergence is
         # O(log diameter) instead of O(diameter) — a 10-round budget
         # then covers ~2^10-long near-dup chains
-        jump = new_labels.select(
+        jump = half.select(
             F.col("doc_id").alias("jdoc"), F.col("label").alias("jlabel")
         )
         new_labels = (
-            new_labels.join(
-                jump, new_labels.label == jump.jdoc, "left"
-            )
+            half.join(jump, half.label == jump.jdoc, "left")
             .select(
                 "doc_id",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce("jlabel", F.col("label"))
                 ).alias("label"),
             )
+            # lazy checkpoint: the convergence count below is the
+            # action that materializes it, so each iteration costs ONE
+            # job — lineage truncates at materialization either way
+            .localCheckpoint(eager=False)
         )
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it, so each iteration costs ONE job
-        # instead of two (eager checkpoint + count) — lineage is
-        # still truncated at materialization either way
-        new_labels = new_labels.localCheckpoint(eager=False)
-        # convergence check: any label still above a neighbor's?
+        # convergence: did any label move this round?
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             converged = True
+            _LAST_CC_ROUNDS = _round + 1
             break
     if not converged:
         raise RuntimeError(

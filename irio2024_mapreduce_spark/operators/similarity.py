@@ -288,6 +288,10 @@ IVF_CENTROIDS = 8
 IVF_ITERATIONS = 3
 IVF_NPROBE = 2
 
+# observability: Lloyd rounds the last similarity_ivf call actually ran
+# (the fixpoint probe can stop the loop early) — read by tests/probes
+_LAST_IVF_ROUNDS = 0
+
 
 def _centroid_update(assigned: DataFrame) -> DataFrame:
     """New centroid per cell = element-wise mean of member vectors.
@@ -392,12 +396,28 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
         )
 
-    for _ in range(IVF_ITERATIONS):
+    global _LAST_IVF_ROUNDS
+    prev_cents = None
+    for _round in range(IVF_ITERATIONS):
         assigned = nearest_cell("v", centroids)
         # lazy: the next round's broadcast (or the final probe join)
         # materializes it — lineage still truncates at that point, so
         # round plans don't compound
         centroids = _centroid_update(assigned).localCheckpoint(eager=False)
+        # fixpoint probe: the quantizer is IVF_CENTROIDS rows of
+        # 9dp-rounded means — collecting it is the same job the next
+        # consumer would trigger (the lazy checkpoint materializes
+        # once either way), and identical consecutive centroid sets
+        # mean every later Lloyd round would reproduce them verbatim
+        # (assignment is a pure function of centroid values), so the
+        # remaining corpus-pass rounds are skipped outright
+        cur_cents = sorted(
+            (r["cell"], tuple(r["cv"])) for r in centroids.collect()
+        )
+        _LAST_IVF_ROUNDS = _round + 1
+        if cur_cents == prev_cents:
+            break
+        prev_cents = cur_cents
 
     corpus_cells = nearest_cell("v", centroids).filter(
         F.col("vec_id") >= N_QUERIES
