@@ -44,17 +44,29 @@ BROADCAST_SAFE = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; no action triggered.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS,false) — Spark has no
-    nanosecond timestamp type, so (with
-    ``spark.sql.legacy.parquet.nanosAsLong``) it scans as int64 and we
-    truncate to microseconds here, exactly like DuckDB/pandas do when
-    downcasting ns→µs. The cast is a codegen'd expression on top of
-    the scan; column pruning still reaches parquet.
+    ``events.ts`` normalization — the synthetic generator has shipped
+    the column as parquet TIMESTAMP(NANOS,false) in some rounds and
+    TIMESTAMP(MICROS,false) in others, so both shapes are handled:
+
+    * NANOS: Spark has no nanosecond timestamp type, so (with
+      ``spark.sql.legacy.parquet.nanosAsLong``) it scans as int64 and
+      we truncate to microseconds here, exactly like DuckDB/pandas do
+      when downcasting ns→µs.
+    * MICROS with ``isAdjustedToUTC=false``: Spark 4 infers
+      TIMESTAMP_NTZ; we cast to the session-zoned TIMESTAMP type
+      (session tz is pinned UTC, so the wall-clock values are
+      unchanged — identical to how DuckDB treats the naive column).
+
+    Either way the cast is a codegen'd expression on top of the scan;
+    column pruning still reaches parquet.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -88,9 +88,13 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(_stage_dir(path))
-    if "ts" in dict((f.name, f.dataType.simpleString()) for f in raw_schema) and \
-            dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"] == "bigint":
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}.get("ts")
+    if ts_type == "bigint":  # int64 nanos (nanosAsLong)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet µs with isAdjustedToUTC=false; session tz is pinned
+        # UTC so the cast changes the type, not the wall-clock values
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -163,15 +163,18 @@ def run_sessionize_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
-    # ts arrives as int64 nanoseconds (nanosAsLong) → microseconds
+    # ts → int64 microseconds, whatever physical shape the generator
+    # shipped: int64 nanos (nanosAsLong), TIMESTAMP_NTZ (parquet µs
+    # with isAdjustedToUTC=false — cast to session-zoned TIMESTAMP
+    # first, session tz is pinned UTC so values are unchanged), or
+    # plain TIMESTAMP
     from pyspark.sql import functions as F
 
     ts_types = {f.name: f.dataType.simpleString() for f in raw_schema}
-    ts_us = (
-        F.expr("ts div 1000")
-        if ts_types.get("ts") == "bigint"  # int64 nanos (nanosAsLong)
-        else F.unix_micros("ts")
-    )
+    if ts_types.get("ts") == "bigint":  # int64 nanos (nanosAsLong)
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     prepared = stream.select("user_id", ts_us.alias("ts_us"), "value")
     if timeout == "event_time":
         # the timeout clock is the WATERMARK, which needs a timestamp

@@ -79,6 +79,13 @@ def test_dedup_clusters_accounts_for_every_doc(spark, sf_dir):
     assert total_docs == n
     rows2 = dedup_clusters(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # rep-seeded labels + pointer jumping: exact-dup cliques start
+    # converged, so the sf fixtures (tiny near-dup chains) must settle
+    # in ≤2 propagation rounds plus the no-change confirmation round —
+    # a regression here means the seeding or jump step broke
+    from irio2024_mapreduce_spark.operators import chunking
+
+    assert 1 <= chunking._LAST_CC_ROUNDS <= 3, chunking._LAST_CC_ROUNDS
 
 
 def test_doc_chunk_covers_all_tokens(spark, sf_dir):

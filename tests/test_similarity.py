@@ -42,6 +42,13 @@ def test_ivf_deterministic_and_scored_consistently(spark, sf_dir):
     a = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
     b = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+    # the centroid-fixpoint probe must have run 1..IVF_ITERATIONS
+    # Lloyd rounds; determinism of a==b above proves an early exit
+    # reproduces the full-loop quantizer (assignment is a pure
+    # function of centroid values)
+    from irio2024_mapreduce_spark.operators import similarity as _sim
+
+    assert 1 <= _sim._LAST_IVF_ROUNDS <= _sim.IVF_ITERATIONS
     # cosines must match the exact path for shared (query, neighbor)
     exact = {
         (r["query_id"], r["neighbor_id"]): r["cosine"]
