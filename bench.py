@@ -12,6 +12,7 @@ scales to 100 TB).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -119,13 +120,104 @@ def main() -> None:
             "speedup"
         )
     results: dict[str, float] = {}
+    # transient localization (VERDICT r4 item 4): one-off multi-second
+    # spikes on untouched queries have appeared in single runs across
+    # rounds (dedup_simhash 16.6 s vs a 1.7-2.6 s band; an earlier
+    # same-class outlier is in SCALE.md). min-of-N already keeps them
+    # out of the reported numbers; this records the evidence so the
+    # next occurrence localizes itself instead of needing a judge
+    # re-run: per-iteration times for every query, and for any query
+    # whose max/min spread exceeds TRANSIENT_RATIO, one extra timed
+    # attempt + the load average at detection time.
+    TRANSIENT_RATIO = 3.0
+
+    def jvm_code_cache_mb() -> float:
+        """Used bytes across the JIT CodeHeap pools. Whole-stage
+        codegen mints fresh classes whenever a plan differs (and
+        checkpoint RDD ids make repeat invocations differ), so a long
+        multi-query battery can fill the code cache; when it fills,
+        the JIT stops compiling and hot loops run interpreted until
+        the sweeper frees space — a progressive-slowdown-then-recover
+        signature. Sampled per transient to confirm/refute."""
+        pools = sc._jvm.java.lang.management.ManagementFactory\
+            .getMemoryPoolMXBeans()
+        used = 0
+        for i in range(pools.size()):
+            p = pools.get(i)
+            if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                used += p.getUsage().getUsed()
+        return round(used / 1e6, 1)
+
+    def jvm_gc_ms() -> int:
+        """Cumulative stop-the-world GC time of the (local-mode) JVM —
+        in local[N] the driver JVM IS every executor, so a GC pause
+        here stalls all 32 task threads at once. Per-iteration deltas
+        discriminate 'the JVM was collecting' from 'the scheduler or
+        OS stalled us' when a transient fires."""
+        beans = sc._jvm.java.lang.management.ManagementFactory\
+            .getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size()))
+
+    sc = spark.sparkContext
+    iteration_times: dict[str, list[float]] = {}
+    iteration_gc_ms: dict[str, list[int]] = {}
+    code_cache_mb: dict[str, float] = {}
+    transients: dict[str, dict] = {}
     for name in HEADLINE:
-        best = float("inf")
+        times: list[float] = []
+        gc_deltas: list[int] = []
         for _ in range(ITERATIONS):
+            # Drain the py4j reference-cleanup backlog OUTSIDE the
+            # timed window. Root cause of the cross-round "unexplained
+            # transient" class (SCALE.md bench methodology): each plan
+            # build mints thousands of py4j JavaObject refs; when
+            # Python's GC fires MID-QUERY, the detach RPCs serialize
+            # on the same gateway connection the build needs, inflating
+            # wall time 3-30× (measured: stats_pack 50-78 s vs 1.6-3.1 s
+            # at sf0.001 with the backlog drained at boundaries). The
+            # backlog is an artifact of the 75-invocation driver loop,
+            # not of the query under test.
+            gc.collect()
+            gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        results[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+            gc_deltas.append(jvm_gc_ms() - gc0)
+        # the transient signature is a LATER iteration much slower
+        # than something that already ran fast — compare each
+        # iteration to the best of the EARLIER ones only. (Comparing
+        # to the overall min would also flag slow-start patterns:
+        # codegen warm-up can stretch over iters 0-1 and then drop,
+        # which is normal and not the spike class we're hunting.)
+        spike = ITERATIONS > 1 and any(
+            t > TRANSIENT_RATIO * min(times[:i])
+            for i, t in enumerate(times)
+            if i >= 1
+        )
+        if spike:
+            gc.collect()
+            gc0 = jvm_gc_ms()
+            t0 = time.perf_counter()
+            run_once(qs[name](spark, sf_dir))
+            retry = time.perf_counter() - t0
+            times.append(retry)
+            gc_deltas.append(jvm_gc_ms() - gc0)
+            transients[name] = {
+                "iters": [round(t, 3) for t in times],
+                "retry_sec": round(retry, 3),
+                "gc_ms_per_iter": gc_deltas,
+                "code_cache_used_mb": jvm_code_cache_mb(),
+                "persistent_rdd_blocks": sc._jsc.sc()
+                .getPersistentRDDs().size(),
+                "load_avg_at_detect": [
+                    round(x, 2) for x in os.getloadavg()
+                ],
+            }
+        iteration_times[name] = [round(t, 3) for t in times]
+        iteration_gc_ms[name] = gc_deltas
+        code_cache_mb[name] = jvm_code_cache_mb()
+        results[name] = round(min(times), 3)
 
     total = round(sum(results.values()), 3)
     # no membership guard: a missing name must raise (KeyError), not
@@ -142,6 +234,17 @@ def main() -> None:
                 # queries than those artifacts did
                 "value_r01_comparable_subset": r01_subset,
                 "queries": results,
+                # full per-iteration record + flagged spikes (spread
+                # > 3x within one query's iterations, plus one retry)
+                # — evidence trail for the recurring one-off transient
+                "iteration_times": iteration_times,
+                "iteration_gc_ms": iteration_gc_ms,
+                # JIT CodeHeap usage sampled after each query — the
+                # suspected mechanism behind late-battery slowdowns
+                # (fresh codegen classes per invocation; cache fills →
+                # interpreted execution until the sweeper frees space)
+                "code_cache_mb_after": code_cache_mb,
+                "transients": transients,
                 "sf": sf_dir,
                 # background load swings single runs 2×+ (see SCALE.md
                 # bench methodology) — the pre-session sample is the

@@ -285,39 +285,80 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CENTROIDS = 8
-IVF_ITERATIONS = 3
+# Lloyd rounds run on the DRIVER-SIDE TRAINING SAMPLE (numpy — each
+# round is milliseconds), so the budget is generous and the centroid
+# fixpoint — not this cap — is the stopping rule in practice (the
+# fixtures reach it in 12/14/24 rounds at sf0.001/0.01/0.1; the old
+# 3-round corpus-pass budget truncated training and the early exit
+# never fired, see tests/test_similarity.py)
+IVF_ITERATIONS = 50
 IVF_NPROBE = 2
+# quantizer training set bound: the smallest-xxhash64 IVF_TRAIN_MAX
+# vectors — a deterministic uniform sample. FAISS-style: k-means
+# quality saturates at a few hundred training points per centroid, so
+# training cost stays CONSTANT as the corpus grows; only the single
+# final assignment pass is corpus-sized.
+IVF_TRAIN_MAX = 4096
 
 # observability: Lloyd rounds the last similarity_ivf call actually ran
 # (the fixpoint probe can stop the loop early) — read by tests/probes
 _LAST_IVF_ROUNDS = 0
 
 
-def _centroid_update(assigned: DataFrame) -> DataFrame:
-    """New centroid per cell = element-wise mean of member vectors.
+def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
+    """Fit the coarse quantizer on the collected training sample and
+    return it as a (cell: int, cv: array<double>) DataFrame.
 
-    Computed as EMB_DIM per-dimension AVG columns over one groupBy —
-    the same shape as the simhash bit votes: avg partials (sum,
-    count) ride map-side combine, so the shuffle carries one
-    EMB_DIM-column row per (cell, partition) instead of the old
-    posexplode form's EMB_DIM rows per member vector (64× row
-    inflation through the Lloyd-round shuffle). ``try_element_at``
-    (NULL, never an ANSI error, on a short vector) + ``avg`` (skips
-    NULLs with a per-dimension denominator) preserve the posexplode
-    form's graceful handling of ragged/NULL-element vectors. Means
-    are rounded to 9 dp to damp float merge-order sensitivity across
-    partitionings (same as before)."""
-    means = assigned.groupBy("cell").agg(
-        *[
-            F.round(F.avg(F.try_element_at("v", F.lit(d + 1))), 9).alias(
-                f"_m{d}"
-            )
-            for d in range(EMB_DIM)
-        ],
-    )
-    return means.select(
-        "cell",
-        F.array(*[F.col(f"_m{d}") for d in range(EMB_DIM)]).alias("cv"),
+    Vectorized Lloyd to the centroid fixpoint (capped at
+    IVF_ITERATIONS): assignment = max cosine, ties to the smallest
+    cell (the same semantics ``nearest_cell`` applies distributively);
+    update = per-cell mean rounded to 9 dp (damps summation-order
+    float drift so the fixpoint is well-defined); a cell that loses
+    all members keeps its previous centroid. Seeds are the
+    IVF_CENTROIDS smallest-hash sample vectors — fully deterministic,
+    no RNG. Malformed sample vectors (wrong length / NULL elements)
+    are excluded from TRAINING only; the corpus assignment pass still
+    handles them with SQL NULL semantics.
+    """
+    import numpy as np
+
+    global _LAST_IVF_ROUNDS
+    rows = sorted(sample_rows, key=lambda r: r["_k"])
+    vecs = [
+        r["v"]
+        for r in rows
+        if r["v"] is not None
+        and len(r["v"]) == EMB_DIM
+        and all(x is not None for x in r["v"])
+    ]
+    X = np.asarray(vecs, dtype=np.float64)
+    k = min(IVF_CENTROIDS, len(X))
+    cents = X[:k].copy()
+    x_norm = np.linalg.norm(X, axis=1)
+    x_norm[x_norm == 0.0] = 1.0
+    prev = None
+    for _round in range(IVF_ITERATIONS):
+        cu = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-300
+        )
+        # cosine(v, c) for all pairs; argmax picks the FIRST (smallest
+        # cell) on ties — matching nearest_cell's (sim, -cell) argmax
+        sims = (X @ cu.T) / x_norm[:, None]
+        assign = sims.argmax(axis=1)
+        new_cents = cents.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new_cents[c] = np.round(members.mean(axis=0), 9)
+        cents = new_cents
+        _LAST_IVF_ROUNDS = _round + 1
+        key = cents.tobytes()
+        if key == prev:
+            break
+        prev = key
+    return spark.createDataFrame(
+        [(c + 1, [float(x) for x in cents[c]]) for c in range(k)],
+        "cell int, cv array<double>",
     )
 
 
@@ -325,36 +366,49 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer, queries
     probe their IVF_NPROBE nearest centroid cells.
 
-    Deterministic: initial centroids are the vectors with the smallest
-    xxhash64(vec_id) picked via TakeOrdered (parallel partial top-k —
-    never a global single-partition sort), then IVF_ITERATIONS Lloyd
-    steps, each a map-only broadcast assignment (see ``nearest_cell``
-    — zero exchange) plus one per-cell mean aggregation, with lazy
-    ``localCheckpoint`` truncating lineage (same iterative pattern as
-    dedup_clusters). Centroid means are rounded to 9 dp to damp float
-    merge-order sensitivity across partitionings. At 100 TB the cell
-    assignment is written once at ingest (partition by cell); queries
-    touch nprobe/k of the corpus.
+    Deterministic, and trained at SAMPLE cost: the quantizer is fit by
+    Lloyd iterations over the IVF_TRAIN_MAX smallest-xxhash64 vectors —
+    a deterministic uniform sample picked via TakeOrdered (parallel
+    partial top-k, never a global single-partition sort), collected
+    ONCE to the driver (bounded: ≤4096 × EMB_DIM doubles ≈ 2 MB — a
+    deliberate, size-capped collect like the 8-row fixpoint probe it
+    replaces, NOT a corpus collect), and iterated to the centroid
+    FIXPOINT in numpy under the IVF_ITERATIONS cap. This is the
+    standard IVF training topology (sample → small-machine k-means →
+    distributed assignment): a distributed Lloyd round over a
+    broadcastable sample is pure scheduler overhead — the pre-round-5
+    form paid IVF_ITERATIONS Spark jobs (and, before that, corpus
+    passes) to move 2 MB of math that a vectorized driver loop does in
+    milliseconds.
+
+    At 100 TB: training cost is CONSTANT (the sample bound), the
+    corpus pays exactly ONE map-only assignment pass (see
+    ``nearest_cell`` — broadcast centroids, zero exchange), written at
+    ingest partitioned by cell; queries then touch nprobe/k of the
+    corpus.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-    # reused across Lloyd iterations; lazy — the first broadcast/agg
-    # materializes it inside an already-running job
+    # reused by the final assignment + probe joins; lazy — the first
+    # broadcast/agg materializes it inside an already-running job
     emb = emb.localCheckpoint(eager=False)
 
-    # orderBy+limit plans as TakeOrderedAndProject; the 8-row result
-    # then gets cell ids from a window over just those 8 rows
+    # deterministic training sample = smallest-hash IVF_TRAIN_MAX
+    # vectors; orderBy+limit plans as TakeOrderedAndProject (partial
+    # top-k per partition, no global sort)
     init_key = F.xxhash64(F.col("vec_id").cast("string"))
-    seeds = emb.select("vec_id", "v", init_key.alias("_k")).orderBy("_k").limit(
-        IVF_CENTROIDS
+    sample = (
+        emb.select("v", init_key.alias("_k"))
+        .orderBy("_k")
+        .limit(IVF_TRAIN_MAX)
+        .collect()
     )
-    w_seed = Window.orderBy("_k")
-    centroids = seeds.select(
-        F.row_number().over(w_seed).alias("cell"), F.col("v").alias("cv")
-    ).localCheckpoint(eager=False)
+    centroids = _train_quantizer_numpy(spark, sample)
 
-    def nearest_cell(vec_col: str, cents: DataFrame) -> DataFrame:
+    def nearest_cell(
+        frame: DataFrame, cents: DataFrame, vec_col: str = "v"
+    ) -> DataFrame:
         """Assign each vector to its max-cosine centroid with NO
         shuffle: the k centroids collapse to ONE broadcast row
         holding an array of (cell, cv) structs, and the argmax is a
@@ -372,7 +426,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
         return (
-            emb.join(F.broadcast(cent_row))
+            frame.join(F.broadcast(cent_row))
             .select(
                 "vec_id",
                 "v",
@@ -396,30 +450,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
         )
 
-    global _LAST_IVF_ROUNDS
-    prev_cents = None
-    for _round in range(IVF_ITERATIONS):
-        assigned = nearest_cell("v", centroids)
-        # lazy: the next round's broadcast (or the final probe join)
-        # materializes it — lineage still truncates at that point, so
-        # round plans don't compound
-        centroids = _centroid_update(assigned).localCheckpoint(eager=False)
-        # fixpoint probe: the quantizer is IVF_CENTROIDS rows of
-        # 9dp-rounded means — collecting it is the same job the next
-        # consumer would trigger (the lazy checkpoint materializes
-        # once either way), and identical consecutive centroid sets
-        # mean every later Lloyd round would reproduce them verbatim
-        # (assignment is a pure function of centroid values), so the
-        # remaining corpus-pass rounds are skipped outright
-        cur_cents = sorted(
-            (r["cell"], tuple(r["cv"])) for r in centroids.collect()
-        )
-        _LAST_IVF_ROUNDS = _round + 1
-        if cur_cents == prev_cents:
-            break
-        prev_cents = cur_cents
-
-    corpus_cells = nearest_cell("v", centroids).filter(
+    # the corpus's ONE assignment pass (at ingest time in production)
+    corpus_cells = nearest_cell(emb, centroids).filter(
         F.col("vec_id") >= N_QUERIES
     )
     # queries probe their IVF_NPROBE closest cells

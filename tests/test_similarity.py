@@ -42,13 +42,6 @@ def test_ivf_deterministic_and_scored_consistently(spark, sf_dir):
     a = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
     b = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
-    # the centroid-fixpoint probe must have run 1..IVF_ITERATIONS
-    # Lloyd rounds; determinism of a==b above proves an early exit
-    # reproduces the full-loop quantizer (assignment is a pure
-    # function of centroid values)
-    from irio2024_mapreduce_spark.operators import similarity as _sim
-
-    assert 1 <= _sim._LAST_IVF_ROUNDS <= _sim.IVF_ITERATIONS
     # cosines must match the exact path for shared (query, neighbor)
     exact = {
         (r["query_id"], r["neighbor_id"]): r["cosine"]
@@ -57,6 +50,64 @@ def test_ivf_deterministic_and_scored_consistently(spark, sf_dir):
     for qid, nid, cos, _rank in a:
         if (qid, nid) in exact:
             assert abs(cos - exact[(qid, nid)]) < 1e-9
+
+
+def test_ivf_fixpoint_early_exit_matches_full_loop(spark, sf_dir, monkeypatch):
+    """The centroid-fixpoint early exit must be behavior-preserving:
+    force a strictly larger Lloyd-round budget and assert (a) the
+    result is identical to the default run, and (b) the extra budget
+    bought zero extra rounds — i.e. the exit fired at the same
+    fixpoint rather than the loop merely exhausting ``range``.
+    (Replaces a tautological ``_LAST_IVF_ROUNDS <= IVF_ITERATIONS``
+    upper-bound assert — ADVICE r4.)"""
+    from irio2024_mapreduce_spark.operators import similarity as _sim
+
+    base = sorted(map(tuple, _sim.similarity_ivf(spark, sf_dir).collect()))
+    base_rounds = _sim._LAST_IVF_ROUNDS
+    default_budget = _sim.IVF_ITERATIONS
+    monkeypatch.setattr(_sim, "IVF_ITERATIONS", default_budget + 5)
+    extended = sorted(
+        map(tuple, _sim.similarity_ivf(spark, sf_dir).collect())
+    )
+    assert extended == base
+    # same round count under a bigger budget: the exit (not range
+    # exhaustion) stopped both runs at the same fixpoint — if the
+    # default run had merely exhausted its budget short of the
+    # fixpoint, the extended run would have kept iterating and this
+    # (or the result equality above) would fail
+    assert _sim._LAST_IVF_ROUNDS == base_rounds
+
+
+def test_ann_ivf_contained_in_exact_top_decile(spark, sf_dir, monkeypatch):
+    """Driver-visible parity for the two permanently-`no_oracle`
+    approximate queries (VERDICT r4 item 6): every (query, neighbor)
+    pair `similarity_ann`/`similarity_ivf` returns must lie within
+    the ORACLE-CHECKED exact ranking's top decile (top-50 of the
+    ~500-vector corpus) for its query — approximate search may miss
+    true neighbors (recall floors asserted in the other tests) but
+    must never surface junk the exact ranking puts below the decile.
+    Measured headroom on this fixture: ANN's worst pair is exact-rank
+    27, IVF's 19. Cited from COVERAGE.md as the locally-asserted
+    containment evidence for the no_oracle rows."""
+    from irio2024_mapreduce_spark.operators import similarity as _sim
+
+    M = 50
+    monkeypatch.setattr(_sim, "TOP_K", M)
+    exact_topM = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _sim.similarity_topk(spark, sf_dir).collect()
+    }
+    monkeypatch.undo()  # approximate paths run at the default TOP_K
+    for fn in (_sim.similarity_ann, _sim.similarity_ivf):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, sf_dir).collect()
+        }
+        assert got, fn.__name__
+        assert got <= exact_topM, (
+            fn.__name__,
+            sorted(got - exact_topM)[:5],
+        )
 
 
 def test_ivf_recall_beats_random(spark, sf_dir):
@@ -99,40 +150,50 @@ def test_ann_recall_floor(spark, sf_dir):
     assert recall >= 0.4, recall
 
 
-def test_centroid_update_no_explode_and_correct_means(spark):
-    """The Lloyd-round centroid update must (a) contain no
-    Generate/posexplode node — per-dimension sums ride map-side
-    combine as columns, one shuffle row per (cell, partition) — and
-    (b) compute the element-wise member mean exactly."""
-    import contextlib
-    import io
-
-    from pyspark.sql import functions as F
-
+def test_quantizer_trainer_means_ties_and_malformed(spark):
+    """The driver-side quantizer trainer must (a) seed from the
+    smallest-hash sample rows, (b) converge cluster means exactly on
+    separable data, and (c) exclude malformed vectors (wrong length /
+    NULL element) from training without failing."""
     from irio2024_mapreduce_spark.operators.similarity import (
         EMB_DIM,
-        _centroid_update,
+        _train_quantizer_numpy,
     )
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    # two well-separated groups along the first axis; _k order makes
+    # one member of each group a seed (k = IVF_CENTROIDS caps at the
+    # number of valid vectors = 4 here, so every vector seeds — the
+    # means still converge to the group means)
+    def vec(x):
+        return [x] + [0.0] * (EMB_DIM - 1)
 
     rows = [
-        (1, [1.0] * EMB_DIM),
-        (1, [3.0] * EMB_DIM),
-        (2, [5.0] * EMB_DIM),
+        R(_k=0, v=vec(10.0)),
+        R(_k=1, v=vec(-10.0)),
+        R(_k=2, v=vec(12.0)),
+        R(_k=3, v=vec(-12.0)),
+        R(_k=4, v=None),  # malformed: NULL vector
+        R(_k=5, v=[1.0, 2.0]),  # malformed: wrong length
+        R(_k=6, v=[None] * EMB_DIM),  # malformed: NULL elements
     ]
-    assigned = spark.createDataFrame(rows, ["cell", "v"]).select(
-        "cell", F.transform("v", lambda x: x.cast("double")).alias("v")
-    )
-    updated = _centroid_update(assigned)
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        updated.explain(mode="formatted")
-    plan = buf.getvalue()
-    assert "Generate" not in plan  # no posexplode in the subtree
-
-    got = {r["cell"]: r["cv"] for r in updated.collect()}
-    assert got[1] == [2.0] * EMB_DIM
-    assert got[2] == [5.0] * EMB_DIM
+    cents = {
+        r["cell"]: r["cv"]
+        for r in _train_quantizer_numpy(spark, rows).collect()
+    }
+    assert len(cents) == 4  # malformed rows excluded, valid rows seed
+    firsts = sorted(cv[0] for cv in cents.values())
+    # cosine assignment groups by DIRECTION: the +x vectors {10, 12}
+    # are cosine-identical, tie to the smallest cell (seed 10), whose
+    # centroid converges to the group mean 11; same for the -x group
+    # (mean -11). The two tied-away seeds (12, -12) lose all members
+    # and KEEP their previous centroid — the empty-cell rule.
+    assert firsts == [-12.0, -11.0, 11.0, 12.0]
+    for cv in cents.values():
+        assert cv[1:] == [0.0] * (EMB_DIM - 1)
 
 
 def test_ann_multiprobe_recall_clustered(spark):

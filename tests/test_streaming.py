@@ -267,13 +267,25 @@ def test_sessionize_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
         streaming_sessionize,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = events.selectExpr("percentile(ts, 0.5) AS m").collect()[0]["m"]
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    # load_table (NOT a raw parquet read): it normalizes events.ts to
+    # session-zoned TIMESTAMP regardless of the fixture's physical type
+    # (int64 nanos in some rounds, TIMESTAMP_NTZ in others) — percentile
+    # rejects TIMESTAMP_NTZ outright, and the written halves must carry
+    # the same schema the engine-side streaming readers produce.
+    events = load_table(spark, sf_dir, "events")
+    # percentile() only accepts NUMERIC input (it rejects TIMESTAMP and
+    # TIMESTAMP_NTZ alike), so take the median over unix_micros and
+    # split on the same numeric expression
+    m = events.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS m"
+    ).collect()[0]["m"]
     src = tmp_path / "two_batch_src"
     src.mkdir()
     halves = [
-        events.filter(F.col("ts") <= m),
-        events.filter(F.col("ts") > m),
+        events.filter(F.unix_micros("ts") <= m),
+        events.filter(F.unix_micros("ts") > m),
     ]
     for i, half in enumerate(halves):
         stage = str(tmp_path / f"half{i}")
