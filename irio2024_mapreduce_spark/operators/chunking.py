@@ -69,6 +69,12 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERATIONS = 10
 
+# Probe-only toggle (tools/stress_cc_ivf.py): disable the exact-dup
+# representative seeding to measure its convergence effect at stress
+# scale. The fixpoint (and thus the query result) is IDENTICAL either
+# way — seeding only changes how many propagation rounds reach it.
+CC_REP_SEEDING = True
+
 # observability: rounds the last dedup_clusters call needed (includes
 # the final no-change confirmation round) — read by tests/probes, never
 # by query logic
@@ -131,16 +137,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cliques — the dominant component shape in replicated crawl
     # data — start already converged and most components settle in
     # round 1 instead of 2.
-    seeds = hashed.join(reps, "_h").select(
-        "doc_id", F.col("rep").alias("_seed")
-    )
-    labels = (
-        members.join(seeds, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_seed", F.col("doc_id")).alias("label"),
+    if CC_REP_SEEDING:
+        seeds = hashed.join(reps, "_h").select(
+            "doc_id", F.col("rep").alias("_seed")
         )
-    )
+        labels = (
+            members.join(seeds, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("_seed", F.col("doc_id")).alias("label"),
+            )
+        )
+    else:  # probe-only baseline: every member labels itself
+        labels = members.select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
 
     global _LAST_CC_ROUNDS
     converged = False

@@ -22,6 +22,7 @@ enabled vs disabled.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -98,15 +99,13 @@ def adversarial_postings() -> None:
     print(json.dumps({"adversarial_postings": out, "n_docs": n_docs}))
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
-        adversarial_postings()
-        return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("stress")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def build_scaled_corpus(spark, base: str, n: int) -> str:
+    """Replicate sf-dir documents+embeddings n× into a temp dir and
+    return its path (multi-file parquet, real splits). Doc replicas
+    shift doc_id; embedding replicas shift vec_id past the query
+    range so the query set stays the original N_QUERIES vectors while
+    the corpus grows n× (duplicate vectors = worst case for bucketed
+    ANN: every replica group lands in identical buckets)."""
     stage = tempfile.mkdtemp(prefix="stress_")
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     scaled = None
@@ -118,10 +117,6 @@ def main() -> None:
     scaled.repartition(32).write.mode("overwrite").parquet(
         os.path.join(stage, "documents.parquet")
     )
-    # embeddings: replicas shift vec_id past the query range so the
-    # query set stays the original N_QUERIES vectors while the corpus
-    # grows n× (duplicate vectors = worst case for bucketed ANN: every
-    # replica group lands in identical buckets)
     emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
     scaled_emb = None
     for k in range(n):
@@ -134,6 +129,18 @@ def main() -> None:
     scaled_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(stage, "embeddings.parquet")
     )
+    return stage
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
+        adversarial_postings()
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    stage = build_scaled_corpus(spark, base, n)
 
     qs = registry.queries()
     out: dict[str, dict[str, float]] = {}
@@ -141,6 +148,9 @@ def main() -> None:
         times = {}
         for label, d in [("1x", base), (f"{n}x", stage)]:
             qs[name](spark, d).write.mode("overwrite").format("noop").save()
+            # drain the py4j ref-free backlog outside the timed window
+            # (see bench.py / SCALE.md round-5 transient root cause)
+            gc.collect()
             t0 = time.perf_counter()
             qs[name](spark, d).write.mode("overwrite").format("noop").save()
             times[label] = round(time.perf_counter() - t0, 2)
