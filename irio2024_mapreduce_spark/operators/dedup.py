@@ -234,51 +234,42 @@ def _minhash_candidates(
     # shuffle to build signatures). Wrapping affine permutations would
     # be cheaper still but ANSI mode (Spark 4 default) forbids long
     # overflow.
+    #
+    # Both the K-min-hash array and the band structs are built as
+    # SINGLE F.expr strings, not Python loops over Column objects: the
+    # loop form issued hundreds of py4j round-trips per plan build
+    # (several SECONDS of driver time for this query alone) and minted
+    # the matching pile of JavaObject refs whose later detach storms
+    # are the SCALE.md round-5 transient; one SQL string is one py4j
+    # call, parsed JVM-side into the IDENTICAL expression tree (int
+    # literals, element_at indices, concat_ws all parse to the same
+    # typed nodes the loop form produced — parity pinned by tests and
+    # the stable recall numbers).
+    mins = ", ".join(
+        f"array_min(transform(h, x -> xxhash64({i}, x)))"
+        for i in range(MINHASH_PERMS)
+    )
     sig = docs.select(
         "doc_id",
         "shingles",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"),
-    ).select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                # NB: one-arg lambda — a two-arg lambda would receive
-                # the element INDEX as its second argument
-                F.array_min(
-                    F.transform(
-                        "h",
-                        (lambda i_: lambda h: F.xxhash64(F.lit(i_), h))(i),
-                    )
-                )
-                for i in range(MINHASH_PERMS)
-            ]
-        ).alias("sig"),
-    )
+    ).select("doc_id", "shingles", F.expr(f"array({mins})").alias("sig"))
     # Band rows carry ONLY (doc_id, band, band_hash) — the shingle
     # arrays must not ride through the 8× explode, the join, or the
     # pair dedup (at 100 TB they're the document bodies, effectively).
+    bands = ", ".join(
+        "named_struct('band', {b}, 'band_hash', "
+        "xxhash64(concat_ws(',', {elems})))".format(
+            b=b,
+            elems=", ".join(
+                f"element_at(sig, {b * LSH_ROWS + r + 1})"
+                for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
     banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * LSH_ROWS + r + 1)
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bh"),
+        "doc_id", F.expr(f"explode(array({bands}))").alias("bh")
     ).select("doc_id", "bh.band", "bh.band_hash")
 
     # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
