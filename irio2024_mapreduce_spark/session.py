@@ -38,6 +38,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def drain_driver_backlog() -> None:
+    """Session hygiene for long-lived PySpark drivers running many
+    distinct queries: force a Python GC so the py4j JavaObject
+    reference backlog (every Column/DataFrame handle a plan build
+    creates) detaches NOW, between queries, instead of when Python's
+    generational GC happens to fire MID-build — at which point the
+    detach RPCs serialize on the same py4j gateway connection the
+    build needs and wall time inflates 3-30× with no JVM-side
+    signature (root-caused in SCALE.md round-5; measured stats_pack
+    50-78 s vs 1.6-3.1 s at sf0.001). Call between queries in any
+    multi-query driver loop (bench.py and tools/check_oracle.py do).
+    This is driver-side only; executors/JVM execution are unaffected.
+    """
+    import gc
+
+    gc.collect()
+
+
 def get_spark(
     app_name: str = "irio2024-mapreduce-spark",
     master: str | None = None,
@@ -83,6 +101,14 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
         )
+        # Long-lived-session hygiene: ContextCleaner only reclaims
+        # shuffle files / broadcast blocks / checkpointed RDDs when the
+        # JVM garbage-collects their driver-side handles — and a large,
+        # mostly-idle heap (24 GiB here, bigger in production) can go
+        # HOURS between collections, so a many-query session leaks disk
+        # and block-manager entries the whole time. A 15-minute forced
+        # GC bounds that window; the default is 30 min.
+        .config("spark.cleaner.periodicGC.interval", "15min")
     )
     # Production state-store: RocksDB keeps streaming state (open
     # sessions, window partials) off-heap and spillable — the default

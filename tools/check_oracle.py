@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from irio2024_mapreduce_spark import registry
-from irio2024_mapreduce_spark.session import get_spark
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
 
 
@@ -75,6 +75,9 @@ def main() -> int:
 
     failures = 0
     for name in names:
+        # 50-query loop = the exact shape that breeds py4j detach
+        # storms (SCALE.md round-5) — drain between queries
+        drain_driver_backlog()
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
