@@ -125,3 +125,36 @@ def test_csv_reader_prunes_columns(spark, tmp_path):
     plan = buf.getvalue()
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "lang" in read_schema and "text" not in read_schema
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source: partitioned write → directory read roundtrips
+    exactly, and a filter on the read reaches the ORC scan as a
+    pushed-down predicate (stripe statistics pruning at scale)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.sources.sinks import write_partitioned
+    from irio2024_mapreduce_spark.sources.tables import read_orc_dir
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    path = str(tmp_path / "orc_out")
+    write_partitioned(df, path, partition_by=["part"], fmt="orc")
+
+    back = read_orc_dir(spark, path)
+    assert sorted(map(tuple, back.select("id", "part", "val").collect())) == \
+        sorted(map(tuple, df.collect()))
+
+    filtered = back.filter(F.col("id") > 150).select("id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "GreaterThan(id,150)" in plan
+    assert filtered.count() == 49
