@@ -126,3 +126,19 @@ def test_json_extract_parses_once(spark, sf_dir):
     # one from_json per row — a second parse of the same column would
     # double the dominant per-row cost at 100 TB
     assert optimized.count("from_json") == 1
+
+
+def test_ivf_corpus_assignment_is_map_only_broadcast(spark, sf_dir):
+    """similarity_ivf's corpus-scale work must be shuffle-free: the
+    centroid attach is a broadcast of ONE collected row (plans as
+    BroadcastNestedLoopJoin), the probe join broadcasts the tiny
+    (query, cell) frame (BroadcastHashJoin), and the corpus is never
+    sort-merge-joined or cartesian-producted — the only corpus
+    exchange allowed is the final per-query top-k window."""
+    from irio2024_mapreduce_spark.operators.similarity import similarity_ivf
+
+    plan = plan_of(similarity_ivf(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid attach
+    assert "BroadcastHashJoin" in plan  # probe cells join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
