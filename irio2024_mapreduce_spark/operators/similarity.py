@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
+from irio2024_mapreduce_spark.sources.tables import load_table_parallel
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors

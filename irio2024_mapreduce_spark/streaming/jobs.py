@@ -81,20 +81,34 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _normalize_event_ts(stream: DataFrame, raw_schema) -> DataFrame:
+    """Streaming twin of the ts normalization in ``sources.tables
+    .load_table``: the fixture generator has shipped ``events.ts`` as
+    int64 nanos in some rounds and TIMESTAMP_NTZ µs in others; either
+    becomes the session-zoned TIMESTAMP type (session tz pinned UTC,
+    wall-clock values unchanged)."""
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}.get("ts")
+    if ts_type == "bigint":  # int64 nanos (nanosAsLong)
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if ts_type == "timestamp_ntz":
+        # parquet µs with isAdjustedToUTC=false; session tz is pinned
+        # UTC so the cast changes the type, not the wall-clock values
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts; append mode emits only
     watermark-closed windows (late-data drop made visible)."""
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(_stage_dir(path))
-    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}.get("ts")
-    if ts_type == "bigint":  # int64 nanos (nanosAsLong)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # parquet µs with isAdjustedToUTC=false; session tz is pinned
-        # UTC so the cast changes the type, not the wall-clock values
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(_stage_dir(path)),
+        raw_schema,
+    )
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -108,4 +122,69 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sec_{uuid.uuid4().hex[:8]}"
     _drain(agg.writeStream.outputMode("append"), name)
+    return spark.table(name)
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream INNER JOIN with watermark-bounded state: click
+    events joined to purchase events by the same user within 30
+    minutes AFTER the click.
+
+    This is the third Structured Streaming state shape (after the
+    windowed aggregations and the applyInPandasWithState custom
+    sessionizer): both inputs are unbounded, so Spark buffers each
+    side in the state store and the JOIN TIME-RANGE CONDITION plus
+    the two watermarks are what make state evictable — a click older
+    than (watermark − 30 min) can never match a future purchase and
+    is dropped. Without the range condition the state grows without
+    bound; with it, state is O(events in the watermark horizon) on a
+    1000-executor cluster regardless of total stream length. Append
+    mode: each matched pair is emitted exactly once.
+
+    Verified by batch parity (same join, batch DataFrames) and a
+    DuckDB oracle in tests/test_streaming.py.
+    """
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def side(evt: str, prefix: str) -> DataFrame:
+        return (
+            _normalize_event_ts(
+                spark.readStream.schema(raw_schema).parquet(
+                    _stage_dir(path)
+                ),
+                raw_schema,
+            )
+            .filter(F.col("event_type") == evt)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    joined = (
+        side("click", "click")
+        .join(
+            side("purchase", "purchase"),
+            F.expr(
+                "click_user = purchase_user "
+                "AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        .select(
+            F.col("click_user").alias("user_id"),
+            F.col("click_id"),
+            F.col("purchase_id"),
+            F.col("click_ts"),
+            F.col("purchase_ts"),
+        )
+    )
+    name = f"scpj_{uuid.uuid4().hex[:8]}"
+    _drain(joined.writeStream.outputMode("append"), name)
     return spark.table(name)

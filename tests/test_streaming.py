@@ -305,3 +305,73 @@ def test_sessionize_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, two_batch.collect()))
     b = sorted(map(tuple, one_batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_join_batch_parity_and_oracle(spark, sf_dir):
+    """The watermark-bounded stream-stream join must emit exactly the
+    pairs the equivalent BATCH join produces (availableNow drains the
+    whole fixture, and an inner join is never truncated by the
+    watermark on bounded input), and both must match an independent
+    DuckDB oracle over the same parquet."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.sources.tables import load_table
+    from irio2024_mapreduce_spark.streaming.jobs import (
+        streaming_click_purchase_join,
+    )
+
+    got = sorted(
+        map(tuple, streaming_click_purchase_join(spark, sf_dir).collect())
+    )
+    assert len(got) > 0
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = sorted(
+        map(
+            tuple,
+            clicks.join(
+                purchases,
+                F.expr(
+                    "click_user = purchase_user "
+                    "AND purchase_ts >= click_ts "
+                    "AND purchase_ts <= click_ts + interval 30 minutes"
+                ),
+            )
+            .select(
+                F.col("click_user").alias("user_id"),
+                "click_id",
+                "purchase_id",
+                "click_ts",
+                "purchase_ts",
+            )
+            .collect(),
+        )
+    )
+    assert got == batch
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        SELECT c.user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM read_parquet('{sf_dir}/events.parquet') c
+        JOIN read_parquet('{sf_dir}/events.parquet') p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    assert [(r[0], r[1], r[2]) for r in got] == [tuple(r) for r in oracle]
