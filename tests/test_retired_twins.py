@@ -49,6 +49,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         "null_handling",
         "agg_cube",
         "window_lag_lead",
+        # never-registered (window full at 50): local-oracle-only
+        "unpivot_measures",
     }
 
 
