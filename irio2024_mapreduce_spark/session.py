@@ -94,6 +94,11 @@ def get_spark(
         # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in the source (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NB: only engages on the DataSource V2 parquet path — Spark
+        # defaults parquet to V1 (spark.sql.sources.useV1SourceList),
+        # where this conf is inert. Kept on so deployments that flip
+        # to V2 get footer-statistics COUNT/MIN/MAX for free; the V2
+        # behavior is pinned by tests/test_plans.py.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         # local-mode: driver heap IS the executor heap for all threads;

@@ -142,3 +142,75 @@ def test_ivf_corpus_assignment_is_map_only_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # probe cells join
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_count_minmax_push_into_parquet_footer(spark, sf_dir):
+    """spark.sql.parquet.aggregatePushdown only engages on the
+    DataSource V2 parquet path (parquet defaults to V1 via
+    useV1SourceList) — prove that with V2 enabled, COUNT/MIN/MAX over
+    a raw parquet scan are answered from footer statistics
+    (PushedAggregation in the scan node), never by scanning rows, and
+    that the answers match the row-scanned V1 plan."""
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def q():
+        return spark.read.parquet(path).agg(
+            {"l_quantity": "min", "l_extendedprice": "max", "*": "count"}
+        )
+
+    v1_rows = sorted(map(tuple, q().collect()))
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = q()
+        plan = plan_of(df)
+        assert "PushedAggregation" in plan, plan
+        seg = plan.split("PushedAggregation:")[1].split("]")[0]
+        assert "COUNT(*)" in seg and "MIN(l_quantity)" in seg
+        assert "MAX(l_extendedprice)" in seg
+        assert sorted(map(tuple, df.collect())) == v1_rows
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_sql_string_api_over_registered_views(spark, sf_dir):
+    """register_views + spark.sql is a first-class entry path: a SQL
+    string over the registered views must produce the identical rows
+    AND the identical physical plan shape (broadcast dim join, partial
+    agg) as the DataFrame API twin."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.sources.tables import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    sql_df = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    api_df = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+    assert sorted(map(tuple, sql_df.collect())) == sorted(
+        map(tuple, api_df.collect())
+    )
+    plan = plan_of(sql_df, mode="simple")
+    # Catalyst picks the same physical strategy without the hint: the
+    # nation dim auto-broadcasts and the agg keeps its partial phase
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
