@@ -74,7 +74,12 @@ PAIRWISE_BLOCK_CAP = 1024
 NGRAM_POSTING_CAP = 256
 
 
-def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+def _cap_buckets(
+    rows: DataFrame,
+    keys: list[str],
+    cap: int,
+    checkpoint_input: bool = False,
+) -> DataFrame:
     """Drop all rows of any bucket (= distinct ``keys`` combo) with
     more than ``cap`` members. For HIGH-cardinality keys (LSH band
     hashes); low-cardinality keys use :func:`_cap_blocks_lowcard`.
@@ -94,6 +99,17 @@ def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     them. Every current call site feeds non-null keys (band hashes,
     chunk values, exploded shingles); a caller with nullable keys
     must pre-filter or coalesce them explicitly."""
+    # checkpoint_input=True materializes `rows` once (lazy) because it
+    # feeds BOTH the size aggregation and the admission join — without
+    # it the upstream pipeline executes twice at runtime (no exchange
+    # reuse: the two consumers have different shapes). Worth it only
+    # when that pipeline is expensive relative to the materialization
+    # volume: ON for the minhash signature pipeline (K hashes per
+    # shingle array; measured 2.45→2.16 s at sf0.1), OFF for the slim
+    # simhash-chunk and shingle-posting pipelines, where the extra
+    # write cost more than the saved recompute (+15% measured).
+    if checkpoint_input:
+        rows = rows.localCheckpoint(eager=False)
     sizes = (
         rows.groupBy(*keys)
         .agg(F.count("*").alias("_bsz"))
@@ -272,8 +288,12 @@ def _minhash_candidates(
         "doc_id", F.expr(f"explode(array({bands}))").alias("bh")
     ).select("doc_id", "bh.band", "bh.band_hash")
 
-    # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
-    banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
+    # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP);
+    # checkpoint_input: the signature pipeline above is the expensive
+    # part and must compute once, not once per cap consumer
+    banded = _cap_buckets(
+        banded, ["band", "band_hash"], bucket_cap, checkpoint_input=True
+    )
 
     # materialize ONCE before the self-join: both join sides otherwise
     # instantiate the whole signature pipeline (K minhashes per
