@@ -437,3 +437,31 @@ def test_lowcard_block_cap_is_broadcast_not_shuffle(spark, sf_dir):
 
     # and the full query still has no sort-merge path anywhere
     assert "SortMergeJoin" not in plan_of(dedup_embedding(spark, sf_dir))
+
+
+def test_cap_buckets_checkpoint_input_is_behavior_preserving(spark):
+    """The checkpoint_input fast path in _cap_buckets is a pure
+    materialization hint: admitted rows must be IDENTICAL with it on
+    and off (including which buckets are dropped)."""
+    from irio2024_mapreduce_spark.operators.dedup import _cap_buckets
+
+    rows = spark.createDataFrame(
+        [(b, i) for b in range(6) for i in range(b + 1)], ["bucket", "i"]
+    )
+    on = sorted(
+        map(
+            tuple,
+            _cap_buckets(rows, ["bucket"], 3, checkpoint_input=True)
+            .collect(),
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            _cap_buckets(rows, ["bucket"], 3, checkpoint_input=False)
+            .collect(),
+        )
+    )
+    assert on == off
+    # buckets 0..2 (sizes 1..3) admitted; 3..5 (sizes 4..6) dropped
+    assert {b for b, _ in on} == {0, 1, 2}
