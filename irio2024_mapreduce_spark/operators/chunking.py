@@ -69,10 +69,12 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERATIONS = 10
 
-# Probe-only toggle (tools/stress_cc_ivf.py): disable the exact-dup
-# representative seeding to measure its convergence effect at stress
-# scale. The fixpoint (and thus the query result) is IDENTICAL either
-# way — seeding only changes how many propagation rounds reach it.
+# Probe-only toggle (tools/stress_cc_ivf.py): True (default) runs
+# connected components on the COLLAPSED exact-dup representative
+# graph (round-5 form — the label loop never sees duplicate members);
+# False runs the legacy member-graph propagation for A/B comparison.
+# The result is IDENTICAL either way — only the rows the loop touches
+# differ.
 CC_REP_SEEDING = True
 
 # observability: rounds the last dedup_clusters call needed (includes
@@ -83,39 +85,57 @@ _LAST_CC_ROUNDS = 0
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs → canonical doc per
-    cluster + cluster size. Smallest-label propagation: every doc
-    starts labeled by itself; each round, every doc takes the min
-    label in its neighborhood; fixpoint = components.
+    cluster + cluster size. Smallest-label propagation with pointer
+    jumping; fixpoint = components.
+
+    **Collapsed-graph CC (round-5 form, CC_REP_SEEDING=True):** the
+    propagation runs on the exact-dup REPRESENTATIVE graph only. The
+    near-dup edge source (``dedup_ngram_jaccard``) already collapses
+    byte-identical texts and emits pairs between representatives, so
+    every exact d-clique is ONE node in the graph — at a 100×
+    replicated corpus the label loop touches ~1/100th of the rows the
+    member-graph form did (measured 43 s → see SCALE.md), and exact
+    duplicates receive their cluster label afterwards through one
+    doc→rep→label join. The fixpoint is identical: a component's
+    label is the min rep id, and the min rep id IS the min doc id of
+    the whole member set (each rep is its clique's min).
 
     Each iteration is a shuffle-bounded join (edges ⋈ labels) — no
-    driver-side graph. Iterations are bounded by component DIAMETER
-    (near-dup clusters are small by construction), not corpus size.
+    driver-side graph. Iterations are bounded by near-component
+    DIAMETER (small by construction), not corpus size.
 
     Edges come from the oracle-checked ``dedup_ngram_jaccard`` pair
     set so the component structure is hash-verifiable end-to-end (the
     DuckDB oracle rebuilds the identical edges and takes their
     transitive closure with a recursive CTE).
+
+    ``CC_REP_SEEDING=False`` (probe-only baseline) runs the legacy
+    member-graph propagation: every doc is a node, exact cliques are
+    rep↔dup star edges, everyone self-labels.
     """
     near_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # the pairwise query collapses exact duplicates to representatives
-    # and never emits pairs among them — re-add those edges here
-    # (rep ↔ duplicate) so byte-identical twins cluster together
-    # instead of surfacing as singletons.
     docs_raw = load_table(spark, sf_dir, "documents")
     # materialize the 32-byte (doc_id, hash) rows once: `reps` and the
-    # join below are two consumers of this frame, which would
+    # doc→rep join are two consumers of this frame, which would
     # otherwise instantiate the scan+sha2 pass twice (corpus-sized at
     # scale) — lazy, the join's action triggers it
     hashed = docs_raw.select(
         "doc_id", F.sha2("text", 256).alias("_h")
     ).localCheckpoint(eager=False)
     reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
-    exact_pairs = (
-        hashed.join(reps, "_h")
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    pairs = near_pairs.unionByName(exact_pairs)
+    doc_rep = hashed.join(reps, "_h").select("doc_id", "rep")
+
+    if CC_REP_SEEDING:
+        pairs = near_pairs
+    else:
+        # legacy member graph: rep↔duplicate star edges pull exact
+        # twins into the propagation itself
+        exact_pairs = doc_rep.filter(
+            F.col("doc_id") != F.col("rep")
+        ).select(
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        pairs = near_pairs.unionByName(exact_pairs)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -131,27 +151,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triggers it, folding edge materialization into iteration 1's job.
     edges = edges.localCheckpoint(eager=False)
     members = edges.select(F.col("src").alias("doc_id")).distinct()
-    # seed every member with its exact-dup REPRESENTATIVE instead of
-    # itself: the rep is in the same component by construction (the
-    # rep↔dup edge above), so the fixpoint is unchanged, but exact
-    # cliques — the dominant component shape in replicated crawl
-    # data — start already converged and most components settle in
-    # round 1 instead of 2.
-    if CC_REP_SEEDING:
-        seeds = hashed.join(reps, "_h").select(
-            "doc_id", F.col("rep").alias("_seed")
-        )
-        labels = (
-            members.join(seeds, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("_seed", F.col("doc_id")).alias("label"),
-            )
-        )
-    else:  # probe-only baseline: every member labels itself
-        labels = members.select(
-            "doc_id", F.col("doc_id").alias("label")
-        )
+    labels = members.select("doc_id", F.col("doc_id").alias("label"))
 
     global _LAST_CC_ROUNDS
     converged = False
@@ -226,21 +226,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2^iterations; raise MAX_CC_ITERATIONS"
         )
 
-    clusters = labels.groupBy("label").agg(
-        F.count("*").alias("cluster_size"),
-        F.min("doc_id").alias("canonical_doc"),
-    )
-    # include singleton docs (no near-dup edges) for the full picture
-    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    singletons = all_docs.join(members, "doc_id", "left_anti").select(
-        F.col("doc_id").alias("label"),
-        F.lit(1).cast("long").alias("cluster_size"),
-        F.col("doc_id").alias("canonical_doc"),
-    )
+    if CC_REP_SEEDING:
+        # attach every doc to its rep's component label; a rep outside
+        # the near graph labels its clique by itself. This is the ONLY
+        # corpus-sized step after the (tiny) rep-graph propagation.
+        rep_labels = labels.select(
+            F.col("doc_id").alias("rep"), "label"
+        )
+        doc_labels = doc_rep.join(rep_labels, "rep", "left").select(
+            "doc_id", F.coalesce("label", F.col("rep")).alias("label")
+        )
+        per_cluster = doc_labels.groupBy("label").agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    else:
+        clusters = labels.groupBy("label").agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        # include singleton docs (no edges at all) for the full picture
+        all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        singletons = all_docs.join(members, "doc_id", "left_anti").select(
+            F.col("doc_id").alias("label"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("canonical_doc"),
+        )
+        per_cluster = clusters.select(
+            "label", "cluster_size", "canonical_doc"
+        ).unionByName(singletons)
     return (
-        clusters.select("label", "cluster_size", "canonical_doc")
-        .unionByName(singletons)
-        .select(
+        per_cluster.select(
             F.col("canonical_doc"),
             F.col("cluster_size"),
         )
