@@ -12,7 +12,6 @@ scales to 100 TB).
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -21,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from irio2024_mapreduce_spark import registry
-from irio2024_mapreduce_spark.session import get_spark
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 
 # Representative of every operator family: scan+flatMap+agg, hash agg,
 # broadcast & shuffle joins, window w/ frame, time windows, dedup,
@@ -169,16 +168,18 @@ def main() -> None:
         gc_deltas: list[int] = []
         for _ in range(ITERATIONS):
             # Drain the py4j reference-cleanup backlog OUTSIDE the
-            # timed window. Root cause of the cross-round "unexplained
-            # transient" class (SCALE.md bench methodology): each plan
-            # build mints thousands of py4j JavaObject refs; when
-            # Python's GC fires MID-QUERY, the detach RPCs serialize
-            # on the same gateway connection the build needs, inflating
-            # wall time 3-30× (measured: stats_pack 50-78 s vs 1.6-3.1 s
-            # at sf0.001 with the backlog drained at boundaries). The
-            # backlog is an artifact of the 75-invocation driver loop,
-            # not of the query under test.
-            gc.collect()
+            # timed window (and nudge the JVM so ContextCleaner frees
+            # dead checkpoint blocks). Root cause of the cross-round
+            # "unexplained transient" class (SCALE.md bench
+            # methodology): each plan build mints thousands of py4j
+            # JavaObject refs; when Python's GC fires MID-QUERY, the
+            # detach RPCs serialize on the same gateway connection the
+            # build needs, inflating wall time 3-30× (measured:
+            # stats_pack 50-78 s vs 1.6-3.1 s at sf0.001 with the
+            # backlog drained at boundaries). The backlog is an
+            # artifact of the 75-invocation driver loop, not of the
+            # query under test.
+            drain_driver_backlog(spark)
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))
@@ -196,7 +197,7 @@ def main() -> None:
             if i >= 1
         )
         if spike:
-            gc.collect()
+            drain_driver_backlog(spark)
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))

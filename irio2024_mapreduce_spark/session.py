@@ -38,7 +38,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def drain_driver_backlog() -> None:
+def drain_driver_backlog(spark: SparkSession | None = None) -> None:
     """Session hygiene for long-lived PySpark drivers running many
     distinct queries: force a Python GC so the py4j JavaObject
     reference backlog (every Column/DataFrame handle a plan build
@@ -49,11 +49,23 @@ def drain_driver_backlog() -> None:
     signature (root-caused in SCALE.md round-5; measured stats_pack
     50-78 s vs 1.6-3.1 s at sf0.001). Call between queries in any
     multi-query driver loop (bench.py and tools/check_oracle.py do).
-    This is driver-side only; executors/JVM execution are unaffected.
+
+    Pass ``spark`` to ALSO trigger a JVM collection: detaching the
+    Python refs makes the JVM-side RDD/broadcast handles garbage, but
+    the ContextCleaner only unpersists their block-manager entries
+    when the JVM actually collects — and a mostly-idle multi-GiB
+    driver heap can go a long time between collections, so repeated
+    checkpoint-heavy queries accumulate dead blocks and degrade
+    (measured: iterative dedup_clusters runs swinging 8-64 s
+    uncontrolled vs settling at 5.5-5.9 s with the JVM nudge;
+    persistent-RDD count held flat instead of growing). Driver-side
+    only; executor JVMs are unaffected.
     """
     import gc
 
     gc.collect()
+    if spark is not None:
+        spark.sparkContext._jvm.System.gc()
 
 
 def get_spark(

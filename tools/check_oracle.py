@@ -77,7 +77,7 @@ def main() -> int:
     for name in names:
         # 50-query loop = the exact shape that breeds py4j detach
         # storms (SCALE.md round-5) — drain between queries
-        drain_driver_backlog()
+        drain_driver_backlog(spark)
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)

@@ -18,7 +18,6 @@ Prints one JSON line.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -27,12 +26,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from irio2024_mapreduce_spark.operators import chunking
-from irio2024_mapreduce_spark.session import get_spark
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 from tools.stress_scale import build_scaled_corpus
 
 
-def timed(fn, *args) -> float:
-    gc.collect()  # drain py4j ref backlog outside the timed window
+def timed(spark, fn, *args) -> float:
+    # drain py4j refs + nudge ContextCleaner outside the timed window
+    drain_driver_backlog(spark)
     t0 = time.perf_counter()
     fn(*args).write.mode("overwrite").format("noop").save()
     return round(time.perf_counter() - t0, 2)
@@ -62,7 +62,7 @@ def main() -> None:
         for label, flag in forms:
             chunking.CC_REP_SEEDING = flag
             cc[label]["secs"].append(
-                timed(chunking.dedup_clusters, spark, stage)
+                timed(spark, chunking.dedup_clusters, spark, stage)
             )
             cc[label]["rounds"] = chunking._LAST_CC_ROUNDS
     for label, _ in forms:

@@ -22,7 +22,6 @@ enabled vs disabled.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -35,7 +34,7 @@ from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark import registry
 from irio2024_mapreduce_spark.operators.similarity import N_QUERIES
-from irio2024_mapreduce_spark.session import get_spark
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 
 # dedup_ngram_jaccard rides the same exact-dup collapse as dedup_near
 # (replicated docs collapse to the same reps) and its length-band
@@ -148,9 +147,9 @@ def main() -> None:
         times = {}
         for label, d in [("1x", base), (f"{n}x", stage)]:
             qs[name](spark, d).write.mode("overwrite").format("noop").save()
-            # drain the py4j ref-free backlog outside the timed window
-            # (see bench.py / SCALE.md round-5 transient root cause)
-            gc.collect()
+            # drain the py4j ref backlog + nudge ContextCleaner
+            # outside the timed window (SCALE.md round-5)
+            drain_driver_backlog(spark)
             t0 = time.perf_counter()
             qs[name](spark, d).write.mode("overwrite").format("noop").save()
             times[label] = round(time.perf_counter() - t0, 2)
