@@ -12,6 +12,7 @@ scales to 100 TB).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -164,22 +165,20 @@ def main() -> None:
     code_cache_mb: dict[str, float] = {}
     transients: dict[str, dict] = {}
     for name in HEADLINE:
+        # Full drain (Python GC + JVM nudge + cleaner settle) BETWEEN
+        # queries: frees the previous query's dead checkpoint blocks
+        # off-window. Between ITERATIONS only the Python-side gc runs —
+        # the JVM nudge enqueues async ContextCleaner work whose RPC
+        # burst otherwise lands inside the next timed window (measured
+        # ~1.5-2× tail inflation when the full drain ran per
+        # iteration). Root cause write-up: SCALE.md round-5 — py4j
+        # detach storms firing MID-build inflate wall time 3-30×; both
+        # drains exist to keep that cost out of the timings.
+        drain_driver_backlog(spark)
         times: list[float] = []
         gc_deltas: list[int] = []
         for _ in range(ITERATIONS):
-            # Drain the py4j reference-cleanup backlog OUTSIDE the
-            # timed window (and nudge the JVM so ContextCleaner frees
-            # dead checkpoint blocks). Root cause of the cross-round
-            # "unexplained transient" class (SCALE.md bench
-            # methodology): each plan build mints thousands of py4j
-            # JavaObject refs; when Python's GC fires MID-QUERY, the
-            # detach RPCs serialize on the same gateway connection the
-            # build needs, inflating wall time 3-30× (measured:
-            # stats_pack 50-78 s vs 1.6-3.1 s at sf0.001 with the
-            # backlog drained at boundaries). The backlog is an
-            # artifact of the 75-invocation driver loop, not of the
-            # query under test.
-            drain_driver_backlog(spark)
+            gc.collect()
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))
@@ -197,7 +196,7 @@ def main() -> None:
             if i >= 1
         )
         if spike:
-            drain_driver_backlog(spark)
+            gc.collect()
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))

@@ -62,10 +62,18 @@ def drain_driver_backlog(spark: SparkSession | None = None) -> None:
     only; executor JVMs are unaffected.
     """
     import gc
+    import time
 
     gc.collect()
     if spark is not None:
         spark.sparkContext._jvm.System.gc()
+        # ContextCleaner processes the newly-enqueued dead references
+        # on its OWN thread — give it a beat so the unpersist/remove
+        # RPC burst lands HERE, not inside the caller's next timed
+        # window (measured: without the pause, a bench battery's tail
+        # queries inflated ~1.5-2× from cleaner work running
+        # concurrently with them)
+        time.sleep(0.3)
 
 
 def get_spark(
