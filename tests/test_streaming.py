@@ -375,3 +375,81 @@ def test_stream_stream_join_batch_parity_and_oracle(spark, sf_dir):
         """
     ).fetchall()
     assert [(r[0], r[1], r[2]) for r in got] == [tuple(r) for r in oracle]
+
+
+def test_stream_stream_join_state_carries_across_micro_batches(
+    spark, tmp_path
+):
+    """A click arriving in micro-batch 0 must match a purchase that
+    only arrives in micro-batch 1: the join buffers the click in the
+    state store across the batch boundary. Also asserts the
+    watermark+range condition EVICTS state: a click far older than
+    the watermark horizon must not match a late purchase."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    files = [
+        # batch 0: two clicks — user 1 (will match in batch 1) and
+        # user 2 (whose purchase arrives hours past the horizon)
+        mk([(1, t0, 1, "click"), (2, t0, 2, "click")]),
+        # batch 1: user 1 purchase 10 min after the click (in range);
+        # plus a fresh user-3 click that advances the watermark far
+        # past user 2's click
+        mk([
+            (3, t0 + m(minutes=10), 1, "purchase"),
+            (4, t0 + m(hours=6), 3, "click"),
+        ]),
+        # batch 2: user 2's purchase, 6h after their click — outside
+        # the 30-min range condition AND past the evicted state
+        mk([(5, t0 + m(hours=6, minutes=5), 2, "purchase")]),
+    ]
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        stage = str(tmp_path / f"ssj{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def side(evt, prefix):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .filter(F.col("event_type") == evt)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    from irio2024_mapreduce_spark.streaming.jobs import _drain
+
+    joined = side("click", "click").join(
+        side("purchase", "purchase"),
+        F.expr(
+            "click_user = purchase_user "
+            "AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select("click_user", "click_id", "purchase_id")
+    _drain(joined.writeStream.outputMode("append"), "ssj_carry")
+    got = sorted(map(tuple, spark.table("ssj_carry").collect()))
+    # exactly the cross-batch (user 1) match; user 2's out-of-range
+    # late purchase matches nothing
+    assert got == [(1, 1, 3)]
