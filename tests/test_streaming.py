@@ -438,6 +438,8 @@ def test_stream_stream_join_state_carries_across_micro_batches(
             .withWatermark(f"{prefix}_ts", "30 minutes")
         )
 
+    import uuid
+
     from irio2024_mapreduce_spark.streaming.jobs import _drain
 
     joined = side("click", "click").join(
@@ -448,8 +450,12 @@ def test_stream_stream_join_state_carries_across_micro_batches(
             "AND purchase_ts <= click_ts + interval 30 minutes"
         ),
     ).select("click_user", "click_id", "purchase_id")
-    _drain(joined.writeStream.outputMode("append"), "ssj_carry")
-    got = sorted(map(tuple, spark.table("ssj_carry").collect()))
+    # unique query name per run: _drain keys the checkpoint dir off
+    # the name, and a memory-sink query refuses to resume a leftover
+    # checkpoint from a previous test session
+    name = f"ssj_carry_{uuid.uuid4().hex[:8]}"
+    _drain(joined.writeStream.outputMode("append"), name)
+    got = sorted(map(tuple, spark.table(name).collect()))
     # exactly the cross-batch (user 1) match; user 2's out-of-range
     # late purchase matches nothing
     assert got == [(1, 1, 3)]
