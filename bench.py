@@ -1,8 +1,15 @@
 """Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE compact JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "value_r01_comparable_subset": sec, "queries": {name: sec, ...},
      "sf": ..., "load_avg_start": [...], "load_avg_end": [...]}
+
+The per-iteration diagnostics (iteration walls, GC deltas, JIT code
+cache, flagged transients) go to a SIDECAR file — $SPARK_GRAFT_BENCH_
+DETAIL, default ./BENCH_DETAIL_last.json — NOT stdout. Round 5's
+enriched stdout line overflowed the driver's tail capture and the
+round's official number was lost ("parsed": null in BENCH_r05.json);
+the final stdout line must stay short enough to survive a ~2 KiB tail.
 
 Timing excludes JVM startup (a warm-up action runs first) and driver-
 side result transfer (queries execute to completion via the noop
@@ -196,17 +203,22 @@ def main() -> None:
             if i >= 1
         )
         if spike:
+            # diagnostic retry ONLY — it stays out of `times`, so a
+            # spiked query reports min over the same ITERATIONS
+            # attempts as a clean one (a retry folded into the min
+            # would bias exactly the queries that spiked downward in
+            # cross-round comparisons)
             gc.collect()
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
             run_once(qs[name](spark, sf_dir))
             retry = time.perf_counter() - t0
-            times.append(retry)
-            gc_deltas.append(jvm_gc_ms() - gc0)
+            retry_gc = jvm_gc_ms() - gc0
             transients[name] = {
                 "iters": [round(t, 3) for t in times],
                 "retry_sec": round(retry, 3),
-                "gc_ms_per_iter": gc_deltas,
+                "retry_gc_ms": retry_gc,
+                "gc_ms_per_iter": list(gc_deltas),
                 "code_cache_used_mb": jvm_code_cache_mb(),
                 "persistent_rdd_blocks": sc._jsc.sc()
                 .getPersistentRDDs().size(),
@@ -223,6 +235,34 @@ def main() -> None:
     # no membership guard: a missing name must raise (KeyError), not
     # silently shrink the subtotal into a phantom speedup
     r01_subset = round(sum(results[n] for n in R01_COMPARABLE), 3)
+    load_end = [round(x, 2) for x in os.getloadavg()]
+
+    # sidecar carries the full evidence trail: per-iteration walls,
+    # GC deltas, JIT code-cache growth, flagged spikes (spread > 3x
+    # within one query, plus one untimed diagnostic retry)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL_last.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "iterations": ITERATIONS,
+                "iteration_times": iteration_times,
+                "iteration_gc_ms": iteration_gc_ms,
+                "code_cache_mb_after": code_cache_mb,
+                "transients": transients,
+                "sf": sf_dir,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+    # the COMPACT summary is the FINAL stdout line — keep it that way
     print(
         json.dumps(
             {
@@ -234,25 +274,14 @@ def main() -> None:
                 # queries than those artifacts did
                 "value_r01_comparable_subset": r01_subset,
                 "queries": results,
-                # full per-iteration record + flagged spikes (spread
-                # > 3x within one query's iterations, plus one retry)
-                # — evidence trail for the recurring one-off transient
-                "iteration_times": iteration_times,
-                "iteration_gc_ms": iteration_gc_ms,
-                # JIT CodeHeap usage sampled after each query — the
-                # suspected mechanism behind late-battery slowdowns
-                # (fresh codegen classes per invocation; cache fills →
-                # interpreted execution until the sweeper frees space)
-                "code_cache_mb_after": code_cache_mb,
-                "transients": transients,
+                "transient_count": len(transients),
+                "detail": os.path.basename(detail_path),
                 "sf": sf_dir,
                 # background load swings single runs 2×+ (see SCALE.md
                 # bench methodology) — the pre-session sample is the
-                # honest contention evidence; the end sample mostly
-                # reflects the bench's own burn and is included only
-                # to show load ramp during the run
+                # honest contention evidence
                 "load_avg_start": load_start,
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "load_avg_end": load_end,
             }
         )
     )

@@ -128,3 +128,28 @@ def test_bench_headline_queries_are_registered():
         ]
     )
     assert set(bench.R01_COMPARABLE) <= set(bench.HEADLINE)
+
+
+def test_bench_summary_line_fits_driver_tail_capture():
+    # BENCH_r05.json came back "parsed": null because the enriched
+    # stdout line outgrew the driver's ~2 KiB tail capture. The final
+    # stdout line is now the compact summary only; pin its worst-case
+    # size so a future field addition can't silently reintroduce the
+    # overflow. Worst case: every query at 9999.999 s.
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_queries_total_time",
+        "value": 99999.999,
+        "unit": "sec",
+        "value_r01_comparable_subset": 99999.999,
+        "queries": {name: 9999.999 for name in bench.HEADLINE},
+        "transient_count": len(bench.HEADLINE),
+        "detail": "BENCH_DETAIL_last.json",
+        "sf": "/root/testdata/sf0.1",
+        "load_avg_start": [99.99, 99.99, 99.99],
+        "load_avg_end": [99.99, 99.99, 99.99],
+    }
+    assert len(json.dumps(worst)) < 1800
