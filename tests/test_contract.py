@@ -11,12 +11,13 @@ def test_every_oracle_key_has_a_query():
     assert set(osql) <= set(qs)
     # rows-only queries are deliberate, enumerated exceptions
     rows_only = set(qs) - set(osql)
+    # multimodal_pipeline graduated to a full oracle row in r6 (real
+    # stdlib P6 decode over SQL-reconstructible payloads)
     assert rows_only == {
         "dedup_near",
         "dedup_simhash",
         "similarity_ann",
         "sketches",
-        "multimodal_pipeline",
         "multimodal_frames",
         "similarity_ivf",
     }

@@ -1,54 +1,75 @@
-"""Multimodal plumbing tests: stub gating, determinism, batch shape."""
+"""Multimodal plumbing tests: real stdlib decode (PPM/BMP), codec
+gating for compressed formats, determinism, batch shape."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
 from irio2024_mapreduce_spark.operators.multimodal import (
     _try_import_pil,
     decode_image,
+    encode_ppm,
     media_table,
     multimodal_decode,
+    resize_image,
 )
 
 HAVE_PIL = _try_import_pil() is not None
 
 
-def _png_payload(w: int, h: int) -> bytes:
-    """A real encoded PNG of the given size (only called under PIL)."""
-    import io
+def _ppm_payload(w: int, h: int, fill: bytes = b"\x10\x20\x30") -> bytes:
+    return encode_ppm(w, h, fill * (w * h))
 
-    from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
-    return buf.getvalue()
+def _bmp_payload(w: int, h: int) -> bytes:
+    """Minimal 24-bit BMP: file header + BITMAPINFOHEADER + padded
+    rows (pixel content irrelevant for header decode)."""
+    row = w * 3 + (-w * 3) % 4
+    pixels = b"\x00" * (row * abs(h))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0,
+                       14 + 40)
+    return head + info + pixels
 
 
 @pytest.mark.skipif(HAVE_PIL, reason="Pillow present: real path active")
-def test_real_decode_is_gated_without_pil():
+def test_compressed_decode_is_gated_without_pil():
     with pytest.raises(NotImplementedError, match="Pillow|libvips"):
         decode_image(b"\x89PNG...")
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not importable here")
-def test_real_decode_with_pil():
-    """Where Pillow exists, fake=False decodes real bytes: true
-    dimensions come back, and the fake path stays byte-identical to
-    the no-PIL environments (hash-derived, codec-independent)."""
-    payload = _png_payload(37, 53)
+def test_real_decode_ppm_stdlib():
+    """Real bytes → real dimensions, no codec library: the stdlib P6
+    parser reads the actual header. Runs in every environment."""
+    payload = _ppm_payload(37, 53)
     assert decode_image(payload) == (37, 53)
-    assert decode_image(payload, fake=True) == decode_image(
-        payload, fake=True
-    )
+    with pytest.raises(ValueError, match="PPM"):
+        decode_image(b"P6\n10 10\n65535\n" + b"x" * 300)  # bad maxval
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not importable here")
-def test_real_resize_with_pil():
-    from irio2024_mapreduce_spark.operators.multimodal import resize_image
+def test_real_decode_bmp_stdlib():
+    assert decode_image(_bmp_payload(200, 100)) == (200, 100)
+    # top-down BMPs store negative height; dimensions are magnitudes
+    assert decode_image(_bmp_payload(16, -9)) == (16, 9)
 
-    out = resize_image(_png_payload(200, 100), (64, 32))
-    assert decode_image(out) == (64, 32)  # round-trips through decode
+
+def test_real_resize_ppm_stdlib():
+    """Nearest-neighbor resize round-trips through decode and
+    preserves the uniform fill of a uniform source."""
+    out = resize_image(_ppm_payload(200, 100, b"\x05\x06\x07"), (64, 32))
+    assert decode_image(out) == (64, 32)
+    w, h = 64, 32
+    assert out.endswith(b"\x05\x06\x07" * (w * h))
+    # downsample of a non-uniform image picks real source pixels:
+    # left half red, right half blue → halves survive the resize
+    px = (b"\xff\x00\x00" * 4 + b"\x00\x00\xff" * 4) * 8
+    out2 = resize_image(encode_ppm(8, 8, px), (2, 2))
+    assert decode_image(out2) == (2, 2)
+    body = out2[-12:]
+    assert body == b"\xff\x00\x00\x00\x00\xff" * 2
 
 
 def test_fake_decode_deterministic():
@@ -68,11 +89,9 @@ def test_media_schema(spark, sf_dir):
 
 
 def test_resize_gated_and_deterministic():
-    from irio2024_mapreduce_spark.operators.multimodal import resize_image
-
     if not HAVE_PIL:
         with pytest.raises(NotImplementedError, match="Pillow|libvips"):
-            resize_image(b"img", (128, 96))
+            resize_image(b"img", (128, 96))  # not P6 → codec-gated
     a = resize_image(b"img", (128, 96), fake=True)
     b = resize_image(b"img", (128, 96), fake=True)
     assert a == b and len(a) == (128 * 96) // 64
@@ -102,17 +121,19 @@ def test_resize_and_frames_queries(spark, sf_dir):
 
     rs = multimodal_resize(spark, sf_dir).collect()
     assert len(rs) == 1 and rs[0]["out_w"] == 128
-    # resized_sha is a pure function of the payload: distinct outputs
-    # must equal distinct image payloads (duplicate texts collide by
-    # design, so don't assume == n_images)
-    n_distinct_payloads = (
+    # thumbs of uniform-fill sources depend only on the fill color:
+    # distinct outputs == distinct fills among image rows (images with
+    # different dims but the same fill collapse to the same thumb)
+    n_distinct_fills = (
         media_table(spark, sf_dir)
-        .filter(F.col("media_type") == "image/png")
-        .select("payload")
+        .filter(F.col("media_type") == "image/ppm")
+        .select((F.col("doc_id") % 26).alias("fill"))
         .distinct()
         .count()
     )
-    assert rs[0]["distinct_outputs"] == n_distinct_payloads
+    assert rs[0]["distinct_outputs"] == n_distinct_fills
+    # real byte accounting: P6 header "P6\n128 96\n255\n" is 14 bytes
+    assert rs[0]["total_bytes"] == rs[0]["n_images"] * (14 + 128 * 96 * 3)
     fr = multimodal_frames(spark, sf_dir).collect()
     assert all(r["n_frames"] == FRAMES_PER_VIDEO for r in fr)
     assert all(r["first_frame"] == 0 for r in fr)
