@@ -11,6 +11,7 @@ from __future__ import annotations
 from irio2024_mapreduce_spark.registry import WORDCOUNT_ORACLE
 from irio2024_mapreduce_spark.streaming import stateful
 from irio2024_mapreduce_spark.streaming.jobs import (
+    streaming_click_purchase_join,
     streaming_event_counts,
     streaming_wordcount,
 )
@@ -27,6 +28,21 @@ ORACLE_SQL = {
         GROUP BY 1, 2, 3
         HAVING window_end <= (SELECT w FROM wm)
     """,
+    # availableNow drains the whole fixture and an INNER stream-stream
+    # join emits every match (the watermark bounds state, it never
+    # truncates inner-join output on bounded input), so the oracle is
+    # the plain batch join
+    "streaming_click_purchase_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts       AS click_ts,
+               p.ts       AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
 }
 
 ORACLE_SQL.update(stateful.ORACLE_SQL)
@@ -35,4 +51,5 @@ QUERIES = {
     "streaming_wordcount": streaming_wordcount,
     "streaming_event_counts": streaming_event_counts,
     **stateful.QUERIES,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
 }

@@ -43,6 +43,7 @@ def test_entry_smoke(spark):
 EXPECTED_QUERY_ORDER = [
     "wordcount", "custom_step_udf", "streaming_wordcount",
     "streaming_event_counts", "streaming_sessionize",
+    "streaming_click_purchase_join",
     "multimodal_pipeline", "multimodal_meta", "multimodal_frames",
     "filter_project", "agg_groupby", "agg_distinct", "agg_rollup",
     "join_broadcast", "join_shuffle", "join_semi_anti", "join_outer",
@@ -55,7 +56,7 @@ EXPECTED_QUERY_ORDER = [
     "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding", "similarity_topk", "similarity_ann",
     "similarity_ivf", "text_analysis", "lang_id", "quality_score",
-    "token_count", "fingerprint",
+    "fingerprint",
 ]
 
 

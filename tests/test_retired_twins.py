@@ -12,7 +12,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from irio2024_mapreduce_spark.operators import advanced, misc
+from irio2024_mapreduce_spark.operators import advanced, misc, text_analysis
 from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
 from tools.check_oracle import value_hash
 
@@ -27,6 +27,13 @@ RETIRED = {
             advanced.RETIRED_TWIN_ORACLES[name],
         )
         for name in advanced.RETIRED_TWIN_QUERIES
+    },
+    **{
+        name: (
+            text_analysis.RETIRED_TWIN_QUERIES[name],
+            text_analysis.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in text_analysis.RETIRED_TWIN_QUERIES
     },
 }
 
@@ -51,6 +58,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         "window_lag_lead",
         # never-registered (window full at 50): local-oracle-only
         "unpivot_measures",
+        # retired r6 to admit streaming_click_purchase_join (its
+        # tokenizer surface duplicates text_analysis's)
+        "token_count",
     }
 
 

@@ -382,9 +382,19 @@ def test_stream_stream_join_state_carries_across_micro_batches(
 ):
     """A click arriving in micro-batch 0 must match a purchase that
     only arrives in micro-batch 1: the join buffers the click in the
-    state store across the batch boundary. Also asserts the
-    watermark+range condition EVICTS state: a click far older than
-    the watermark horizon must not match a late purchase."""
+    state store across the batch boundary. Also asserts the watermark
+    EVICTS state: user 2's purchase is IN the 30-minute range of
+    their click (click_ts + 10 min) but delivered two batches later,
+    after batch 1 advanced the watermark hours past click_ts + 30 min
+    — so a no-match outcome can only come from watermark semantics
+    (evicted click state / late-input drop), not from the range
+    condition.
+
+    Watermark updates take effect one batch after the data that
+    advances them, and state eviction runs at the END of a batch — so
+    the horizon-advancing events land in batch 1, batch 2 runs (and
+    ends) under the advanced watermark evicting user 2's click, and
+    the late purchase arrives in batch 3."""
     import datetime as dt
     import glob
     import os
@@ -401,18 +411,31 @@ def test_stream_stream_join_state_carries_across_micro_batches(
 
     files = [
         # batch 0: two clicks — user 1 (will match in batch 1) and
-        # user 2 (whose purchase arrives hours past the horizon)
+        # user 2 (whose in-range purchase arrives too late)
         mk([(1, t0, 1, "click"), (2, t0, 2, "click")]),
-        # batch 1: user 1 purchase 10 min after the click (in range);
-        # plus a fresh user-3 click that advances the watermark far
-        # past user 2's click
+        # batch 1: user 1 purchase 10 min after the click (in range,
+        # on time); plus a user-3 click AND a user-9 purchase at
+        # t0+6h that advance BOTH sides' watermarks (global watermark
+        # is the min across inputs) to t0+5h30m — hours past user 2's
+        # click_ts + 30 min matchable horizon
         mk([
             (3, t0 + m(minutes=10), 1, "purchase"),
             (4, t0 + m(hours=6), 3, "click"),
+            (6, t0 + m(hours=6), 9, "purchase"),
         ]),
-        # batch 2: user 2's purchase, 6h after their click — outside
-        # the 30-min range condition AND past the evicted state
-        mk([(5, t0 + m(hours=6, minutes=5), 2, "purchase")]),
+        # batch 2: benign traffic only — runs under the advanced
+        # watermark; at its end user 2's click state (matchable only
+        # up to click_ts + 30 min, hours below the watermark) is
+        # evicted
+        mk([
+            (7, t0 + m(hours=6, minutes=5), 10, "click"),
+            (8, t0 + m(hours=6, minutes=5), 11, "purchase"),
+        ]),
+        # batch 3: user 2's purchase at click_ts + 10 min — INSIDE
+        # the 30-minute range condition, but its event time is hours
+        # behind the watermark and the matching click state is gone.
+        # If eviction were broken, this WOULD match.
+        mk([(5, t0 + m(minutes=10), 2, "purchase")]),
     ]
     src = tmp_path / "ssj_src"
     src.mkdir()
