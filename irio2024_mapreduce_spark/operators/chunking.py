@@ -83,6 +83,17 @@ CC_REP_SEEDING = True
 _LAST_CC_ROUNDS = 0
 
 
+def _ckpt_rdd(df: DataFrame):
+    """Underlying JVM RDD of a ``localCheckpoint(eager=False)`` frame
+    (its logical plan is a LogicalRDD from creation, before any job
+    runs). Held so the CC loop can free a round's blocks the moment a
+    later round's materialization makes them dead — local-checkpoint
+    blocks otherwise persist until the JVM collects the py4j refs,
+    and loaded bench runs showed 9-12 live block sets by late rounds
+    (the recurring dedup_clusters transient)."""
+    return df._jdf.queryExecution().logical().rdd()
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs → canonical doc per
     cluster + cluster size. Smallest-label propagation with pointer
@@ -155,6 +166,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _LAST_CC_ROUNDS
     converged = False
+    # blocks made dead by the NEXT materialization: the previous
+    # round's label checkpoint (consumed building this round's)
+    stale_ckpts: list = []
     for _round in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(
@@ -214,10 +228,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the count's job fully materializes BOTH of this round's
+        # checkpoints and truncates their lineage (lazy local
+        # checkpointing force-computes any partitions the job's limit
+        # short-circuited), so the previous round's label blocks and
+        # this round's intermediate `half` are now dead — free them
+        # instead of holding 2 block sets per round until the JVM
+        # collects the py4j references (the dedup_clusters bench
+        # transient). The just-written `new_labels` blocks stay: the
+        # next round (or the post-loop aggregation) reads them.
+        for dead in [*stale_ckpts, _ckpt_rdd(half)]:
+            dead.unpersist(False)
+        stale_ckpts = [_ckpt_rdd(new_labels)]
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             converged = True
             _LAST_CC_ROUNDS = _round + 1
+            # the edge graph is dead too once labels' lineage is
+            # truncated — the post-loop plan reads only labels (+
+            # doc_rep, whose `hashed` checkpoint materializes at the
+            # final action and must stay)
+            _ckpt_rdd(edges).unpersist(False)
             break
     if not converged:
         raise RuntimeError(
