@@ -244,11 +244,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             converged = True
             _LAST_CC_ROUNDS = _round + 1
-            # the edge graph is dead too once labels' lineage is
-            # truncated — the post-loop plan reads only labels (+
-            # doc_rep, whose `hashed` checkpoint materializes at the
-            # final action and must stay)
-            _ckpt_rdd(edges).unpersist(False)
+            if CC_REP_SEEDING:
+                # the edge graph is dead once labels' lineage is
+                # truncated: the rep-seeding post-loop plan reads only
+                # labels + doc_rep (whose `hashed` checkpoint
+                # materializes at the final action and must stay). The
+                # legacy path still reads `members` — derived from
+                # edges — in its singleton anti-join, so edges must
+                # survive there.
+                _ckpt_rdd(edges).unpersist(False)
             break
     if not converged:
         raise RuntimeError(

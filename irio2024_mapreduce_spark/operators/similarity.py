@@ -331,6 +331,13 @@ def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
         and len(r["v"]) == EMB_DIM
         and all(x is not None for x in r["v"])
     ]
+    if not vecs:
+        # np.asarray([]) is shape (0,): the matmul/norm below would
+        # die with an opaque shape error — fail with the actual cause
+        raise ValueError(
+            "IVF quantizer training: no valid vectors in the sample "
+            f"(need length-{EMB_DIM}, non-NULL elements); cannot train"
+        )
     X = np.asarray(vecs, dtype=np.float64)
     k = min(IVF_CENTROIDS, len(X))
     cents = X[:k].copy()

@@ -465,3 +465,19 @@ def test_cap_buckets_checkpoint_input_is_behavior_preserving(spark):
     assert on == off
     # buckets 0..2 (sizes 1..3) admitted; 3..5 (sizes 4..6) dropped
     assert {b for b, _ in on} == {0, 1, 2}
+
+
+def test_cc_rep_seeding_parity_with_member_graph(spark, sf_dir, monkeypatch):
+    """The collapsed rep-graph propagation (CC_REP_SEEDING=True, the
+    shipping form) and the legacy member-graph form must produce
+    identical cluster histograms — the equivalence the A/B probe
+    (tools/stress_cc_ivf.py) relies on, asserted here on real data."""
+    from irio2024_mapreduce_spark.operators import chunking
+
+    monkeypatch.setattr(chunking, "CC_REP_SEEDING", True)
+    fast = sorted(map(tuple, chunking.dedup_clusters(spark, sf_dir).collect()))
+    monkeypatch.setattr(chunking, "CC_REP_SEEDING", False)
+    legacy = sorted(
+        map(tuple, chunking.dedup_clusters(spark, sf_dir).collect())
+    )
+    assert fast == legacy and len(fast) > 0

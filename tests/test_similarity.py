@@ -225,3 +225,24 @@ def test_ann_multiprobe_recall_clustered(spark):
     }
     recall = len(got & planted) / len(planted)
     assert recall >= 0.8, recall
+
+
+def test_quantizer_trainer_rejects_all_malformed_sample(spark):
+    """An empty or all-malformed training sample must fail with the
+    actual cause, not a downstream numpy shape error."""
+    import pytest as _pytest
+
+    from irio2024_mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        _train_quantizer_numpy,
+    )
+
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        _train_quantizer_numpy(spark, [])
+    rows = [
+        {"_k": 0, "v": None},
+        {"_k": 1, "v": [1.0, 2.0]},
+        {"_k": 2, "v": [None] * EMB_DIM},
+    ]
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        _train_quantizer_numpy(spark, rows)

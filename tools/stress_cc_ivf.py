@@ -5,7 +5,8 @@ never sees duplicate members) vs the legacy member graph
 (``chunking.CC_REP_SEEDING`` False). The win grows with replication
 factor — every replica group is an N-clique that the collapsed form
 reduces to one node. Reports wall seconds and propagation rounds for
-both settings; results are asserted identical in tests.
+both settings; the two forms' results are asserted identical by
+tests/test_dedup.py::test_cc_rep_seeding_parity_with_member_graph.
 
 (The companion similarity_ivf before/after is cross-round: the round-5
 sample-trained form's stress numbers from tools/stress_scale.py are
