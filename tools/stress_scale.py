@@ -11,6 +11,18 @@ the LSH band graph).
 Usage: python tools/stress_scale.py [N]    (default 10)
 Prints one JSON line with per-query seconds at 1x and Nx.
 
+`python tools/stress_scale.py --relational [N]` probes the
+relational/event family instead: the FACT tables (lineitem, orders,
+events) are replicated N× — orderkeys shift consistently across
+lineitem+orders so the join relationships survive; events shift
+event_id+user_id so the user population grows rather than per-user
+burst — while the dimension tables stay 1× (the 100 TB model: facts
+grow, dims don't). Queries: join_shuffle (TPC-H-Q5-shaped 6-table
+join), window_running (per-customer running sums over N× orders per
+customer), event_session (gap sessionization over N× users),
+stats_pack (full-scan statistical aggregates), agg_rollup
+(hierarchical rollup over the grown fact).
+
 `python tools/stress_scale.py --adversarial` instead probes the
 ngram-Jaccard posting-list join with a stop-word corpus: every doc
 shares a dense set of stop-word 3-grams (one length band, hot posting
@@ -98,6 +110,50 @@ def adversarial_postings() -> None:
     print(json.dumps({"adversarial_postings": out, "n_docs": n_docs}))
 
 
+RELATIONAL_QUERIES = [
+    "join_shuffle",
+    "window_running",
+    "event_session",
+    "stats_pack",
+    "agg_rollup",
+]
+
+
+def build_scaled_relational(spark, base: str, n: int) -> str:
+    """Replicate the fact tables (lineitem, orders, events) n× into a
+    temp dir; dimension tables are written through 1× so every query's
+    full table set resolves. Orderkeys shift in lockstep across
+    lineitem and orders (join relationships survive; each customer
+    accumulates n× orders — dims fixed, facts grow). Events shift
+    event_id AND user_id so sessionization sees n× distinct users,
+    not n identical events per session."""
+    stage = tempfile.mkdtemp(prefix="stress_rel_")
+    shift = 100_000_000
+
+    def replicate(table: str, key_cols: list[str]) -> None:
+        df = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        scaled = None
+        for k in range(n):
+            part = df
+            for c in key_cols:
+                part = part.withColumn(c, F.col(c) + F.lit(k * shift))
+            scaled = part if scaled is None else scaled.unionByName(part)
+        scaled.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(stage, f"{table}.parquet")
+        )
+
+    replicate("lineitem", ["l_orderkey"])
+    replicate("orders", ["o_orderkey"])
+    replicate("events", ["event_id", "user_id"])
+    for dim in ("customer", "supplier", "nation", "region", "part"):
+        spark.read.parquet(
+            os.path.join(base, f"{dim}.parquet")
+        ).write.mode("overwrite").parquet(
+            os.path.join(stage, f"{dim}.parquet")
+        )
+    return stage
+
+
 def build_scaled_corpus(spark, base: str, n: int) -> str:
     """Replicate sf-dir documents+embeddings n× into a temp dir and
     return its path (multi-file parquet, real splits). Doc replicas
@@ -132,18 +188,27 @@ def build_scaled_corpus(spark, base: str, n: int) -> str:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--adversarial":
         adversarial_postings()
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    relational = bool(argv) and argv[0] == "--relational"
+    if relational:
+        argv = argv[1:]
+    n = int(argv[0]) if argv else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
-    stage = build_scaled_corpus(spark, base, n)
+    if relational:
+        stage = build_scaled_relational(spark, base, n)
+        probe_queries = RELATIONAL_QUERIES
+    else:
+        stage = build_scaled_corpus(spark, base, n)
+        probe_queries = QUERIES
 
     qs = registry.queries()
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in probe_queries:
         times = {}
         for label, d in [("1x", base), (f"{n}x", stage)]:
             qs[name](spark, d).write.mode("overwrite").format("noop").save()

@@ -1,0 +1,161 @@
+"""Skewed-key probe for the salting helper vs Spark's built-ins.
+
+Builds an events variant at N× (default 30×, ~3M rows) where ONE user
+holds 10% of all rows (the classic hot-key shape: a bot account, a
+NULL-ish default id), then measures group-by-user aggregation direct
+vs through the two-phase salted pattern (`functions/skew.py`).
+
+Two aggregate classes, because they stress the shuffle differently:
+
+* ``sum(value)`` — associative; Spark's map-side PARTIAL aggregation
+  collapses the hot key to one row per map task BEFORE the shuffle,
+  so row-level skew never reaches a reducer. Expected: salting is
+  pure overhead here (an extra shuffle), and the numbers should show
+  it — the guidance is "don't salt associative aggregates".
+* ``count(DISTINCT props)`` — partial aggregation can only dedupe
+  per-partition; every surviving (hot_key, value) pair still shuffles
+  to ONE reducer. Salting on hash(value) splits the hot key's
+  distinct-set across `buckets` reducers and merges counts (disjoint
+  value partitions ⇒ exact). Expected: salting wins as the distinct
+  set grows; this is the case the manual lever exists for.
+
+AQE note: AQE's skew handling (`OptimizeSkewedJoin`) applies to JOIN
+shuffle partitions, not aggregation state — there is no automatic
+rescue for a skewed high-cardinality distinct aggregate, which is why
+the manual pattern matters. Results parity (direct == salted) is
+asserted in-probe, not just timed.
+
+Usage: python tools/stress_skew.py [N] [hot_share]   (default 30 0.10)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.functions.skew import salted_agg_sum
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+BUCKETS = 16
+
+
+def build_skewed_events(spark, base: str, n: int, hot_share: float) -> str:
+    """N× events where `hot_share` of all rows collapse onto user 1,
+    and every row carries a near-unique payload string (so the
+    distinct aggregate actually has distinct work per row)."""
+    stage = tempfile.mkdtemp(prefix="stress_skew_")
+    ev = load_table(spark, base, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scaled = None
+    for k in range(n):
+        part = ev.select(
+            (F.col("event_id") + F.lit(k * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(k * 100_000_000)).alias("user_id"),
+            "value",
+        )
+        scaled = part if scaled is None else scaled.unionByName(part)
+    skewed = scaled.select(
+        "event_id",
+        # hot key: a deterministic hot_share slice of ALL rows becomes
+        # user 1; everyone else keeps their (shifted) id
+        F.when(
+            F.pmod(F.xxhash64("event_id"), 1000) < int(hot_share * 1000), 1
+        )
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+        # near-unique per-row payload → the distinct agg can't collapse
+        F.concat(F.lit("p"), F.col("event_id")).alias("props"),
+    )
+    skewed.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(stage, "events.parquet")
+    )
+    return stage
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.10
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    stage = build_skewed_events(spark, base, n, hot_share)
+    ev = spark.read.parquet(os.path.join(stage, "events.parquet"))
+
+    sum_direct = ev.groupBy("user_id").agg(
+        F.sum("value").alias("sum_value"), F.count("*").alias("cnt")
+    )
+    sum_salted = salted_agg_sum(
+        ev, ["user_id"], "value", buckets=BUCKETS
+    ).withColumnRenamed("sum_value", "sum_value")
+
+    dist_direct = ev.groupBy("user_id").agg(
+        F.countDistinct("props").alias("n_distinct")
+    )
+    # salted distinct: hash(value) salting keeps equal values in the
+    # same bucket, so per-bucket distinct counts add up exactly
+    dist_salted = (
+        ev.groupBy(
+            "user_id", F.pmod(F.xxhash64("props"), BUCKETS).alias("_salt")
+        )
+        .agg(F.countDistinct("props").alias("_pd"))
+        .groupBy("user_id")
+        .agg(F.sum("_pd").alias("n_distinct"))
+    )
+
+    # parity first (cheap at the hot key): identical results or the
+    # timing comparison is meaningless
+    hot_direct = sum_direct.filter(F.col("user_id") == 1).collect()[0]
+    hot_salted = sum_salted.filter(F.col("user_id") == 1).collect()[0]
+    assert hot_direct["cnt"] == hot_salted["cnt"]
+    assert abs(hot_direct["sum_value"] - hot_salted["sum_value"]) < 1e-6 * max(
+        abs(hot_direct["sum_value"]), 1.0
+    )
+    hd = dist_direct.filter(F.col("user_id") == 1).collect()[0]["n_distinct"]
+    hs = dist_salted.filter(F.col("user_id") == 1).collect()[0]["n_distinct"]
+    assert hd == hs, (hd, hs)
+
+    out = {}
+    for name, df in [
+        ("sum_direct", sum_direct),
+        ("sum_salted", sum_salted),
+        ("distinct_direct", dist_direct),
+        ("distinct_salted", dist_salted),
+    ]:
+        drain_driver_backlog(spark)
+        df.write.mode("overwrite").format("noop").save()  # warm
+        out[name] = timed(df)
+
+    total = ev.count()
+    print(
+        json.dumps(
+            {
+                "scale": n,
+                "rows": total,
+                "hot_share": hot_share,
+                "hot_rows": int(hot_direct["cnt"]),
+                "buckets": BUCKETS,
+                "sec": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
