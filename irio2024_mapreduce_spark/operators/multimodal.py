@@ -359,7 +359,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage over video-typed media: one payload row
     explodes to FRAMES_PER_VIDEO frame rows inside the pandas batch
     (mapInPandas may return more rows than it got — the frame
-    extraction shape). Rows-only (stubbed sampler)."""
+    extraction shape). Oracle-checked (r6): the fake sampler's frame
+    indices are ``(i * byte_len) // FRAMES_PER_VIDEO`` and its frame
+    hashes are injective per (payload, index), so every aggregate
+    column is reconstructible from byte-length arithmetic in SQL."""
     media = media_table(spark, sf_dir).filter(
         F.col("media_type") == "video/mp4"
     )
@@ -459,6 +462,29 @@ ORACLE_SQL = {
                    96.0  AS avg_h
             FROM media WHERE media_type = 'image/ppm'
         ) ORDER BY stage, group_key
+    """,
+    # frames stage: the ffmpeg-gated fake derives frame i's index as
+    # int(i * len(payload) / 4) and its bytes as
+    # sha256(payload + ':frame{ix}') — injective per distinct index
+    # for a fixed payload, so COUNT(DISTINCT frame_sha) equals
+    # COUNT(DISTINCT frame_index) and the whole aggregate is pure
+    # byte-length arithmetic (video payloads are the raw text bytes).
+    "multimodal_frames": """
+        WITH vids AS (
+            SELECT doc_id,
+                   GREATEST(octet_length(encode(text)), 1) AS d
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % 3 = 2
+        ), frames AS (
+            SELECT v.doc_id, (g.i * v.d) // 4 AS frame_index
+            FROM vids v, (SELECT UNNEST(RANGE(0, 4)) AS i) g
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT                    AS n_frames,
+               COUNT(DISTINCT frame_index)::BIGINT AS distinct_frames,
+               MIN(frame_index)::BIGINT            AS first_frame,
+               MAX(frame_index)::BIGINT            AS last_frame
+        FROM frames GROUP BY doc_id ORDER BY doc_id
     """,
 }
 

@@ -11,14 +11,15 @@ def test_every_oracle_key_has_a_query():
     assert set(osql) <= set(qs)
     # rows-only queries are deliberate, enumerated exceptions
     rows_only = set(qs) - set(osql)
-    # multimodal_pipeline graduated to a full oracle row in r6 (real
-    # stdlib P6 decode over SQL-reconstructible payloads)
+    # multimodal_pipeline and multimodal_frames graduated to full
+    # oracle rows in r6 (real stdlib P6 decode / index-arithmetic
+    # frame sampling over SQL-reconstructible payloads); the rest are
+    # seeded-hash LSH families and approximate sketches by design
     assert rows_only == {
         "dedup_near",
         "dedup_simhash",
         "similarity_ann",
         "sketches",
-        "multimodal_frames",
         "similarity_ivf",
     }
 
