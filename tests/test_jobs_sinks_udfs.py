@@ -140,6 +140,51 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     assert salted == direct
 
 
+def test_skew_aware_group_apply_equals_direct(spark, sf_dir):
+    """Hot-key-only salted group-map must be value-identical to a
+    direct applyInPandas — both when the threshold marks a key hot
+    (its partials merge across salt buckets) and when nothing
+    qualifies (pure pass-through topology)."""
+    import pandas as pd
+
+    from irio2024_mapreduce_spark.functions.skew import (
+        skew_aware_group_apply,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def gstat(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "v_sum": [float(pdf["value"].sum())],
+            }
+        )
+
+    direct = {
+        (r["user_id"], r["n"], round(r["v_sum"], 6))
+        for r in ev.groupBy("user_id")
+        .applyInPandas(gstat, schema="user_id long, n long, v_sum double")
+        .collect()
+    }
+    for threshold in (5, 10**9):  # most keys hot / nothing hot
+        got = {
+            (r["user_id"], r["n"], round(r["v_sum"], 6))
+            for r in skew_aware_group_apply(
+                ev,
+                ["user_id"],
+                gstat,
+                "user_id long, n long, v_sum double",
+                {"n": F.sum("n"), "v_sum": F.sum("v_sum")},
+                buckets=4,
+                hot_threshold=threshold,
+            ).collect()
+        }
+        assert got == direct, f"threshold={threshold}"
+
+
 def test_zscore_grouped(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)], ["g", "v"]

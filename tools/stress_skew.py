@@ -25,6 +25,14 @@ rescue for a skewed high-cardinality distinct aggregate, which is why
 the manual pattern matters. Results parity (direct == salted) is
 asserted in-probe, not just timed.
 
+* ``applyInPandas`` per-key op — the THIRD class, and the one with no
+  Catalyst rescue at all: a group-map UDF has no partial phase, so
+  the hot key's entire row set is shipped to ONE task and handed to
+  Python as one group. Salting on a row-hash splits the hot group
+  into `buckets` independent tasks whose partial results a tiny
+  second-stage JVM agg combines. This is where the manual lever is
+  load-bearing (measured below); every built-in aggregate beats both.
+
 Usage: python tools/stress_skew.py [N] [hot_share]   (default 30 0.10)
 Prints one JSON line.
 """
@@ -41,7 +49,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from irio2024_mapreduce_spark.functions.skew import salted_agg_sum
+from irio2024_mapreduce_spark.functions.skew import (
+    salted_agg_sum,
+    skew_aware_group_apply,
+)
 from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 from irio2024_mapreduce_spark.sources.tables import load_table
 
@@ -131,12 +142,72 @@ def main() -> None:
     hs = dist_salted.filter(F.col("user_id") == 1).collect()[0]["n_distinct"]
     assert hd == hs, (hd, hs)
 
+    # applyInPandas per-key op: weighted percentile-ish stat that a
+    # group-map UDF would be used for (needs the whole group in one
+    # frame — not expressible as a built-in aggregate without rewrite)
+    import pandas as pd
+
+    def _gstat(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "v_sum": [float(pdf["value"].sum())],
+            }
+        )
+
+    def _gstat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "_salt": [pdf["_salt"].iloc[0]],
+                "n": [len(pdf)],
+                "v_sum": [float(pdf["value"].sum())],
+            }
+        )
+
+    pandas_direct = ev.groupBy("user_id").applyInPandas(
+        _gstat, schema="user_id long, n long, v_sum double"
+    )
+    pandas_salted = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), BUCKETS))
+        .groupBy("user_id", "_salt")
+        .applyInPandas(
+            _gstat_salted,
+            schema="user_id long, _salt long, n long, v_sum double",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"), F.sum("v_sum").alias("v_sum"))
+    )
+    # hot-key-only salting: the tail keeps direct's group topology,
+    # only detected heavy hitters spread over `buckets` tasks
+    pandas_hot = skew_aware_group_apply(
+        ev.select("user_id", "value"),
+        ["user_id"],
+        _gstat,
+        "user_id long, n long, v_sum double",
+        {"n": F.sum("n"), "v_sum": F.sum("v_sum")},
+        buckets=BUCKETS,
+        hot_threshold=100_000,
+    )
+
+    pd_d = pandas_direct.filter(F.col("user_id") == 1).collect()[0]
+    for alt in (pandas_salted, pandas_hot):
+        pd_s = alt.filter(F.col("user_id") == 1).collect()[0]
+        assert pd_d["n"] == pd_s["n"]
+        assert abs(pd_d["v_sum"] - pd_s["v_sum"]) < 1e-6 * max(
+            abs(pd_d["v_sum"]), 1.0
+        )
+
     out = {}
     for name, df in [
         ("sum_direct", sum_direct),
         ("sum_salted", sum_salted),
         ("distinct_direct", dist_direct),
         ("distinct_salted", dist_salted),
+        ("pandas_direct", pandas_direct),
+        ("pandas_salted", pandas_salted),
+        ("pandas_hot_salted", pandas_hot),
     ]:
         drain_driver_backlog(spark)
         df.write.mode("overwrite").format("noop").save()  # warm
