@@ -60,6 +60,23 @@ def test_session_window_gap_edge(spark):
     assert sorted(per_user[2]) == [1, 1]
 
 
+def test_session_islands_equals_native(spark, sf_dir):
+    """The gaps-and-islands form (the measured 1.6×-faster scale
+    path, SCALE.md round-6) must be row-identical to the registered
+    native session_window query — including the exactly-gap merge
+    edge, which the events fixture's 30-min grid exercises."""
+    from irio2024_mapreduce_spark.operators.events import (
+        event_session,
+        event_session_islands,
+    )
+
+    native = sorted(map(tuple, event_session(spark, sf_dir).collect()))
+    islands = sorted(
+        map(tuple, event_session_islands(spark, sf_dir).collect())
+    )
+    assert native == islands
+
+
 def test_window_frame_running_sum(spark):
     from pyspark.sql.window import Window
 
