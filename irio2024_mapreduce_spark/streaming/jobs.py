@@ -51,6 +51,17 @@ def _stage_dir(path: str) -> str:
     return d
 
 
+def _stage_dir_dup(path: str) -> str:
+    """Stage the fixture file TWICE under different names, so the
+    stream genuinely receives every row (at least) twice — the
+    at-least-once-delivery condition :func:`streaming_dedup` exists
+    to repair. Fresh dir per call keeps reruns deterministic."""
+    d = tempfile.mkdtemp(prefix="stream_dup_")
+    for i in (0, 1):
+        shutil.copy2(path, os.path.join(d, f"copy{i}_{os.path.basename(path)}"))
+    return d
+
+
 def _drain(writer, name: str) -> None:
     q = (
         writer.queryName(name)
@@ -122,6 +133,45 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sec_{uuid.uuid4().hex[:8]}"
     _drain(agg.writeStream.outputMode("append"), name)
+    return spark.table(name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: exactly-once rows out of at-least-once
+    delivery in. The fixture file is staged TWICE, so every event
+    arrives twice; ``dropDuplicatesWithinWatermark`` keys state on
+    ``event_id`` and drops redeliveries while the first occurrence is
+    inside the watermark horizon.
+
+    Fourth Structured Streaming state shape in this package (after
+    windowed aggregation, the applyInPandasWithState sessionizer, and
+    the stream-stream join). State size is what makes this the right
+    operator at 100 TB/day ingest: plain ``dropDuplicates`` on a
+    stream keeps EVERY key forever (state grows with total history);
+    the within-watermark form keeps only keys newer than
+    (watermark − delay), so state is O(events per horizon) — and a
+    redelivery that arrives LATER than the horizon is older than the
+    watermark and is late-dropped by the same mechanism, so the
+    downstream table stays exactly-once either way (pinned in
+    tests/test_streaming.py).
+
+    Batch equivalent / oracle: SELECT DISTINCT over the same columns
+    (fixture ``event_id`` is unique per row, asserted in the test, so
+    key-dedup equals row-distinct)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = _normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(_stage_dir_dup(path)),
+        raw_schema,
+    )
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    _drain(deduped.writeStream.outputMode("append"), name)
     return spark.table(name)
 
 

@@ -482,3 +482,108 @@ def test_stream_stream_join_state_carries_across_micro_batches(
     # exactly the cross-batch (user 1) match; user 2's out-of-range
     # late purchase matches nothing
     assert got == [(1, 1, 3)]
+
+
+def test_streaming_dedup_batch_parity_and_oracle(spark, sf_dir):
+    """streaming_dedup stages the fixture twice (every row delivered
+    twice); the output must equal SELECT DISTINCT over the single
+    fixture — checked against both the batch engine and DuckDB."""
+    import duckdb
+
+    from irio2024_mapreduce_spark.sources.tables import load_table
+    from irio2024_mapreduce_spark.streaming.jobs import streaming_dedup
+
+    got = sorted(
+        map(tuple, streaming_dedup(spark, sf_dir).collect())
+    )
+    assert len(got) > 0
+    # no id appears twice even though every row arrived twice
+    ids = [r[0] for r in got]
+    assert len(ids) == len(set(ids))
+
+    ev = load_table(spark, sf_dir, "events")
+    # key-dedup == row-distinct only if event_id is unique per row
+    assert ev.count() == ev.select("event_id").distinct().count()
+    batch = sorted(
+        map(
+            tuple,
+            ev.select("event_id", "user_id", "event_type", "ts")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == batch
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        SELECT DISTINCT event_id, user_id, event_type
+        FROM read_parquet('{sf_dir}/events.parquet')
+        ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    assert [(r[0], r[1], r[2]) for r in got] == [tuple(r) for r in oracle]
+
+
+def test_streaming_dedup_state_carries_across_micro_batches(
+    spark, tmp_path
+):
+    """Redelivery across a micro-batch boundary must still dedup (the
+    key state carries in the state store), and a redelivery arriving
+    AFTER the watermark horizon must not re-emit (it is older than
+    the watermark and late-dropped — the mechanism that lets state
+    stay bounded while the downstream table stays exactly-once).
+
+    Batch layout (maxFilesPerTrigger=1, 30-minute delay):
+      0: events 1,2 at t0                  -> both emitted
+      1: DUP of event 1 (same id/ts) + event 3 at t0+6h
+         (watermark still behind t0: dup dropped FROM STATE; 3 emitted)
+      2: DUP of event 2 + event 4 at t0+6h5m — runs under the
+         advanced watermark (t0+5h30m): the dup's ts t0 is hours
+         late, dropped as late input; 4 emitted
+    Expected: ids {1,2,3,4}, each exactly once."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from irio2024_mapreduce_spark.streaming.jobs import _drain
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    files = [
+        mk([(1, t0, 1, "click"), (2, t0, 2, "view")]),
+        mk([(1, t0, 1, "click"), (3, t0 + m(hours=6), 3, "click")]),
+        mk([
+            (2, t0, 2, "view"),
+            (4, t0 + m(hours=6, minutes=5), 4, "view"),
+        ]),
+    ]
+    src = tmp_path / "sdd_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        stage = str(tmp_path / f"sdd{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    name = f"sdd_carry_{uuid.uuid4().hex[:8]}"
+    _drain(deduped.writeStream.outputMode("append"), name)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
