@@ -1,0 +1,252 @@
+"""LLM training-data preparation operators beyond the analysis pack:
+PII scrubbing and sequence packing.
+
+The reference engine has no equivalent surface (its only text
+operator chain is the wordcount pipeline,
+``mapreduce/worker/algorithm.py`` steps R4-R8) — this module is
+extension surface in the same category as dedup/similarity: the
+operations a 100 TB pretraining corpus actually goes through between
+"raw crawl" and "token stream".
+
+* :func:`pii_scrub` — redact emails / IPv4 addresses / phone numbers
+  and normalize whitespace. Pure JVM ``regexp_replace`` /
+  ``regexp_count`` expressions: map-only, whole-stage-codegen'd, zero
+  shuffle — the plan a row-wise cleaner must have at scale. The regex
+  subset used (character classes, bounded repetition, no
+  backreferences) behaves identically in Java regex and DuckDB's RE2,
+  so the whole transformation is oracle-checkable.
+
+* :func:`pack_sequences` — concatenate-then-chunk sequence packing:
+  documents are laid out in a deterministic pseudo-random order (md5
+  of doc_id — reproducible shuffling, same trick as
+  ``deterministic_sample``), token counts are prefix-summed, and each
+  document's global token offset places it in a fixed-size training
+  pack (``seq_offset div PACK_MAX_TOKENS``). This is the standard
+  pretraining packing layout (concatenate all tokens, cut every N).
+
+  The prefix sum is the scale-interesting part: a naive
+  ``Window.orderBy(...)`` with no partition key is an Exchange
+  SinglePartition — one task sorts the entire corpus, the classic
+  100 TB scale-killer. This implementation uses the textbook
+  distributed two-phase scan instead:
+
+  1. ``repartitionByRange`` on the order key (range partitions are
+     globally ordered: every key in partition p precedes every key in
+     partition p+1),
+  2. per-partition running sums (window partitioned by
+     ``spark_partition_id()`` — each partition scans locally, all in
+     parallel),
+  3. per-partition totals → a prefix-offset table of exactly
+     ``n_partitions`` rows (the ONLY single-partition window runs on
+     that bounded-tiny table), broadcast-joined back.
+
+  Equality with the naive single-partition form is pinned in
+  tests/test_llm_prep.py, as is the plan shape (RangePartitioning +
+  broadcast join on the main branch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+# Conservative, engine-portable PII patterns (shared Java-regex/RE2
+# subset: classes + bounded repetition only). A production scrubber
+# swaps in stricter validated patterns; the PLAN (map-only chained
+# regexp_replace) is what carries to 100 TB unchanged.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PHONE_PATTERN = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+# same explicit ASCII whitespace class as fingerprint/text_analysis:
+# Java's \s includes \x0b, RE2's does not — spell it out so both
+# engines normalize identically
+_WS_PATTERN = "[ \\t\\n\\x0b\\f\\r]+"
+
+PACK_MAX_TOKENS = 512
+
+
+def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append redaction columns to any DataFrame with a text column:
+    ``clean_text`` plus per-category match counts. Redaction order is
+    email → IPv4 → phone, each counted on the text AS ITS PREDECESSOR
+    LEFT IT, so a digit run consumed by one category is never
+    double-counted by the next."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(text_col, EMAIL_PATTERN, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_PATTERN, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_PATTERN, "<PHONE>")
+    clean = F.trim(F.regexp_replace(t3, _WS_PATTERN, " "))
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t0, F.lit(EMAIL_PATTERN)).cast("long"),
+            "n_ips": F.regexp_count(t1, F.lit(IPV4_PATTERN)).cast("long"),
+            "n_phones": F.regexp_count(t2, F.lit(PHONE_PATTERN)).cast("long"),
+            "clean_text": clean,
+        }
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted corpus view: doc_id, cleaned text, per-category
+    redaction counts. Map-only — no shuffle anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_text(docs).select(
+        "doc_id",
+        "clean_text",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
+            "n_redactions"
+        ),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    )
+
+
+def _keyed_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, shuffle_key): whitespace token counts under
+    a reproducible pseudo-random layout key. md5 rather than xxhash64
+    so the DuckDB oracle computes the identical ordering."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
+            "shuffle_key"
+        ),
+    )
+
+
+def _assign(df_with_off: DataFrame) -> DataFrame:
+    """Offset → pack assignment, shared by both prefix-sum forms.
+    Integer ``div`` (not float division) — float loses exactness past
+    2^53 and the offsets are exact longs."""
+    m = PACK_MAX_TOKENS
+    return df_with_off.select(
+        "doc_id",
+        "n_tokens",
+        "seq_offset",
+        F.expr(f"seq_offset div {m}").alias("pack_id"),
+        F.expr(
+            f"cast(seq_offset div {m} != "
+            f"(seq_offset + n_tokens - 1) div {m} as long)"
+        ).alias("spans_boundary"),
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed concatenate-then-chunk packing (see module
+    docstring for the two-phase prefix-sum topology)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        _keyed_tokens(docs)
+        .repartitionByRange(n_parts, "shuffle_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # phase 1: per-partition running sums — fully parallel local scans
+    local_w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    local = ranged.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    # phase 2: per-partition totals → prefix offsets. The single-
+    # partition window runs on n_partitions rows (bounded, ~KBs at
+    # any corpus size); the result broadcasts back to the big side.
+    per_pid = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("pid_total"))
+    prefix_w = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_pid.select(
+        "pid",
+        F.coalesce(F.sum("pid_total").over(prefix_w), F.lit(0)).alias(
+            "pid_offset"
+        ),
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.col("pid_offset") + F.col("local_cum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("seq_offset"),
+        )
+    )
+    return _assign(packed)
+
+
+def pack_sequences_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-partition reference form (Exchange SinglePartition —
+    correct, unscalable). Exists as the equality witness for
+    :func:`pack_sequences`; never registered."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("shuffle_key", "doc_id")
+    cum = _keyed_tokens(docs).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return _assign(
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("seq_offset"),
+        )
+    )
+
+
+# Never-registered local-oracle queries (driver window is full at 50):
+# verified every test run by tests/test_retired_twins.py's harness
+# with the same rows/schema/value-hash discipline as the driver.
+RETIRED_TWIN_QUERIES = {
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences,
+}
+
+RETIRED_TWIN_ORACLES = {
+    "pii_scrub": f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, text, t1,
+                   regexp_replace(t1, '{IPV4_PATTERN}', '<IP>', 'g') AS t2
+            FROM s
+        ), s3 AS (
+            SELECT doc_id, text, t1, t2,
+                   trim(regexp_replace(
+                       regexp_replace(t2, '{PHONE_PATTERN}', '<PHONE>', 'g'),
+                       '{_WS_PATTERN}', ' ', 'g')) AS clean_text
+            FROM s2
+        )
+        SELECT doc_id, clean_text,
+               len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(t1, '{IPV4_PATTERN}'))::BIGINT   AS n_ips,
+               len(regexp_extract_all(t2, '{PHONE_PATTERN}'))::BIGINT  AS n_phones,
+               (len(regexp_extract_all(text, '{EMAIL_PATTERN}'))
+                + len(regexp_extract_all(t1, '{IPV4_PATTERN}'))
+                + len(regexp_extract_all(t2, '{PHONE_PATTERN}')))::BIGINT
+                                                                       AS n_redactions,
+               length(clean_text)::BIGINT                              AS clean_chars
+        FROM s3
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   md5(doc_id::VARCHAR)                 AS shuffle_key
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY shuffle_key, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS seq_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, seq_offset,
+               seq_offset // {PACK_MAX_TOKENS} AS pack_id,
+               CASE WHEN seq_offset // {PACK_MAX_TOKENS}
+                    != (seq_offset + n_tokens - 1) // {PACK_MAX_TOKENS}
+                    THEN 1 ELSE 0 END::BIGINT AS spans_boundary
+        FROM c
+    """,
+}

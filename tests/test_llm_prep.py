@@ -1,0 +1,118 @@
+"""Semantic tests for the LLM-prep operators (PII scrubbing and
+sequence packing). The corpus-level oracle-hash check lives in
+tests/test_retired_twins.py; these tests pin the SEMANTICS (crafted
+PII actually redacts; packing obeys the concatenate-then-chunk
+invariants) and the plan shapes that carry the operators to 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from irio2024_mapreduce_spark.operators.llm_prep import (
+    PACK_MAX_TOKENS,
+    pack_sequences,
+    pack_sequences_naive,
+    pii_scrub,
+    scrub_text,
+)
+
+
+def test_scrub_text_redacts_crafted_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.co.uk or call 555-867 5309"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "dial 415-555-0123 after 9am"),
+            (4, "no pii here,\tjust\n whitespace   mess"),
+            (5, "a@b.io then 1.2.3.4 then 123-456-7890"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_text(df).collect()
+    }
+    assert rows[1]["n_emails"] == 1
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert "jane.doe" not in rows[1]["clean_text"]
+    # "555-867 5309" does not match ddd[- ]ddd[- ]dddd?  It does:
+    # 555-867 5309 → separator set is [- ] for both gaps
+    assert rows[1]["n_phones"] == 1
+
+    assert rows[2]["n_ips"] == 2
+    assert rows[2]["clean_text"].count("<IP>") == 2
+
+    assert rows[3]["n_phones"] == 1
+    assert "<PHONE>" in rows[3]["clean_text"]
+
+    assert rows[4]["n_emails"] == rows[4]["n_ips"] == rows[4]["n_phones"] == 0
+    assert rows[4]["clean_text"] == "no pii here, just whitespace mess"
+
+    # one of each; counts stay per-category, no double-count
+    assert (
+        rows[5]["n_emails"],
+        rows[5]["n_ips"],
+        rows[5]["n_phones"],
+    ) == (1, 1, 1)
+    assert rows[5]["clean_text"] == "<EMAIL> then <IP> then <PHONE>"
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    assert "Exchange" not in _plan_of(pii_scrub(spark, sf_dir))
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_off = sorted(rows, key=lambda r: r["seq_offset"])
+    # offsets tile the token stream exactly: each doc starts where
+    # the previous one ended, starting at 0
+    expect = 0
+    for r in by_off:
+        assert r["seq_offset"] == expect
+        expect += r["n_tokens"]
+    # pack assignment is offset div N; boundary flag is exact
+    for r in by_off:
+        assert r["pack_id"] == r["seq_offset"] // PACK_MAX_TOKENS
+        end = r["seq_offset"] + r["n_tokens"] - 1
+        assert r["spans_boundary"] == int(
+            end // PACK_MAX_TOKENS != r["pack_id"]
+        )
+    # every pack except the last is fully covered (concatenate-then-
+    # chunk leaves no gaps): total tokens span all pack boundaries
+    n_packs = max(r["pack_id"] for r in by_off) + 1
+    assert n_packs == (expect + PACK_MAX_TOKENS - 1) // PACK_MAX_TOKENS
+
+
+def test_pack_distributed_equals_naive(spark, sf_dir):
+    a = sorted(map(tuple, pack_sequences(spark, sf_dir).collect()))
+    b = sorted(map(tuple, pack_sequences_naive(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_plan_has_no_big_single_partition_sort(
+    spark, sf_dir
+):
+    """The corpus-side prefix sum must be range-partitioned local
+    scans + a broadcast of the tiny offset table — the naive form's
+    whole-corpus Exchange SinglePartition must not appear on the
+    corpus branch. (The offsets branch legitimately single-partitions
+    its n_partitions-row aggregate.)"""
+    plan = _plan_of(pack_sequences(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # corpus branch: the scan feeding the range partitioner must not
+    # flow into a SinglePartition exchange before the window — the
+    # naive plan puts EVERY row through one; here only the per-pid
+    # aggregate (bounded rows) may. Count occurrences: exactly one
+    # SinglePartition exchange (the offsets branch), not two.
+    assert plan.count("SinglePartition") <= 1

@@ -12,7 +12,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from irio2024_mapreduce_spark.operators import advanced, misc, text_analysis
+from irio2024_mapreduce_spark.operators import (
+    advanced,
+    llm_prep,
+    misc,
+    text_analysis,
+)
 from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
 from tools.check_oracle import value_hash
 
@@ -34,6 +39,13 @@ RETIRED = {
             text_analysis.RETIRED_TWIN_ORACLES[name],
         )
         for name in text_analysis.RETIRED_TWIN_QUERIES
+    },
+    **{
+        name: (
+            llm_prep.RETIRED_TWIN_QUERIES[name],
+            llm_prep.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in llm_prep.RETIRED_TWIN_QUERIES
     },
 }
 
@@ -61,6 +73,10 @@ def test_retired_set_is_exactly_the_documented_twins():
         # retired r6 to admit streaming_click_purchase_join (its
         # tokenizer surface duplicates text_analysis's)
         "token_count",
+        # never-registered r6 additions (window still full): PII
+        # scrubbing + distributed sequence packing
+        "pii_scrub",
+        "pack_sequences",
     }
 
 
