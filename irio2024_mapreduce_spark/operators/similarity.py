@@ -292,7 +292,15 @@ IVF_CENTROIDS = 8
 # 3-round corpus-pass budget truncated training and the early exit
 # never fired, see tests/test_similarity.py)
 IVF_ITERATIONS = 50
-IVF_NPROBE = 2
+# 3 of 8 cells probed: measured recall@top-5 vs the exact ranking at
+# sf0.1 is 0.54 / 0.76 / 0.88 for nprobe 2/3/4 at indistinguishable
+# query cost on the fixtures. 3 is the shipped operating point —
+# 0.76 recall for touching 37.5% of this tiny 8-cell index. The
+# fraction is an artifact of k=8: production IVF grows k with corpus
+# size (k ≈ √n cells), so nprobe/k — the fraction of corpus scanned —
+# SHRINKS as the corpus grows; nprobe is a recall knob, not a scan
+#-fraction constant.
+IVF_NPROBE = 3
 # quantizer training set bound: the smallest-xxhash64 IVF_TRAIN_MAX
 # vectors — a deterministic uniform sample. FAISS-style: k-means
 # quality saturates at a few hundred training points per centroid, so

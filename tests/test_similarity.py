@@ -111,8 +111,9 @@ def test_ann_ivf_contained_in_exact_top_decile(spark, sf_dir, monkeypatch):
 
 
 def test_ivf_recall_beats_random(spark, sf_dir):
-    """Probing 2/8 cells must recall more of the true top-k than the
-    ~25% a random 2-cell probe would give on structure-less data."""
+    """Probing IVF_NPROBE/8 cells must recall more of the true top-k
+    than a random same-size probe would on structure-less data
+    (~37.5% at the shipped nprobe=3; measured 0.76 at sf0.1)."""
     from irio2024_mapreduce_spark.operators.similarity import (
         TOP_K,
         similarity_ivf,
@@ -127,7 +128,10 @@ def test_ivf_recall_beats_random(spark, sf_dir):
         for r in similarity_ivf(spark, sf_dir).collect()
     }
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.3, recall
+    # floor well under the measured 0.72-0.76 band across sf dirs but
+    # above anything a 3-cell random probe achieves (~0.375 expected,
+    # with variance; 0.5 separates signal from luck)
+    assert recall >= 0.5, recall
 
 
 def test_ann_recall_floor(spark, sf_dir):
