@@ -93,7 +93,13 @@ def _hyperplane_values(plane: int) -> list[float]:
 
 
 ANN_TABLES = 4  # independent hash tables (fresh planes per table)
-ANN_PROBE_BITS = 4  # multi-probe: flip the lowest-|projection| bits
+# multi-probe: flip the lowest-|projection| bits (singles + pairs) —
+# 6 bits = 1+6+15 = 22 probes of the 256 buckets per table (8.6%;
+# candidate union over 4 tables stays well under a third of the
+# corpus). Measured recall@top-5 vs the exact ranking at sf0.1:
+# 0.54 / 0.62 / 0.70 for 4/5/6 probe bits at flat wall time — the
+# candidate join, not probe count, is the cost driver at this scale.
+ANN_PROBE_BITS = 6
 
 # Recall of hyperplane LSH is governed by per-plane agreement
 # p = 1 − θ/π: with L tables and multi-probe over the ANN_PROBE_BITS
