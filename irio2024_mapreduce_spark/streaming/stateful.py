@@ -116,11 +116,31 @@ def _sessionize(
             # watermark-style tolerance.
             last, n, sv = max(last, ts), n + 1, sv + float(value)
     if start is not None:
-        state.update((start, last, n, sv))
-        if evict:
-            # arm the event-time timeout: fires when the watermark
-            # passes the earliest instant the session could close
-            state.setTimeoutTimestamp((last + _GAP_US) // 1000)
+        if evict and last + _GAP_US <= state.getCurrentWatermarkMs() * 1000:
+            # The session's close horizon (last + gap) is already
+            # BEHIND the watermark. Unlike aggregations/dedup, a
+            # stateful group-map operator receives late rows — Spark
+            # does not filter them — so this happens whenever a key's
+            # events arrive in a later micro-batch than the (other
+            # keys') traffic that advanced the watermark; ordinary
+            # under multi-batch unordered ingest. Arming the timeout
+            # at last + gap would sit behind the watermark, which the
+            # engine rejects (INVALID_TIMEOUT_TIMESTAMP — found by
+            # tools/stress_streaming.py at 100× multi-batch). Flush
+            # the session as closed NOW: in-order traffic can never
+            # extend it (anything after the watermark is past
+            # last + gap), and any further late stragglers for this
+            # key will open their own late fragment — the standard
+            # watermark trade, same tolerance the windowed aggs have.
+            closed.append((user_id, start, last, n, sv))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, last, n, sv))
+            if evict:
+                # arm the event-time timeout: fires when the watermark
+                # passes the earliest instant the session could close
+                state.setTimeoutTimestamp((last + _GAP_US) // 1000)
     if closed:
         yield pd.DataFrame(
             {

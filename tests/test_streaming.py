@@ -587,3 +587,62 @@ def test_streaming_dedup_state_carries_across_micro_batches(
     _drain(deduped.writeStream.outputMode("append"), name)
     got = sorted(map(tuple, spark.table(name).collect()))
     assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_event_time_timeout_accepts_fully_late_key(spark, tmp_path):
+    """A key whose ENTIRE traffic arrives behind the watermark (other
+    keys' later events advanced it in an earlier batch) must flush
+    its session immediately as closed instead of crashing: stateful
+    group-map operators receive late rows un-filtered, and arming a
+    timeout at last + gap < watermark raises
+    INVALID_TIMEOUT_TIMESTAMP (found by tools/stress_streaming.py at
+    100x multi-batch; fixed in streaming/stateful.py).
+
+    * file0: user 9 at t0+20h      -> batch 1's watermark lands at
+      t0+19h50m
+    * file1: user 1 at t0, t0+5m   -> entirely 19h behind the
+      watermark; last + gap (t0+35m) << watermark
+    """
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        run_sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+
+    files = [
+        mk([(9, t0 + m(hours=20), 1.0)]),
+        mk([(1, t0, 1.0), (1, t0 + m(minutes=5), 2.0)]),
+    ]
+    src = tmp_path / "late_key_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        stage = str(tmp_path / f"lk{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = files[0].schema
+    flushed = run_sessionize_stream(
+        spark, str(src), schema,
+        max_files_per_trigger=1, timeout="event_time",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in flushed.collect()
+    }
+    # user 1's fully-late session is flushed as closed (2 events,
+    # correct bounds) rather than crashing the query or lingering
+    assert (1, t0, 2) in got

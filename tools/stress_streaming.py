@@ -1,0 +1,192 @@
+"""Streaming scale probe: the three heaviest streaming state shapes
+at 1× and N× event volume, multi-micro-batch, with state-store size
+evidence pulled from the engine's own progress metrics.
+
+Each job runs `Trigger.availableNow` over a staged directory of 32
+parquet files with ``maxFilesPerTrigger`` forcing several micro-
+batches (state must survive batch boundaries, exactly like a
+long-running production stream), writing to the streaming noop sink
+(no driver-side result collection — what's measured is scan +
+state-store + emit). After termination the probe reads
+``recentProgress`` and reports the LAST batch's
+``stateOperators.numRowsTotal``: the direct evidence that state is
+bounded by the watermark horizon (windowed agg, dedup) or the live-
+session population (sessionizer) — NOT by total events processed.
+
+Jobs:
+  * windowed_counts — watermarked tumbling-window aggregation
+    (streaming_event_counts shape). State rows = open windows ×
+    event types, independent of event count.
+  * dedup — dropDuplicatesWithinWatermark on event_id
+    (streaming_dedup shape). State rows = keys inside the watermark
+    horizon; on event-time-ordered input the horizon chases the max
+    ts, so state stays a fraction of total keys.
+  * sessionize — the applyInPandasWithState custom sessionizer.
+    State rows = live (not-yet-closed) sessions.
+
+Usage: python tools/stress_streaming.py [N]      (default 100)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
+from irio2024_mapreduce_spark.sources.tables import load_table
+from irio2024_mapreduce_spark.streaming.jobs import _normalize_event_ts
+from irio2024_mapreduce_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    _sessionize,
+)
+
+FILES_PER_TRIGGER = 8  # 32 staged files -> 4 micro-batches
+
+
+def build_staged_events(spark, base: str, n: int) -> str:
+    """N× events as 32 parquet files (shifted ids so the user
+    population grows), plus the raw schema for readStream."""
+    stage = tempfile.mkdtemp(prefix="stress_stream_")
+    ev = load_table(spark, base, "events")
+    out = os.path.join(stage, "events")
+    (
+        ev.withColumn("k", F.explode(F.expr(f"sequence(0, {n - 1})")))
+        .select(
+            (F.col("event_id") + F.col("k").cast("long") * 100_000_000)
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("k").cast("long") * 100_000_000)
+            .alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def drain_and_measure(stream_df, name: str) -> dict:
+    q = (
+        stream_df.writeStream.queryName(name)
+        .format("noop")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
+    last_state = None
+    for p in reversed(progresses):
+        ops = p.get("stateOperators") or []
+        if ops:
+            last_state = sum(op.get("numRowsTotal", 0) for op in ops)
+            break
+    return {
+        "batches": len(batches),
+        "input_rows": sum(p["numInputRows"] for p in batches),
+        "state_rows_final": last_state,
+    }
+
+
+def jobs(spark, src_dir: str, schema):
+    def read():
+        return _normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(src_dir),
+            schema,
+        )
+
+    def windowed_counts():
+        return (
+            read()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def dedup():
+        return (
+            read()
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+
+    def sessionize():
+        # production-mode sessionizer (event-time timeout + eviction),
+        # same prepared shape as stateful.run_sessionize_stream
+        import functools
+
+        prepared = (
+            read()
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "value",
+            )
+            .withColumn("ts_wm", F.timestamp_micros("ts_us"))
+            .withWatermark("ts_wm", "10 minutes")
+        )
+        return prepared.groupBy("user_id").applyInPandasWithState(
+            functools.partial(_sessionize, evict=True),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+
+    return {
+        "windowed_counts": windowed_counts,
+        "dedup": dedup,
+        "sessionize": sessionize,
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for label, scale in [("1x", 1), (f"{n}x", n)]:
+        src = build_staged_events(spark, base, scale)
+        schema = spark.read.parquet(src).schema
+        for jname, mk in jobs(spark, src, schema).items():
+            drain_driver_backlog(spark)
+            t0 = time.perf_counter()
+            m = drain_and_measure(mk(), f"sp_{jname}_{uuid.uuid4().hex[:6]}")
+            m["sec"] = round(time.perf_counter() - t0, 2)
+            out.setdefault(jname, {})[label] = m
+    for jname, d in out.items():
+        d["ratio"] = round(
+            d[f"{n}x"]["sec"] / max(d["1x"]["sec"], 0.01), 1
+        )
+        big = d[f"{n}x"]
+        if big["state_rows_final"] and big["input_rows"]:
+            big["state_over_input"] = round(
+                big["state_rows_final"] / big["input_rows"], 4
+            )
+    print(json.dumps({"scale": n, "results": out}))
+
+
+if __name__ == "__main__":
+    main()
