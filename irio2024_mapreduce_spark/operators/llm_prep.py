@@ -1,5 +1,5 @@
 """LLM training-data preparation operators beyond the analysis pack:
-PII scrubbing and sequence packing.
+PII scrubbing, sequence packing, and weighted source mixing.
 
 The reference engine has no equivalent surface (its only text
 operator chain is the wordcount pipeline,
@@ -43,6 +43,11 @@ operations a 100 TB pretraining corpus actually goes through between
   Equality with the naive single-partition form is pinned in
   tests/test_llm_prep.py, as is the plan shape (RangePartitioning +
   broadcast join on the main branch).
+
+* :func:`source_mix` — the per-source up/down-sampling knob of a
+  pretraining data recipe ("wiki ×2.25, web ×0.5"), deterministic and
+  content-addressed at 1/256 granularity, with upsampling as a
+  map-only 1→N explode.
 """
 
 from __future__ import annotations
@@ -192,12 +197,86 @@ def pack_sequences_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Source-mixing weights (units of 1/256 so the fractional part is an
+# exact two-hex-digit threshold on md5(doc_id) — lowercase fixed-width
+# hex compares identically lexicographically in both engines):
+#   src0-4  -> 2.25x (upsample: 2 full copies + a 64/256 hash slice)
+#   src5-9  -> 1.00x (pass through)
+#   src10-14-> 0.50x (downsample to a 128/256 slice)
+#   src15-19-> 0.25x (downsample to a 64/256 slice)
+MIX_BANDS = [(5, 2, "40"), (10, 1, "00"), (15, 0, "80"), (10**9, 0, "40")]
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture — the 'wiki ×2.25, web ×0.5' knob every
+    pretraining data recipe has. Deterministic and content-addressed:
+    a doc's copy count is floor(w) plus one more iff the first two
+    md5(doc_id) hex digits fall under the fractional threshold, so
+    the mixture is reproducible across runs/partitionings/engines
+    (same trick as ``deterministic_sample``, at 1/256 granularity).
+    Upsampling is a map-only 1→N ``explode(sequence(...))`` — no
+    shuffle until the final per-source summary; at 100 TB the
+    exploded frame streams straight into the shuffle-free sink."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    w_int, w_hex = F.lit(None), F.lit(None)
+    for bound, whole, frac_hex in reversed(MIX_BANDS):
+        w_int = F.when(idx < bound, F.lit(whole)).otherwise(w_int)
+        w_hex = F.when(idx < bound, F.lit(frac_hex)).otherwise(w_hex)
+    frac_take = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < w_hex
+    )
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        (w_int + frac_take.cast("int")).alias("n_copies"),
+    )
+    mixed = weighted.filter(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("sequence(0, n_copies - 1)")).alias("copy_id"),
+    )
+    per_source_out = mixed.groupBy("source").agg(
+        F.count("*").cast("long").alias("rows_out"),
+        F.countDistinct("doc_id").alias("docs_kept"),
+    )
+    docs_in = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_in")
+    )
+    return (
+        docs_in.join(per_source_out, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce("rows_out", F.lit(0)).cast("long").alias("rows_out"),
+            # realized rate ×10⁴, exact integer arithmetic (see
+            # text_analysis rounding policy)
+            F.expr(
+                "10000 * (coalesce(rows_out, 0) div docs_in) + "
+                "(10000 * (coalesce(rows_out, 0) % docs_in)) div docs_in"
+            ).alias("rate_x10k"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CASE_INT = (
+    "CASE WHEN idx < 5 THEN 2 WHEN idx < 10 THEN 1 ELSE 0 END"
+)
+_MIX_CASE_HEX = (
+    "CASE WHEN idx < 5 THEN '40' WHEN idx < 10 THEN '00' "
+    "WHEN idx < 15 THEN '80' ELSE '40' END"
+)
+
 # Never-registered local-oracle queries (driver window is full at 50):
 # verified every test run by tests/test_retired_twins.py's harness
 # with the same rows/schema/value-hash discipline as the driver.
 RETIRED_TWIN_QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
+    "source_mix": source_mix,
 }
 
 RETIRED_TWIN_ORACLES = {
@@ -248,5 +327,36 @@ RETIRED_TWIN_ORACLES = {
                     != (seq_offset + n_tokens - 1) // {PACK_MAX_TOKENS}
                     THEN 1 ELSE 0 END::BIGINT AS spans_boundary
         FROM c
+    """,
+    "source_mix": f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CAST(substr(source, 4) AS INT) AS idx
+            FROM documents
+        ), weighted AS (
+            SELECT doc_id, source,
+                   ({_MIX_CASE_INT}) + (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2)
+                                             < ({_MIX_CASE_HEX})
+                                        THEN 1 ELSE 0 END) AS n_copies
+            FROM w
+        ), mixed AS (
+            SELECT doc_id, source, unnest(range(n_copies)) AS copy_id
+            FROM weighted WHERE n_copies > 0
+        ), outs AS (
+            SELECT source, COUNT(*)::BIGINT AS rows_out,
+                   COUNT(DISTINCT doc_id)::BIGINT AS docs_kept
+            FROM mixed GROUP BY source
+        ), ins AS (
+            SELECT source, COUNT(*)::BIGINT AS docs_in
+            FROM documents GROUP BY source
+        )
+        SELECT i.source, i.docs_in,
+               COALESCE(o.docs_kept, 0)::BIGINT AS docs_kept,
+               COALESCE(o.rows_out, 0)::BIGINT AS rows_out,
+               CAST(10000 * (COALESCE(o.rows_out, 0) // i.docs_in)
+                    + (10000 * (COALESCE(o.rows_out, 0) % i.docs_in))
+                      // i.docs_in AS BIGINT) AS rate_x10k
+        FROM ins i LEFT JOIN outs o USING (source)
+        ORDER BY i.source
     """,
 }

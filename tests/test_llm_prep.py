@@ -116,3 +116,36 @@ def test_pack_sequences_plan_has_no_big_single_partition_sort(
     # aggregate (bounded rows) may. Count occurrences: exactly one
     # SinglePartition exchange (the offsets branch), not two.
     assert plan.count("SinglePartition") <= 1
+
+
+def test_source_mix_semantics(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.llm_prep import source_mix
+
+    rows = {r["source"]: r for r in source_mix(spark, sf_dir).collect()}
+    assert len(rows) == 20
+    for src, r in rows.items():
+        idx = int(src[3:])
+        w = {0: 2.25, 1: 1.0, 2: 0.5, 3: 0.25}[min(idx // 5, 3)]
+        # realized rate approximates the target weight; the hash
+        # slice has binomial noise, so allow a wide-but-meaningful
+        # band (docs_in is 25-ish at sf0.01, ~250 at sf0.1)
+        rate = r["rate_x10k"] / 10_000
+        assert abs(rate - w) <= 0.35, (src, rate, w)
+        # structural exactness, not statistical: whole copies are
+        # guaranteed, fractional part adds at most one more
+        assert r["docs_kept"] <= r["docs_in"]
+        low, high = int(w) * r["docs_in"], (int(w) + 1) * r["docs_in"]
+        assert low <= r["rows_out"] <= high
+    # pass-through band is EXACT
+    for i in range(5, 10):
+        r = rows[f"src{i}"]
+        assert r["rows_out"] == r["docs_in"] == r["docs_kept"]
+        assert r["rate_x10k"] == 10_000
+
+
+def test_source_mix_deterministic(spark, sf_dir):
+    from irio2024_mapreduce_spark.operators.llm_prep import source_mix
+
+    a = sorted(map(tuple, source_mix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, source_mix(spark, sf_dir).collect()))
+    assert a == b

@@ -74,9 +74,10 @@ def test_retired_set_is_exactly_the_documented_twins():
         # tokenizer surface duplicates text_analysis's)
         "token_count",
         # never-registered r6 additions (window still full): PII
-        # scrubbing + distributed sequence packing
+        # scrubbing + distributed sequence packing + source mixing
         "pii_scrub",
         "pack_sequences",
+        "source_mix",
     }
 
 
