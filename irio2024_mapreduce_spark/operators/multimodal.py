@@ -493,3 +493,186 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
 }
+
+
+# --------------------------------------------------------------- audio (WAV)
+# Real audio decode with zero codec dependencies: PCM WAV is a RIFF
+# container whose header parses with stdlib struct — the audio
+# sibling of the P6/BMP image path. Completes the image/audio/video
+# triad with GENUINE bytes→metadata decode for two of the three
+# (video frame extraction stays ffmpeg-gated, the one true codec
+# dependency).
+
+WAV_SAMPLE_RATE = 8000  # fixture rate (8 kHz mono PCM-8)
+
+
+def encode_wav(
+    sample_rate: int, channels: int, bits: int, frames: bytes
+) -> bytes:
+    """Emit a canonical 44-byte-header PCM WAV payload."""
+    block = channels * bits // 8
+    if len(frames) % block:
+        raise ValueError("frame buffer does not match block alignment")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frames))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            channels,
+            sample_rate,
+            sample_rate * block,
+            block,
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a PCM WAV payload → (sample_rate, channels, bits,
+    n_frames). Walks RIFF chunks (fmt may be followed by LIST/fact
+    etc. before data), stdlib-only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_fmt != 1:
+                raise ValueError("only PCM WAV supported")
+            fmt = (sample_rate, channels, bits)
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    sample_rate, channels, bits = fmt
+    return sample_rate, channels, bits, data_len // (channels * bits // 8)
+
+
+# hex constants of the fixed WAV header fields (PCM, mono, 8-bit,
+# 8 kHz): RIFF / WAVEfmt +len / fmt body prefix / data
+_WAV_HEX_RIFF = b"RIFF".hex()
+_WAV_HEX_FMT = (
+    b"WAVEfmt ".hex()
+    + struct.pack("<IHH", 16, 1, 1).hex()
+    + struct.pack("<II", WAV_SAMPLE_RATE, WAV_SAMPLE_RATE).hex()
+    + struct.pack("<HH", 1, 8).hex()
+)
+_WAV_HEX_DATA = b"data".hex()
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, bits long, "
+    "n_frames long, duration_us long"
+)
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-stripe rows (doc_id % 3 == 1, mirroring media_table's
+    type assignment) carrying REAL PCM WAV payloads built from JVM
+    expressions: the header's little-endian binary fields are
+    assembled as a hex string (fixed fields are Python-precomputed
+    hex literals, the two length fields are `lpad(hex(...))`) and
+    materialized with `unhex` — exact bytes, NULs included, no UDF.
+    Frame count derives from n_chars so every downstream number is
+    reconstructible in ANSI SQL."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 3 == 1)
+    )
+    # n_frames ≤ 195 keeps both RIFF sizes (36+d, d) single-byte so
+    # their LE encodings are lpad(hex)+zero-padding
+    d = F.lit(16) + F.col("n_chars") % 180
+    le1 = lambda c: F.concat(  # noqa: E731 — LE uint32 of a <256 value
+        F.lpad(F.lower(F.hex(c)), 2, "0"), F.lit("000000")
+    )
+    payload_hex = F.concat(
+        F.lit(_WAV_HEX_RIFF),
+        le1(d + 36),
+        F.lit(_WAV_HEX_FMT),
+        F.lit(_WAV_HEX_DATA),
+        le1(d),
+        F.repeat(
+            F.lpad(F.lower(F.hex(F.lit(97) + F.col("doc_id") % 26)), 2, "0"),
+            d.cast("int"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def _audio_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    decoded = [decode_wav(bytes(p)) for p in batch["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "sample_rate": [d[0] for d in decoded],
+            "channels": [d[1] for d in decoded],
+            "bits": [d[2] for d in decoded],
+            "n_frames": [d[3] for d in decoded],
+            # exact integer µs: 1e6 * frames / rate with rate=8000
+            # divides evenly (125 µs per frame)
+            "duration_us": [
+                d[3] * 1_000_000 // d[0] for d in decoded
+            ],
+        }
+    )
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction stage: REAL WAV header decode over
+    Arrow batches (mapInPandas, map-only — the same plumbing shape as
+    the image decode), then a per-lang rollup whose every number the
+    DuckDB oracle reproduces arithmetically."""
+    audio = audio_table(spark, sf_dir)
+    decoded = audio.select("doc_id", "lang", "payload").mapInPandas(
+        lambda it: (
+            _audio_batch(b).assign(lang=b["lang"]) for b in it
+        ),
+        schema=AUDIO_SCHEMA + ", lang string",
+    )
+    return (
+        decoded.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("duration_us").alias("total_duration_us"),
+            F.countDistinct("sample_rate").alias("distinct_rates"),
+            F.max("bits").alias("bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+RETIRED_TWIN_QUERIES = {"multimodal_audio": multimodal_audio}
+RETIRED_TWIN_ORACLES = {
+    # every aggregate reduces to the n_frames formula (16 + n_chars %
+    # 180) because the decoder reads back exactly what the fixture
+    # encodes — 8 kHz mono PCM-8, 125 µs per frame
+    "multimodal_audio": """
+        WITH audio AS (
+            SELECT doc_id, lang, (16 + n_chars % 180)::BIGINT AS d
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % 3 = 1
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT          AS n_clips,
+               SUM(d)::BIGINT            AS total_frames,
+               SUM(d * 125)::BIGINT      AS total_duration_us,
+               1::BIGINT                 AS distinct_rates,
+               8::BIGINT                 AS bits
+        FROM audio GROUP BY lang ORDER BY lang
+    """,
+}

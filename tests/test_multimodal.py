@@ -144,3 +144,58 @@ def test_decode_pipeline_deterministic(spark, sf_dir):
     b = sorted(map(tuple, multimodal_decode(spark, sf_dir).collect()))
     assert a == b
     assert len(a) == 3  # one row per media_type
+
+
+def test_wav_roundtrip_and_rejection():
+    """encode_wav/decode_wav: exact header roundtrip, chunk-walking
+    past interposed chunks, and loud rejection of malformed input."""
+    import struct
+
+    import pytest
+
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(8000, 1, 8, b"\x10" * 123)
+    assert decode_wav(wav) == (8000, 1, 8, 123)
+    # stereo 16-bit: n_frames counts FRAMES, not bytes
+    wav2 = encode_wav(44100, 2, 16, b"\x00" * 400)
+    assert decode_wav(wav2) == (44100, 2, 16, 100)
+    # an interposed LIST chunk between fmt and data must be skipped
+    body = b"\x07" * 10
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    raw = encode_wav(8000, 1, 8, body)
+    with_list = raw[:36] + extra + raw[36:]
+    patched = (
+        with_list[:4]
+        + struct.pack("<I", struct.unpack_from("<I", with_list, 4)[0] + 12)
+        + with_list[8:]
+    )
+    assert decode_wav(patched) == (8000, 1, 8, 10)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        encode_wav(8000, 2, 16, b"\x00" * 7)  # misaligned frames
+
+
+def test_audio_table_payloads_are_real_wav(spark, sf_dir):
+    """The JVM-expression-built payloads must parse as genuine PCM
+    WAV with the documented fixture parameters."""
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        audio_table,
+        decode_wav,
+    )
+
+    rows = audio_table(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        sr, ch, bits, n = decode_wav(bytes(r["payload"]))
+        assert (sr, ch, bits) == (WAV_SAMPLE_RATE, 1, 8)
+        assert 16 <= n <= 195
+        # total payload = 44-byte canonical header + one byte/frame
+        assert len(bytes(r["payload"])) == 44 + n

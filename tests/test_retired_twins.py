@@ -16,6 +16,7 @@ from irio2024_mapreduce_spark.operators import (
     advanced,
     llm_prep,
     misc,
+    multimodal,
     text_analysis,
 )
 from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
@@ -46,6 +47,13 @@ RETIRED = {
             llm_prep.RETIRED_TWIN_ORACLES[name],
         )
         for name in llm_prep.RETIRED_TWIN_QUERIES
+    },
+    **{
+        name: (
+            multimodal.RETIRED_TWIN_QUERIES[name],
+            multimodal.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in multimodal.RETIRED_TWIN_QUERIES
     },
 }
 
@@ -78,6 +86,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         "pii_scrub",
         "pack_sequences",
         "source_mix",
+        # r6: real stdlib WAV decode over JVM-built PCM payloads
+        "multimodal_audio",
     }
 
 
