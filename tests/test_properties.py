@@ -51,3 +51,103 @@ def test_python_spec_never_emits_separators(text):
     or whitespace."""
     for tok in filter(len, re.split(TOKEN_SPLIT_REGEX, text)):
         assert not re.search(TOKEN_SPLIT_REGEX, tok)
+
+
+# ---- r6 LLM-prep properties -------------------------------------------
+
+# token soup biased toward PII-shaped fragments and separator mess
+PII_TEXT = st.lists(
+    st.sampled_from(
+        ["ab", "z9", "a@b.io", "user@example.com", "192.168.0.1",
+         "1.2.3.4.5", "555-123-4567", "12-34", "@", ".", "-", "<", ">",
+         " ", "\t", "\n", "  "]
+    ),
+    max_size=25,
+).map("".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(PII_TEXT, min_size=1, max_size=4))
+def test_scrub_text_is_idempotent(spark, texts):
+    """Scrubbing an already-scrubbed text changes nothing: the
+    replacement tokens (<EMAIL>/<IP>/<PHONE>) and collapsed
+    whitespace contain no residual matches for any pattern. An
+    operator a pipeline may apply twice (re-run, backfill) must be a
+    fixpoint or it silently mangles clean data."""
+    from irio2024_mapreduce_spark.operators.llm_prep import scrub_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    once = scrub_text(df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = scrub_text(once).select("doc_id", "clean_text")
+    got = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    want = {
+        r["doc_id"]: r["text"] for r in once.collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=900), min_size=1, max_size=40
+    )
+)
+def test_pack_assignment_matches_python_reference(spark, token_counts):
+    """The distributed pack assignment must equal a 10-line Python
+    reference on arbitrary token-count multisets (hash layout order
+    recomputed Python-side with the same md5 rule)."""
+    import hashlib
+
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        PACK_MAX_TOKENS,
+        _assign,
+        _keyed_tokens,
+    )
+
+    rows = [(i, "w " * (n - 1) + "w") for i, n in enumerate(token_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keyed = _keyed_tokens(docs)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("shuffle_key", "doc_id")
+    packed = _assign(
+        keyed.withColumn("cum", F.sum("n_tokens").over(w)).select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("seq_offset"),
+        )
+    )
+    got = {
+        r["doc_id"]: (r["seq_offset"], r["pack_id"], r["spans_boundary"])
+        for r in packed.collect()
+    }
+
+    order = sorted(
+        range(len(token_counts)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    off = 0
+    for i in order:
+        n = token_counts[i]
+        expect = (
+            off,
+            off // PACK_MAX_TOKENS,
+            int((off + n - 1) // PACK_MAX_TOKENS != off // PACK_MAX_TOKENS),
+        )
+        assert got[i] == expect, (i, got[i], expect)
+        off += n
