@@ -521,6 +521,116 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- incremental
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape a production pipeline
+    actually runs daily: a NEW BATCH (fixture stripe doc_id % 10 == 9)
+    is admitted against the EXISTING CORPUS (the other 90%) without
+    ever re-deduping the corpus against itself.
+
+    Verdict per batch doc, in precedence order:
+
+    * ``exact_dup`` — byte-identical (md5) to a corpus doc, or to an
+      earlier (smaller doc_id) doc in the same batch;
+    * ``near_dup`` — 3-gram Jaccard ≥ 0.5 against a corpus
+      representative through the same banded, double-capped posting
+      join as ``dedup_ngram_jaccard`` (identical caps on both
+      engines, so the whole decision is DuckDB-hash-checkable);
+    * ``admitted`` — joins the corpus.
+
+    Scale shape: every aggregation/join is BATCH-keyed (hash lookups
+    into the corpus), so per-ingest cost is O(batch) plus an
+    equi-join probe of the corpus posting lists that share a (band,
+    shingle) with the batch — at 100 TB the corpus's md5 set and
+    posting index are precomputed once at ingest time and stored
+    bucketed by their join keys, making the daily increment
+    corpus-scan-free; here both are derived on the fly from the
+    fixture for checkability. NULL-text rows admit (no bytes to
+    collide on) — identical join-on-NULL semantics in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+
+    batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
+    corpus_hashes = corpus.select(F.md5("text").alias("_h")).distinct()
+
+    # exact: vs corpus (semi join) OR vs an earlier batch doc
+    vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
+    first_in_batch = batch_h.groupBy("_h").agg(
+        F.min("doc_id").alias("_first")
+    )
+    vs_batch = (
+        batch_h.join(first_in_batch, "_h")
+        .filter(F.col("doc_id") != F.col("_first"))
+        .select("doc_id")
+    )
+    exact_ids = vs_corpus.unionByName(vs_batch).distinct()
+
+    # near: survivors vs corpus reps, banded capped posting join
+    def side_postings(side: DataFrame) -> DataFrame:
+        sh = side.select(
+            "doc_id",
+            _shingles().alias("shingles"),
+            (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+        )
+        sh = _cap_blocks_lowcard(sh, ["len_band"], PAIRWISE_BLOCK_CAP)
+        posting = sh.select(
+            "doc_id",
+            "len_band",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("sh"),
+        )
+        return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
+
+    survivors = batch_h.join(exact_ids, "doc_id", "anti").select(
+        "doc_id", "text"
+    )
+    corpus_reps = corpus.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    bp = side_postings(survivors).select(
+        F.col("doc_id").alias("b_id"),
+        "len_band",
+        "sh",
+        F.col("n_sh").alias("n_b"),
+    )
+    cp = side_postings(corpus_reps).select(
+        F.col("doc_id").alias("c_id"),
+        "len_band",
+        "sh",
+        F.col("n_sh").alias("n_c"),
+    )
+    near_ids = (
+        bp.join(cp, ["len_band", "sh"])
+        .groupBy("b_id", "c_id", "n_b", "n_c")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_shared")),
+                6,
+            )
+            >= 0.5
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e") == 1, "exact_dup")
+            .when(F.col("_n") == 1, "near_dup")
+            .otherwise("admitted")
+            .alias("verdict"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- embedding
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4), blocked by label.
@@ -643,4 +753,79 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+}
+
+# Never-registered (driver window full): verified by the local
+# harness in tests/test_retired_twins.py.
+RETIRED_TWIN_QUERIES = {"dedup_incremental": dedup_incremental}
+RETIRED_TWIN_ORACLES = {
+    "dedup_incremental": f"""
+        WITH batch AS (
+            SELECT doc_id, text, md5(text) AS h
+            FROM documents WHERE doc_id % 10 = 9
+        ), corpus AS (
+            SELECT doc_id, text, md5(text) AS h
+            FROM documents WHERE doc_id % 10 != 9
+        ), exact_ids AS (
+            SELECT doc_id FROM batch WHERE h IN (SELECT h FROM corpus)
+            UNION
+            SELECT b.doc_id FROM batch b
+            JOIN (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h) f
+              ON b.h = f.h AND b.doc_id != f.first_id
+        ), survivors AS (
+            SELECT doc_id, text FROM batch
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact_ids)
+        ), corpus_reps AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+            FROM corpus GROUP BY md5(text)
+        ), bsh AS (
+            SELECT doc_id,
+                   (len(string_split(text, ' ')) // 8)::BIGINT AS len_band,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   )) AS shingles
+            FROM survivors
+            QUALIFY COUNT(*) OVER (PARTITION BY len_band)
+                    <= {PAIRWISE_BLOCK_CAP}
+        ), csh AS (
+            SELECT doc_id,
+                   (len(string_split(text, ' ')) // 8)::BIGINT AS len_band,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   )) AS shingles
+            FROM corpus_reps
+            QUALIFY COUNT(*) OVER (PARTITION BY len_band)
+                    <= {PAIRWISE_BLOCK_CAP}
+        ), bp AS (
+            SELECT * FROM (
+                SELECT doc_id AS b_id, len_band,
+                       len(shingles)::BIGINT AS n_b, unnest(shingles) AS s
+                FROM bsh
+            ) QUALIFY COUNT(*) OVER (PARTITION BY len_band, s)
+                      <= {NGRAM_POSTING_CAP}
+        ), cp AS (
+            SELECT * FROM (
+                SELECT doc_id AS c_id, len_band,
+                       len(shingles)::BIGINT AS n_c, unnest(shingles) AS s
+                FROM csh
+            ) QUALIFY COUNT(*) OVER (PARTITION BY len_band, s)
+                      <= {NGRAM_POSTING_CAP}
+        ), near_ids AS (
+            SELECT DISTINCT b_id AS doc_id FROM (
+                SELECT b_id, c_id, n_b, n_c, COUNT(*) AS n_shared
+                FROM bp JOIN cp USING (len_band, s)
+                GROUP BY 1, 2, 3, 4
+            ) WHERE ROUND(n_shared::DOUBLE / (n_b + n_c - n_shared), 6)
+                    >= 0.5
+        )
+        SELECT b.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'admitted' END AS verdict
+        FROM batch b
+        LEFT JOIN exact_ids e USING (doc_id)
+        LEFT JOIN near_ids n USING (doc_id)
+    """,
 }

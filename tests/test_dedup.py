@@ -481,3 +481,75 @@ def test_cc_rep_seeding_parity_with_member_graph(spark, sf_dir, monkeypatch):
         map(tuple, chunking.dedup_clusters(spark, sf_dir).collect())
     )
     assert fast == legacy and len(fast) > 0
+
+
+def test_dedup_incremental_semantics(spark, sf_dir):
+    """Beyond the oracle hash (tests/test_retired_twins.py): the
+    verdicts must be consistent with the batch/corpus split — every
+    batch doc gets exactly one verdict, an exact_dup really has a
+    byte-twin in corpus-or-earlier-batch, and an admitted doc has
+    neither a byte-twin there nor (cap-window) a >=0.5-Jaccard corpus
+    rep — cross-checked against brute force on the uncapped pairs."""
+    from irio2024_mapreduce_spark.operators.dedup import dedup_incremental
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    batch_ids = sorted(i for i in docs if i % 10 == 9)
+    assert sorted(verdicts) == batch_ids
+
+    corpus_texts = {
+        t for i, t in docs.items() if i % 10 != 9 and t is not None
+    }
+    seen_batch: set = set()
+    for i in batch_ids:
+        t = docs[i]
+        is_exact = t is not None and (t in corpus_texts or t in seen_batch)
+        if verdicts[i] == "exact_dup":
+            assert is_exact, i
+        else:
+            assert not is_exact, i
+        if t is not None:
+            seen_batch.add(t)
+
+    def shingles(t):
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[k : k + 3]) for k in range(n)}
+
+    def band(t):
+        return len(t.split(" ")) // 8
+
+    # Precision direction (always valid: the capped posting join can
+    # only UNDERCOUNT intersections, so a near_dup verdict implies a
+    # true same-band Jaccard >= 0.5). Recall direction is checked
+    # within the same length band only: banding is the documented
+    # recall trade (a 0.9-Jaccard pair whose lengths straddle a
+    # div-8 boundary is never a candidate, exactly like
+    # dedup_ngram_jaccard).
+    corpus_by_band: dict = {}
+    for t in corpus_texts:
+        corpus_by_band.setdefault(band(t), []).append(shingles(t))
+    for i in batch_ids:
+        t = docs[i]
+        if t is None:
+            assert verdicts[i] == "admitted", i
+            continue
+        s = shingles(t)
+        best = max(
+            (
+                len(s & c) / len(s | c)
+                for c in corpus_by_band.get(band(t), [])
+            ),
+            default=0.0,
+        )
+        if verdicts[i] == "near_dup":
+            assert round(best, 6) >= 0.5, (i, best)
+        elif verdicts[i] == "admitted":
+            assert round(best, 6) < 0.5, (i, best)

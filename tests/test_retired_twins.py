@@ -14,6 +14,7 @@ import pytest
 
 from irio2024_mapreduce_spark.operators import (
     advanced,
+    dedup,
     llm_prep,
     misc,
     multimodal,
@@ -55,6 +56,13 @@ RETIRED = {
         )
         for name in multimodal.RETIRED_TWIN_QUERIES
     },
+    **{
+        name: (
+            dedup.RETIRED_TWIN_QUERIES[name],
+            dedup.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in dedup.RETIRED_TWIN_QUERIES
+    },
 }
 
 
@@ -88,6 +96,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         "source_mix",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
+        # r6: batch-vs-corpus incremental ingest dedup
+        "dedup_incremental",
     }
 
 
