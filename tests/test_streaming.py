@@ -646,3 +646,87 @@ def test_event_time_timeout_accepts_fully_late_key(spark, tmp_path):
     # user 1's fully-late session is flushed as closed (2 events,
     # correct bounds) rather than crashing the query or lingering
     assert (1, t0, 2) in got
+
+
+def test_streaming_restart_recovers_from_checkpoint_exactly_once(
+    spark, tmp_path
+):
+    """Restart a streaming query from its checkpoint and the output
+    must stay exactly-once: no reprocessing (no duplicates in the
+    sink), no holes. This is the property that lets a production
+    stream survive driver restarts.
+
+    Uses a parquet file sink (a memory sink dies with the query, so
+    it can't witness recovery); the aggregation is the watermarked
+    dedup shape so STATE-STORE recovery is exercised too: a later
+    file re-delivers the first file's rows, and only recovered state
+    can know they are duplicates. The cut point is deterministic:
+    incarnation 1 runs while only file0 exists (availableNow drains
+    what's there and terminates, exactly like a job that committed
+    up to a point and was then redeployed)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    schema = "event_id long, ts timestamp, user_id long"
+
+    files = [
+        spark.createDataFrame(
+            [(1, t0, 1), (2, t0 + m(minutes=1), 2)], schema
+        ),
+        spark.createDataFrame([(3, t0 + m(minutes=2), 3)], schema),
+        # redelivery of file0's first row + a fresh one: recovered
+        # dedup state must drop the former, admit the latter
+        spark.createDataFrame(
+            [(1, t0, 1), (4, t0 + m(minutes=3), 4)], schema
+        ),
+    ]
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    out = str(tmp_path / "restart_out")
+
+    def stage(i):
+        st = str(tmp_path / f"rs{i}")
+        files[i].coalesce(1).write.mode("overwrite").parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def run_to_completion():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0)
+    run_to_completion()  # incarnation 1: drains file0, terminates
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    stage(1)  # the rest lands while the job is DOWN
+    stage(2)
+    run_to_completion()  # incarnation 2: same checkpoint, resumes
+
+    got = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # ids 1-4 exactly once each: file0 was not replayed into the
+    # sink, nothing was skipped, and the redelivered (1, t0) row was
+    # deduped by state recovered across the restart
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
