@@ -551,9 +551,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    return _incremental_verdicts(
+        batch, corpus_index_hashes(corpus), corpus_index_postings(corpus)
+    )
 
+
+def _side_postings(side: DataFrame) -> DataFrame:
+    """(doc_id, len_band, n_sh, sh) posting rows under the same
+    banding and hot-shingle cap as dedup_ngram_jaccard — but NOT its
+    PAIRWISE_BLOCK_CAP band cap. That cap guards the all-pairs
+    verify twin (a band of b docs costs O(b²) comparisons there);
+    the posting join's fan-out is bounded per (band, shingle) by
+    NGRAM_POSTING_CAP alone. At corpus scale EVERY band exceeds any
+    fixed constant, so a band cap here would silently disable
+    near-dedup for the whole corpus — found empirically by
+    tools/stress_incremental.py at 100× distinct docs, where the
+    band-capped index collapsed to empty and the probe got *faster*
+    with more data."""
+    sh = side.select(
+        "doc_id",
+        _shingles().alias("shingles"),
+        (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+    )
+    posting = sh.select(
+        "doc_id",
+        "len_band",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
+
+
+def corpus_index_hashes(corpus: DataFrame) -> DataFrame:
+    """The exact-dup half of the corpus ingest index: distinct md5s."""
+    return corpus.select(F.md5("text").alias("_h")).distinct()
+
+
+def corpus_index_postings(corpus: DataFrame) -> DataFrame:
+    """The near-dup half of the corpus ingest index: capped posting
+    rows of the exact-collapse representatives. In production both
+    index halves are WRITTEN AT INGEST TIME (postings bucketed by
+    (len_band, sh), hashes by _h) and only appended to — the daily
+    increment then never scans corpus text. tools/stress_incremental.py
+    measures exactly that split."""
+    reps = corpus.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    return _side_postings(reps)
+
+
+def _incremental_verdicts(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_postings: DataFrame,
+) -> DataFrame:
+    """Admission verdicts for a batch against a (possibly
+    pre-materialized) corpus index — the shared core of
+    :func:`dedup_incremental` (index derived on the fly) and the
+    index-backed probe path (index read from parquet)."""
     batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
-    corpus_hashes = corpus.select(F.md5("text").alias("_h")).distinct()
 
     # exact: vs corpus (semi join) OR vs an earlier batch doc
     vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
@@ -568,34 +624,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ids = vs_corpus.unionByName(vs_batch).distinct()
 
     # near: survivors vs corpus reps, banded capped posting join
-    def side_postings(side: DataFrame) -> DataFrame:
-        sh = side.select(
-            "doc_id",
-            _shingles().alias("shingles"),
-            (F.size(_tokens()) / 8).cast("long").alias("len_band"),
-        )
-        sh = _cap_blocks_lowcard(sh, ["len_band"], PAIRWISE_BLOCK_CAP)
-        posting = sh.select(
-            "doc_id",
-            "len_band",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("sh"),
-        )
-        return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
-
     survivors = batch_h.join(exact_ids, "doc_id", "anti").select(
         "doc_id", "text"
     )
-    corpus_reps = corpus.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
-    )
-    bp = side_postings(survivors).select(
+    bp = _side_postings(survivors).select(
         F.col("doc_id").alias("b_id"),
         "len_band",
         "sh",
         F.col("n_sh").alias("n_b"),
     )
-    cp = side_postings(corpus_reps).select(
+    cp = corpus_postings.select(
         F.col("doc_id").alias("c_id"),
         "len_band",
         "sh",
@@ -786,8 +824,6 @@ RETIRED_TWIN_ORACLES = {
                        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
                    )) AS shingles
             FROM survivors
-            QUALIFY COUNT(*) OVER (PARTITION BY len_band)
-                    <= {PAIRWISE_BLOCK_CAP}
         ), csh AS (
             SELECT doc_id,
                    (len(string_split(text, ' ')) // 8)::BIGINT AS len_band,
@@ -796,8 +832,6 @@ RETIRED_TWIN_ORACLES = {
                        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
                    )) AS shingles
             FROM corpus_reps
-            QUALIFY COUNT(*) OVER (PARTITION BY len_band)
-                    <= {PAIRWISE_BLOCK_CAP}
         ), bp AS (
             SELECT * FROM (
                 SELECT doc_id AS b_id, len_band,

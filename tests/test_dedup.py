@@ -553,3 +553,40 @@ def test_dedup_incremental_semantics(spark, sf_dir):
             assert round(best, 6) >= 0.5, (i, best)
         elif verdicts[i] == "admitted":
             assert round(best, 6) < 0.5, (i, best)
+
+
+def test_dedup_incremental_index_backed_parity(spark, sf_dir, tmp_path):
+    """The index-backed path (corpus md5 set + postings materialized
+    to parquet at 'ingest time', as production would) must produce
+    verdicts identical to the on-the-fly form."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_verdicts,
+        corpus_index_hashes,
+        corpus_index_postings,
+        dedup_incremental,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+
+    hp = str(tmp_path / "idx_hashes")
+    pp = str(tmp_path / "idx_postings")
+    corpus_index_hashes(corpus).write.mode("overwrite").parquet(hp)
+    corpus_index_postings(corpus).write.mode("overwrite").parquet(pp)
+
+    via_index = sorted(
+        map(
+            tuple,
+            _incremental_verdicts(
+                batch, spark.read.parquet(hp), spark.read.parquet(pp)
+            ).collect(),
+        )
+    )
+    on_the_fly = sorted(
+        map(tuple, dedup_incremental(spark, sf_dir).collect())
+    )
+    assert via_index == on_the_fly and len(via_index) > 0
