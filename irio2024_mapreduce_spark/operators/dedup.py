@@ -791,12 +791,12 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    # registered r6 (event_tumbling retired to make room): the
+    # incremental ingest path deserves driver-visible verification
+    "dedup_incremental": dedup_incremental,
 }
 
-# Never-registered (driver window full): verified by the local
-# harness in tests/test_retired_twins.py.
-RETIRED_TWIN_QUERIES = {"dedup_incremental": dedup_incremental}
-RETIRED_TWIN_ORACLES = {
+ORACLE_SQL_INCREMENTAL = {
     "dedup_incremental": f"""
         WITH batch AS (
             SELECT doc_id, text, md5(text) AS h
@@ -863,3 +863,5 @@ RETIRED_TWIN_ORACLES = {
         LEFT JOIN near_ids n USING (doc_id)
     """,
 }
+
+ORACLE_SQL.update(ORACLE_SQL_INCREMENTAL)

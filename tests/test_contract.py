@@ -52,10 +52,11 @@ EXPECTED_QUERY_ORDER = [
     "scalar_funcs", "join_range", "join_asof", "pivot_status_priority",
     "stats_pack", "grouping_sets", "time_rollup", "sketches",
     "conditional_agg", "deterministic_sample", "doc_chunk",
-    "dedup_clusters", "event_tumbling", "event_sliding",
+    "dedup_clusters", "event_sliding",
     "event_session", "json_extract", "array_ops", "dedup_exact",
     "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding", "similarity_topk", "similarity_ann",
+    "dedup_embedding", "dedup_incremental",
+    "similarity_topk", "similarity_ann",
     "similarity_ivf", "text_analysis", "lang_id", "quality_score",
     "fingerprint",
 ]

@@ -14,7 +14,7 @@ import pytest
 
 from irio2024_mapreduce_spark.operators import (
     advanced,
-    dedup,
+    events,
     llm_prep,
     misc,
     multimodal,
@@ -58,10 +58,10 @@ RETIRED = {
     },
     **{
         name: (
-            dedup.RETIRED_TWIN_QUERIES[name],
-            dedup.RETIRED_TWIN_ORACLES[name],
+            events.RETIRED_TWIN_QUERIES[name],
+            events.RETIRED_TWIN_ORACLES[name],
         )
-        for name in dedup.RETIRED_TWIN_QUERIES
+        for name in events.RETIRED_TWIN_QUERIES
     },
 }
 
@@ -96,8 +96,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         "source_mix",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
-        # r6: batch-vs-corpus incremental ingest dedup
-        "dedup_incremental",
+        # retired r6 to admit dedup_incremental to the graded window
+        # (tumbling is event_sliding with step == size)
+        "event_tumbling",
     }
 
 
