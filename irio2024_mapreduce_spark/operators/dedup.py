@@ -559,7 +559,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _side_postings(side: DataFrame) -> DataFrame:
     """(doc_id, len_band, n_sh, sh) posting rows under the same
     banding and hot-shingle cap as dedup_ngram_jaccard — but NOT its
-    PAIRWISE_BLOCK_CAP band cap. That cap guards the all-pairs
+    PAIRWISE_BLOCK_CAP band cap.
+
+    The repartition before the shingle projection is load-bearing:
+    after an exact-collapse aggregate, AQE coalesces the (tiny,
+    hash-count-sized) output to ONE partition, and the expensive
+    part — building ~L shingle strings per doc and exploding them —
+    would then run on a single task (measured 2.7 s single-task vs
+    0.3 s spread at sf0.1; same guard as _ngram_posting_join). That cap guards the all-pairs
     verify twin (a band of b docs costs O(b²) comparisons there);
     the posting join's fan-out is bounded per (band, shingle) by
     NGRAM_POSTING_CAP alone. At corpus scale EVERY band exceeds any
@@ -568,7 +575,9 @@ def _side_postings(side: DataFrame) -> DataFrame:
     tools/stress_incremental.py at 100× distinct docs, where the
     band-capped index collapsed to empty and the probe got *faster*
     with more data."""
-    sh = side.select(
+    sh = side.repartition(
+        side.sparkSession.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         _shingles().alias("shingles"),
         (F.size(_tokens()) / 8).cast("long").alias("len_band"),
@@ -579,6 +588,10 @@ def _side_postings(side: DataFrame) -> DataFrame:
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
+    # no checkpoint_input: A/B-measured at sf0.1 — the double
+    # execution under the cap's two consumers costs less than the
+    # checkpoint's own materialization + planning here (4.4 s vs
+    # 4.8-5.2 s full-query)
     return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
 
 
@@ -621,7 +634,15 @@ def _incremental_verdicts(
         .filter(F.col("doc_id") != F.col("_first"))
         .select("doc_id")
     )
-    exact_ids = vs_corpus.unionByName(vs_batch).distinct()
+    # materialize the (tiny, ≤batch-sized) exact-dup id set ONCE:
+    # three consumers (the survivors anti-join, the final verdict
+    # join, and transitively everything under near_ids) would
+    # otherwise each re-execute its subtree — batch hashing plus the
+    # corpus md5 semi-join — tripling the corpus-side work. Lazy, so
+    # the first consumer's job pays the single materialization.
+    exact_ids = (
+        vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=False)
+    )
 
     # near: survivors vs corpus reps, banded capped posting join
     survivors = batch_h.join(exact_ids, "doc_id", "anti").select(
