@@ -590,3 +590,41 @@ def test_dedup_incremental_index_backed_parity(spark, sf_dir, tmp_path):
         map(tuple, dedup_incremental(spark, sf_dir).collect())
     )
     assert via_index == on_the_fly and len(via_index) > 0
+
+
+def test_dedup_incremental_null_text_admits(spark):
+    """NULL-text rows admit (md5(NULL) is NULL; NULL = NULL joins
+    false in both engines) — the fixture has no NULL texts, so this
+    crafted frame is the only executable witness of the documented
+    behavior, on both the batch and corpus sides at once."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_verdicts,
+        corpus_index_hashes,
+        corpus_index_postings,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, None)], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (19, "a b c d e f g h i j"),  # exact dup of corpus 1
+            (29, None),                   # NULL: must admit
+            (39, None),                   # second NULL: not a "dup" of 29
+            (49, "x y z w v u t s r q"),  # novel: admits
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in _incremental_verdicts(
+            batch, corpus_index_hashes(corpus), corpus_index_postings(corpus)
+        ).collect()
+    }
+    assert got == {
+        19: "exact_dup",
+        29: "admitted",
+        39: "admitted",
+        49: "admitted",
+    }
