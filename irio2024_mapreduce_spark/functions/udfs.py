@@ -55,3 +55,46 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .groupBy(group_col)
         .applyInPandas(norm, schema=schema)
     )
+
+
+def weighted_mean_udaf():
+    """Grouped-aggregate pandas UDF (the UDAF shape): weighted mean
+    over two columns, one Arrow-shipped group per call, scalar out.
+    Spark plans it as a full-shuffle aggregation WITHOUT a partial
+    phase (a Python aggregate can't split into partial/merge the way
+    JVM ``avg`` does) — which is exactly why the declared queries use
+    built-ins and this exists as the documented escape hatch."""
+
+    @pandas_udf("double")
+    def _wmean(v: pd.Series, w: pd.Series) -> float:
+        tw = w.sum()
+        return float((v * w).sum() / tw) if tw else float("nan")
+
+    return _wmean
+
+
+def split_ledger_udtf():
+    """Python UDTF (table function) example — one input row fans out
+    to N typed rows, the 1→N shape `explode` can't express when the
+    expansion needs imperative parsing. Parses a packed
+    ``"k1:v1,k2:v2"`` ledger string into (entry_key, entry_value)
+    rows. Lazily built (`udtf` needs an active session); returned
+    class is registered by the caller via
+    ``spark.udtf.register(name, fn)`` or used inline in the DataFrame
+    API. Arrow-batched by Spark 4's UDTF executor."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="entry_key: string, entry_value: double")
+    class SplitLedger:
+        def eval(self, ledger: str):  # noqa: D401 — UDTF protocol
+            if not ledger:
+                return
+            for part in ledger.split(","):
+                k, _, v = part.partition(":")
+                try:
+                    yield k.strip(), float(v)
+                except ValueError:
+                    # malformed entry: surface as NaN, never a crash
+                    yield k.strip(), float("nan")
+
+    return SplitLedger
