@@ -67,6 +67,36 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILERPLATE_MIN_DOCS = 2
+
+
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: token-window chunks that recur
+    across >= BOILERPLATE_MIN_DOCS distinct documents (navigation
+    bars, license footers, templated paragraphs — the content a
+    pretraining pipeline strips because the model would otherwise
+    memorize it at its duplication count, not its information value).
+
+    Scale shape: the chunks stream (doc_chunk, map-only 1->N) feeds a
+    groupBy on md5(chunk_text) — the shuffle carries the 16-byte
+    digest + counters, never chunk bodies, and partial aggregation
+    collapses each partition's repeats map-side. Output is the
+    boilerplate REGISTRY (one row per offending chunk hash); the
+    removal pass is a broadcast anti-join of that registry against
+    the chunk stream at write time."""
+    chunks = doc_chunk(spark, sf_dir)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
 MAX_CC_ITERATIONS = 10
 
 # Probe-only toggle (tools/stress_cc_ivf.py): True (default) runs
@@ -376,4 +406,37 @@ ORACLE_SQL = {
 QUERIES = {
     "doc_chunk": doc_chunk,
     "dedup_clusters": dedup_clusters,
+}
+
+# Never-registered (driver window full): verified by the local
+# harness in tests/test_retired_twins.py. The oracle embeds the
+# doc_chunk CTE verbatim so the two can never drift.
+RETIRED_TWIN_QUERIES = {"boilerplate_chunks": boilerplate_chunks}
+RETIRED_TWIN_ORACLES = {
+    "boilerplate_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang, toks,
+                   unnest(range(1, greatest(len(toks) - 1, 1) + 1,
+                                {CHUNK_STRIDE})) AS start
+            FROM t
+        ), chunks AS (
+            SELECT doc_id,
+                   array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')
+                       AS chunk_text,
+                   least(len(toks) - start + 1, {CHUNK_TOKENS})::BIGINT
+                       AS n_tokens
+            FROM s
+        )
+        SELECT md5(chunk_text)                  AS chunk_md5,
+               COUNT(DISTINCT doc_id)::BIGINT   AS n_docs,
+               COUNT(*)::BIGINT                 AS n_occurrences,
+               MIN(doc_id)                      AS first_doc,
+               MIN(n_tokens)                    AS n_tokens
+        FROM chunks
+        GROUP BY md5(chunk_text)
+        HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    """,
 }

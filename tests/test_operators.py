@@ -195,3 +195,59 @@ def test_json_extract_integer_guard_parity_on_dirty_values(spark, tmp_path):
     by_type = {r[0]: r for r in got}
     assert by_type["a"][1] == 9 and by_type["a"][2] == 4  # cnt=9, sum=7-3
     assert by_type["b"][2] == 42
+
+
+def test_boilerplate_chunks_detects_and_removal_anti_join(spark, tmp_path):
+    """Crafted docs sharing a >=64-token boilerplate paragraph: the
+    registry must flag the shared chunks and miss the unique ones,
+    and the removal pass (broadcast anti-join of the registry against
+    the chunk stream) must keep every unique chunk while dropping all
+    flagged occurrences."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.chunking import (
+        boilerplate_chunks,
+        doc_chunk,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(64))
+    docs = [
+        (10, boiler + " " + " ".join(f"u{i}" for i in range(40)), "en", "s", 1),
+        (20, boiler + " " + " ".join(f"v{i}" for i in range(40)), "en", "s", 1),
+        (30, boiler + " " + " ".join(f"w{i}" for i in range(40)), "en", "s", 1),
+        (40, " ".join(f"x{i}" for i in range(104)), "en", "s", 1),
+    ]
+    sf = str(tmp_path / "bp_sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    reg = boilerplate_chunks(spark, sf)
+    flagged = reg.collect()
+    # chunk 0 of docs 10/20/30 is the identical boilerplate window
+    assert any(r["n_docs"] == 3 and r["first_doc"] == 10 for r in flagged)
+    # doc 40's unique chunks are never flagged
+    chunks = doc_chunk(spark, sf)
+    removal = chunks.join(
+        F.broadcast(reg.select("chunk_md5")),
+        F.md5(chunks["chunk_text"]) == F.col("chunk_md5"),
+        "left_anti",
+    )
+    kept = removal.collect()
+    assert {r["doc_id"] for r in kept} >= {40}
+    # every flagged occurrence is gone: re-running detection on the
+    # kept stream finds nothing shared by >= 2 docs
+    kept_df = spark.createDataFrame(
+        [(r["doc_id"], r["chunk_text"]) for r in kept],
+        "doc_id long, chunk_text string",
+    )
+    residual = (
+        kept_df.groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .count()
+    )
+    assert residual == 0

@@ -14,6 +14,7 @@ import pytest
 
 from irio2024_mapreduce_spark.operators import (
     advanced,
+    chunking,
     events,
     llm_prep,
     misc,
@@ -63,6 +64,13 @@ RETIRED = {
         )
         for name in events.RETIRED_TWIN_QUERIES
     },
+    **{
+        name: (
+            chunking.RETIRED_TWIN_QUERIES[name],
+            chunking.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in chunking.RETIRED_TWIN_QUERIES
+    },
 }
 
 
@@ -99,6 +107,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         # retired r6 to admit dedup_incremental to the graded window
         # (tumbling is event_sliding with step == size)
         "event_tumbling",
+        # r6: C4-style cross-document boilerplate registry
+        "boilerplate_chunks",
     }
 
 
