@@ -214,3 +214,46 @@ def test_sql_string_api_over_registered_views(spark, sf_dir):
     # nation dim auto-broadcasts and the agg keeps its partial phase
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_incremental_plan_shape(spark, sf_dir):
+    """No cartesian products anywhere (every candidate step is an
+    equi-join on md5 or (band, shingle)), and no whole-corpus
+    SinglePartition stage: the admission pipeline must stay
+    batch-keyed hash joins at any corpus size."""
+    from irio2024_mapreduce_spark.operators.dedup import dedup_incremental
+
+    plan = plan_of(dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_boilerplate_registry_shuffles_digests_not_bodies(spark, sf_dir):
+    """The registry aggregation must exchange on md5(chunk_text) with
+    a map-side partial phase; chunk BODIES never appear in any
+    exchange (at 100 TB the shuffle carries 16-byte digests +
+    counters)."""
+    from irio2024_mapreduce_spark.operators.chunking import (
+        boilerplate_chunks,
+    )
+
+    import re
+
+    plan = plan_of(boilerplate_chunks(spark, sf_dir))
+    assert "HashAggregate" in plan
+    # formatted plan: each "(N) Exchange" block lists its Input
+    # columns and Arguments. The HASH exchanges (the aggregation
+    # shuffles) must not carry the text column — the md5 grouping
+    # expression is computed map-side, so only digests + counters
+    # move. (The one RoundRobin exchange is load_table_parallel's
+    # documented single-row-group fixture shim, not an agg shuffle.)
+    inputs = re.findall(
+        r"\(\d+\) Exchange\n(Input[^\n]*)\nArguments: ([^\n]*)",
+        plan,
+    )
+    hash_exchanges = [
+        inp for inp, args in inputs if "hashpartitioning" in args
+    ]
+    assert hash_exchanges, plan
+    assert all("text#" not in inp for inp in hash_exchanges), hash_exchanges
