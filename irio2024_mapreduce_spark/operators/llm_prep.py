@@ -270,6 +270,74 @@ _MIX_CASE_HEX = (
     "WHEN idx < 15 THEN '80' ELSE '40' END"
 )
 
+# Decontamination: the GPT-3-style n-gram rule — a training doc is
+# CONTAMINATED if it shares at least one 13-token n-gram with any
+# eval-benchmark doc. Distinct semantics from the near-dup family:
+# no similarity threshold, a single shared long n-gram convicts
+# (long n-grams are specific enough that one exact hit means leaked
+# eval text, not coincidence).
+DECONTAM_NGRAM = 13
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination report. Fixture roles: doc_id % 10
+    == 8 is the held-out eval benchmark; everything else is the
+    training candidate pool. Per-source report of clean vs
+    contaminated training docs.
+
+    Scale shape: both sides explode to md5'd {DECONTAM_NGRAM}-gram
+    posting rows (map-only; the 16-byte digest replaces the n-gram
+    STRING before anything shuffles), the benchmark side is
+    eval-corpus-sized (tiny — benchmarks are thousands of docs, the
+    training pool is billions), so the membership probe is a
+    broadcast semi-join: the training side never shuffles AT ALL —
+    one map pass over the corpus against a broadcast digest set, the
+    same topology similarity_topk pins for its corpus side."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = DECONTAM_NGRAM
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 10 == 8)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 8).select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    )
+    hit_ids = (
+        train.join(F.broadcast(bench_grams), "g", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 != 8)
+        .select("doc_id", "source")
+        .join(hit_ids.withColumn("_hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            (F.col("n_train_docs") - F.col("n_contaminated")).alias(
+                "n_clean"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Never-registered local-oracle queries (driver window is full at 50):
 # verified every test run by tests/test_retired_twins.py's harness
 # with the same rows/schema/value-hash discipline as the driver.
@@ -277,6 +345,7 @@ RETIRED_TWIN_QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
     "source_mix": source_mix,
+    "decontaminate": decontaminate,
 }
 
 RETIRED_TWIN_ORACLES = {
@@ -306,6 +375,29 @@ RETIRED_TWIN_ORACLES = {
                                                                        AS n_redactions,
                length(clean_text)::BIGINT                              AS clean_chars
         FROM s3
+    """,
+    "decontaminate": f"""
+        WITH grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - {DECONTAM_NGRAM - 1}, 1) + 1),
+                       i -> md5(array_to_string(
+                           string_split(text, ' ')[i:i+{DECONTAM_NGRAM - 1}], ' '))
+                   )) AS g
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 8
+        ), hits AS (
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 10 != 8 AND g IN (SELECT g FROM bench)
+        )
+        SELECT d.source,
+               COUNT(*)::BIGINT AS n_train_docs,
+               COUNT(h.doc_id)::BIGINT AS n_contaminated,
+               (COUNT(*) - COUNT(h.doc_id))::BIGINT AS n_clean
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 10 != 8
+        GROUP BY d.source ORDER BY d.source
     """,
     "pack_sequences": f"""
         WITH t AS (

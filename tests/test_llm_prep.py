@@ -149,3 +149,39 @@ def test_source_mix_deterministic(spark, sf_dir):
     a = sorted(map(tuple, source_mix(spark, sf_dir).collect()))
     b = sorted(map(tuple, source_mix(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_decontaminate_flags_13gram_overlap(spark, tmp_path):
+    """Crafted roles: a training doc that embeds a benchmark doc's
+    13-gram verbatim is contaminated; a doc sharing only a 12-gram
+    prefix is NOT (the rule is exactly n=13); disjoint docs are
+    clean."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.llm_prep import decontaminate
+
+    bench_phrase = " ".join(f"q{i}" for i in range(13))
+    twelve = " ".join(f"q{i}" for i in range(12))
+    docs = [
+        # benchmark stripe (doc_id % 10 == 8)
+        (8, "intro " + bench_phrase + " outro", "en", "bench", 1),
+        # training: embeds the full 13-gram -> contaminated
+        (1, "pad1 pad2 " + bench_phrase + " tail", "en", "srcA", 1),
+        # training: only 12 of the 13 tokens -> clean
+        (2, "pad " + twelve + " different tail words here", "en", "srcA", 1),
+        # training: disjoint -> clean
+        (3, " ".join(f"z{i}" for i in range(20)), "en", "srcB", 1),
+    ]
+    sf = str(tmp_path / "decon_sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {r["source"]: r for r in decontaminate(spark, sf).collect()}
+    assert got["srcA"]["n_train_docs"] == 2
+    assert got["srcA"]["n_contaminated"] == 1
+    assert got["srcA"]["n_clean"] == 1
+    assert got["srcB"]["n_contaminated"] == 0
+    assert got["srcB"]["n_clean"] == 1

@@ -102,6 +102,7 @@ def test_retired_set_is_exactly_the_documented_twins():
         "pii_scrub",
         "pack_sequences",
         "source_mix",
+        "decontaminate",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
         # retired r6 to admit dedup_incremental to the graded window
