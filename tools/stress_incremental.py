@@ -94,6 +94,9 @@ def timed(fn) -> float:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--decontam":
+        decontam_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stress-incremental")
@@ -165,6 +168,58 @@ def main() -> None:
         1,
     )
     print(json.dumps({"scale": n, "results": out}))
+
+
+def decontam_probe(n: int) -> None:
+    """--decontam mode: benchmark stripe fixed, training corpus grown
+    N× with distinct replicas — the broadcast-semi-join topology
+    means the training side is ONE map pass, so wall time should
+    scale ~linearly in corpus (it reads every doc once) with no
+    shuffle growth at all. Reported alongside the n-gram volume."""
+    import json as _json
+
+    from irio2024_mapreduce_spark.operators.llm_prep import decontaminate
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress-decontam")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for label, scale in [("1x", 1), (f"{n}x", n)]:
+        if scale == 1:
+            stage = base
+        else:
+            # reuse the incremental builder: replicates the %10!=9
+            # stripes (which includes the %10==8 benchmark... so
+            # filter replicas of the benchmark stripe out to keep the
+            # eval set fixed)
+            import shutil
+
+            stage = build_staging(spark, base, scale)
+            docs = load_table(spark, stage, "documents")
+            docs.filter(
+                (F.col("doc_id") % 10 != 8) | (F.col("doc_id") < 10_000_000)
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(stage, "documents2.parquet")
+            )
+            shutil.rmtree(os.path.join(stage, "documents.parquet"))
+            os.rename(
+                os.path.join(stage, "documents2.parquet"),
+                os.path.join(stage, "documents.parquet"),
+            )
+        def run():
+            decontaminate(spark, stage).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        run()
+        drain_driver_backlog(spark)
+        t0 = time.perf_counter()
+        run()
+        out[label] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "docs": load_table(spark, stage, "documents").count(),
+        }
+    out["ratio"] = round(out[f"{n}x"]["sec"] / max(out["1x"]["sec"], 0.01), 1)
+    print(_json.dumps({"mode": "decontam", "scale": n, "results": out}))
 
 
 if __name__ == "__main__":
