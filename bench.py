@@ -109,7 +109,11 @@ def main() -> None:
     # it would mostly measure the bench's own CPU burn
     load_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # no stage-progress \r noise in the artifact tail: the driver
+    # captures ~2 KiB of stdout and the final line must stay clean
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 

@@ -338,6 +338,42 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered driver surface (r7): decontaminate is the flagship
+# train-test hygiene operator — it took the window slot freed by
+# retiring fingerprint (a near-twin of dedup_exact's digest grouping;
+# see operators/text_analysis.py).
+QUERIES = {
+    "decontaminate": decontaminate,
+}
+
+DECONTAMINATE_ORACLE = f"""
+        WITH grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - {DECONTAM_NGRAM - 1}, 1) + 1),
+                       i -> md5(array_to_string(
+                           string_split(text, ' ')[i:i+{DECONTAM_NGRAM - 1}], ' '))
+                   )) AS g
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 8
+        ), hits AS (
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 10 != 8 AND g IN (SELECT g FROM bench)
+        )
+        SELECT d.source,
+               COUNT(*)::BIGINT AS n_train_docs,
+               COUNT(h.doc_id)::BIGINT AS n_contaminated,
+               (COUNT(*) - COUNT(h.doc_id))::BIGINT AS n_clean
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 10 != 8
+        GROUP BY d.source ORDER BY d.source
+"""
+
+ORACLE_SQL = {
+    "decontaminate": DECONTAMINATE_ORACLE,
+}
+
 # Never-registered local-oracle queries (driver window is full at 50):
 # verified every test run by tests/test_retired_twins.py's harness
 # with the same rows/schema/value-hash discipline as the driver.
@@ -345,7 +381,6 @@ RETIRED_TWIN_QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
     "source_mix": source_mix,
-    "decontaminate": decontaminate,
 }
 
 RETIRED_TWIN_ORACLES = {
@@ -375,29 +410,6 @@ RETIRED_TWIN_ORACLES = {
                                                                        AS n_redactions,
                length(clean_text)::BIGINT                              AS clean_chars
         FROM s3
-    """,
-    "decontaminate": f"""
-        WITH grams AS (
-            SELECT doc_id, source,
-                   unnest(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - {DECONTAM_NGRAM - 1}, 1) + 1),
-                       i -> md5(array_to_string(
-                           string_split(text, ' ')[i:i+{DECONTAM_NGRAM - 1}], ' '))
-                   )) AS g
-            FROM documents
-        ), bench AS (
-            SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 8
-        ), hits AS (
-            SELECT DISTINCT doc_id FROM grams
-            WHERE doc_id % 10 != 8 AND g IN (SELECT g FROM bench)
-        )
-        SELECT d.source,
-               COUNT(*)::BIGINT AS n_train_docs,
-               COUNT(h.doc_id)::BIGINT AS n_contaminated,
-               (COUNT(*) - COUNT(h.doc_id))::BIGINT AS n_clean
-        FROM documents d LEFT JOIN hits h USING (doc_id)
-        WHERE d.doc_id % 10 != 8
-        GROUP BY d.source ORDER BY d.source
     """,
     "pack_sequences": f"""
         WITH t AS (

@@ -279,6 +279,25 @@ ORACLE_SQL = {
                      / len(string_split(text, ' ')), 6) AS repetition
         FROM documents
     """,
+}
+
+QUERIES = {
+    "text_analysis": text_analysis,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+}
+
+# token_count retired from the driver window in r6 (its tokenizer
+# surface duplicates text_analysis's) to make room for the
+# stream-stream join; fingerprint retired r7 (md5-per-doc surface is
+# a near-twin of dedup_exact's digest grouping) to admit
+# decontaminate. Both still implemented and locally oracle-verified
+# every test run (tests/test_retired_twins.py).
+RETIRED_TWIN_QUERIES = {
+    "token_count": token_count,
+    "fingerprint": fingerprint,
+}
+RETIRED_TWIN_ORACLES = {
     "fingerprint": """
         SELECT doc_id,
                md5(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS content_md5,
@@ -287,21 +306,6 @@ ORACLE_SQL = {
                len(string_split(text, ' '))::VARCHAR              AS shape_sig
         FROM documents
     """,
-}
-
-QUERIES = {
-    "text_analysis": text_analysis,
-    "lang_id": lang_id,
-    "quality_score": quality_score,
-    "fingerprint": fingerprint,
-}
-
-# token_count retired from the driver window in r6 (its tokenizer
-# surface duplicates text_analysis's) to make room for the
-# stream-stream join; still implemented and locally oracle-verified
-# every test run (tests/test_retired_twins.py).
-RETIRED_TWIN_QUERIES = {"token_count": token_count}
-RETIRED_TWIN_ORACLES = {
     "token_count": f"""
         WITH t AS (
             SELECT lang,

@@ -70,6 +70,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup",
         "similarity",
         "text_analysis",
+        "llm_prep",
     ):
         # imports are strict: a broken operator module must fail the
         # contract loudly, not silently shrink the checked surface

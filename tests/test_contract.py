@@ -58,7 +58,7 @@ EXPECTED_QUERY_ORDER = [
     "dedup_embedding", "dedup_incremental",
     "similarity_topk", "similarity_ann",
     "similarity_ivf", "text_analysis", "lang_id", "quality_score",
-    "fingerprint",
+    "decontaminate",
 ]
 
 
