@@ -98,14 +98,74 @@ def test_resize_gated_and_deterministic():
     assert resize_image(b"img", (64, 64), fake=True) != a[: (64 * 64) // 64]
 
 
-def test_frame_sampling_shape():
-    from irio2024_mapreduce_spark.operators.multimodal import sample_frames
+def test_avi_roundtrip_and_rejection():
+    """encode_avi/decode_avi: exact header + frame roundtrip, even
+    sampling, and loud rejection of malformed input."""
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        sample_frames,
+    )
 
+    frames_in = [bytes([i]) * 24 for i in range(7)]
+    avi = encode_avi(4, 2, frames_in)
+    w, h, total, frames = decode_avi(avi)
+    assert (w, h, total) == (4, 2, 7)
+    assert frames == frames_in
+    # even sampling: idx_i = i * total // n, real frame bytes back
+    sampled = sample_frames(avi, 4)
+    assert [ix for ix, _ in sampled] == [0, 1, 3, 5]
+    assert all(fb == frames_in[ix] for ix, fb in sampled)
+    # compressed containers stay gated — no silent fake
     with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
-        sample_frames(b"vid", 4)
-    frames = sample_frames(b"v" * 100, 4, fake=True)
-    assert [ix for ix, _ in frames] == [0, 25, 50, 75]
-    assert len({fb for _, fb in frames}) == 4  # distinct frame bytes
+        sample_frames(b"\x00\x00\x00\x18ftypmp42", 4)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFFxxxxWAVE")
+    # a frame-count/chunk mismatch must not decode quietly
+    import struct
+
+    broken = avi[:48] + struct.pack("<I", 9) + avi[52:]
+    with pytest.raises(ValueError, match="declares 9"):
+        decode_avi(broken)
+    with pytest.raises(ValueError, match="aligned"):
+        encode_avi(3, 2, [b"\x00" * 18])  # stride 9 not 4-aligned
+
+
+def test_video_table_payloads_are_real_avi(spark, sf_dir):
+    """The JVM-expression-built payloads must parse as genuine
+    uncompressed AVI with the documented fixture parameters, and must
+    byte-match the Python reference encoder."""
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        AVI_FRAME_BYTES,
+        AVI_H,
+        AVI_W,
+        decode_avi,
+        encode_avi,
+        video_table,
+    )
+
+    rows = video_table(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in rows[:50]:
+        payload = bytes(r["payload"])
+        w, h, total, frames = decode_avi(payload)
+        t = 4 + docs[r["doc_id"]] % 20
+        assert (w, h, total) == (AVI_W, AVI_H, t)
+        expect = encode_avi(
+            AVI_W,
+            AVI_H,
+            [
+                bytes([97 + (r["doc_id"] + i) % 26]) * AVI_FRAME_BYTES
+                for i in range(t)
+            ],
+        )
+        assert payload == expect  # byte-exact vs the reference encoder
 
 
 def test_resize_and_frames_queries(spark, sf_dir):
@@ -135,8 +195,16 @@ def test_resize_and_frames_queries(spark, sf_dir):
     # real byte accounting: P6 header "P6\n128 96\n255\n" is 14 bytes
     assert rs[0]["total_bytes"] == rs[0]["n_images"] * (14 + 128 * 96 * 3)
     fr = multimodal_frames(spark, sf_dir).collect()
-    assert all(r["n_frames"] == FRAMES_PER_VIDEO for r in fr)
-    assert all(r["first_frame"] == 0 for r in fr)
+    assert fr
+    for r in fr:
+        assert r["n_frames"] == FRAMES_PER_VIDEO
+        assert r["first_frame"] == 0
+        # 4 ≤ total ≤ 23 ⇒ the 4 sampled indices are all distinct and
+        # their fills collision-free ⇒ 4 distinct REAL frame hashes
+        assert 4 <= r["total_frames"] <= 23
+        assert r["distinct_frames"] == FRAMES_PER_VIDEO
+        assert (r["width"], r["height"]) == (4, 2)
+        assert r["last_frame"] == 3 * r["total_frames"] // 4
 
 
 def test_decode_pipeline_deterministic(spark, sf_dir):
