@@ -159,6 +159,94 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_ngram_char_mass(toks: Column, n: int) -> Column:
+    """Character mass of the dominant word n-gram: max over distinct
+    n-grams of (occurrence count × n-gram length). Gopher's
+    top-n-gram repetition signal, phrased so the max is deterministic
+    under count ties (the tied gram with more characters wins — the
+    quantity of interest IS the character share). Pure array
+    expressions, no shuffle; O(distinct × total) per doc, fine at any
+    corpus size since docs are bounded. NULL when the doc has fewer
+    than n tokens (no n-gram exists)."""
+    # clamp: sequence(1, x≤0) DESCENDS in Spark instead of emptying —
+    # the when() guard below nulls the undersized-doc case anyway
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    mass = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g))
+            * F.length(g),
+        )
+    )
+    return F.when(F.size(toks) >= n, mass)
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the filter
+    family every production quality stack runs alongside the
+    length/stopword heuristics of :func:`quality_score`:
+
+    * ``dup_line_frac`` — fraction of lines occurring more than once
+      (lines split on ``\\n``; single-line docs score 0 by
+      definition, which is what the newline-free fixture exercises —
+      crafted multi-line fixtures cover the non-degenerate cases in
+      tests).
+    * ``dup_line_char_frac`` — fraction of line characters belonging
+      to repeated lines (Gopher weighs by character mass, not line
+      count, so one huge duplicated line scores high).
+    * ``top{2,3,4}gram_char_frac`` — character share of the dominant
+      word n-gram: count × gram length / doc characters.
+
+    Map-only JVM array expressions end-to-end (split / array_distinct
+    / filter / transform) — zero Exchange, trivially 100 TB-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return repetition_signals(docs)
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Column logic of :func:`quality_repetition` over any (doc_id,
+    text) frame — separated so crafted multi-line fixtures exercise
+    the non-degenerate line metrics in unit tests."""
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    # character mass of lines that occur 2+ times (each occurrence
+    # counts — Gopher's "fraction of characters in duplicate lines")
+    dup_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1,
+            F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
+        ).otherwise(F.lit(0)),
+    )
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    toks = _ws_tokens()
+    chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        F.round(dup_lines / n_lines, 6).alias("dup_line_frac"),
+        F.round(
+            dup_line_chars / F.greatest(total_line_chars, F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+        *[
+            F.round(_top_ngram_char_mass(toks, n) / chars, 6).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in (2, 3, 4)
+        ],
+    )
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex token estimate, plus corpus
     totals — the 'how many training tokens is this corpus' query."""
@@ -296,8 +384,47 @@ QUERIES = {
 RETIRED_TWIN_QUERIES = {
     "token_count": token_count,
     "fingerprint": fingerprint,
+    "quality_repetition": quality_repetition,
 }
+
+
+def _sql_topgram(n: int) -> str:
+    """DuckDB twin of :func:`_top_ngram_char_mass` / doc chars."""
+    grams = (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+        CASE WHEN len(toks) >= {n} THEN ROUND(
+            list_max(list_transform(list_distinct({grams}),
+                g -> len(list_filter({grams}, x -> x = g)) * length(g)
+            )) / length(text), 6)
+        END"""
+
+
 RETIRED_TWIN_ORACLES = {
+    "quality_repetition": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS lines,
+                   string_split(text, ' ')     AS toks
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               ROUND((len(lines) - len(list_distinct(lines)))
+                     / len(lines), 6) AS dup_line_frac,
+               ROUND(list_sum(list_transform(list_distinct(lines),
+                         l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                              THEN len(list_filter(lines, x -> x = l)) * length(l)
+                              ELSE 0 END))
+                     / greatest(list_sum(list_transform(lines,
+                                    l -> length(l))), 1), 6)
+                   AS dup_line_char_frac,
+               {_sql_topgram(2)} AS top2gram_char_frac,
+               {_sql_topgram(3)} AS top3gram_char_frac,
+               {_sql_topgram(4)} AS top4gram_char_frac
+        FROM t
+    """,
     "fingerprint": """
         SELECT doc_id,
                md5(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS content_md5,

@@ -251,3 +251,36 @@ def test_boilerplate_chunks_detects_and_removal_anti_join(spark, tmp_path):
         .count()
     )
     assert residual == 0
+
+
+def test_repetition_signals_crafted_ratios(spark):
+    """Gopher repetition metrics on fixtures with hand-computed
+    ratios: duplicated lines, duplicated char mass, dominant n-gram
+    share, and the degenerate single-line / short-doc cases."""
+    from irio2024_mapreduce_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    rows = [
+        # 4 lines, "dup" twice: dup_line_frac = (4-3)/4 = 0.25;
+        # dup chars = 2*3 = 6 of 3+3+5+4 = 15 → 0.4
+        (1, "dup\ndup\nalpha\nbeta"),
+        # single line, no dup lines; text "x y x y x y" (11 chars):
+        # top 2-gram "x y" occurs 3x → 9/11; top 3-gram "x y x" 2x
+        # (ties "y x y") → 10/11; top 4-gram "x y x y" 2x → 14/11
+        # capped? no cap — overlapping occurrences both count
+        (2, "x y x y x y"),
+        # 1 token: no 2-gram exists → NULL shares
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert out[1]["dup_line_frac"] == 0.25
+    assert out[1]["dup_line_char_frac"] == 0.4
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_char_frac"] == 0.0
+    assert out[2]["top2gram_char_frac"] == round(9 / 11, 6)
+    assert out[2]["top3gram_char_frac"] == round(10 / 11, 6)
+    assert out[3]["top2gram_char_frac"] is None
+    assert out[3]["top3gram_char_frac"] is None
+    assert out[3]["top4gram_char_frac"] is None

@@ -105,6 +105,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         # retired r7 to admit decontaminate (md5-per-doc surface is a
         # near-twin of dedup_exact's digest grouping)
         "fingerprint",
+        # r7: Gopher-style intra-document repetition quality signals
+        "quality_repetition",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
         # retired r6 to admit dedup_incremental to the graded window
