@@ -237,12 +237,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_candidates(
+def _band_rows(
     docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
-    """(doc_id, shingles) → deduplicated candidate pairs
-    (doc_a, doc_b) via MinHash signatures + LSH banding, with the
-    hot-bucket cap applied before the band self-join."""
+    """(doc_id, shingles) → capped LSH band rows (doc_id, band,
+    band_hash) — the shared signature/banding front-end of
+    :func:`_minhash_candidates` (corpus self-join) and the
+    incremental band index (:func:`corpus_index_bands`)."""
     # One xxhash64 pass over the shingle STRINGS, then K re-hashes of
     # the resulting 8-byte longs (xxhash64 seeded by the perm id):
     # ~K× cheaper than K salted string hashes — fixed-width hashing
@@ -291,9 +292,18 @@ def _minhash_candidates(
     # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP);
     # checkpoint_input: the signature pipeline above is the expensive
     # part and must compute once, not once per cap consumer
-    banded = _cap_buckets(
+    return _cap_buckets(
         banded, ["band", "band_hash"], bucket_cap, checkpoint_input=True
     )
+
+
+def _minhash_candidates(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, shingles) → deduplicated candidate pairs
+    (doc_a, doc_b) via MinHash signatures + LSH banding, with the
+    hot-bucket cap applied before the band self-join."""
+    banded = _band_rows(docs, bucket_cap)
 
     # materialize ONCE before the self-join: both join sides otherwise
     # instantiate the whole signature pipeline (K minhashes per
@@ -687,6 +697,161 @@ def _incremental_verdicts(
             .otherwise("admitted")
             .alias("verdict"),
         )
+    )
+
+
+def corpus_index_bands(corpus: DataFrame) -> DataFrame:
+    """The LSH half of the corpus ingest index: capped MinHash band
+    rows (band, band_hash, doc_id) of the exact-collapse reps — the
+    long/paraphrased-doc complement to the n-gram posting index
+    (banding survives token-level edits that 3-gram postings don't).
+    In production this half is WRITTEN AT INGEST TIME bucketed by
+    (band, band_hash); the daily increment only reads buckets its
+    batch hashes into."""
+    # NULL-text reps carry no shingle mass and must NOT band: the
+    # shingle builder yields [""] for NULL text (concat_ws skips
+    # NULLs), which would band every NULL doc into one shared bucket
+    # and match them at Jaccard 1.0. The n-gram posting path drops
+    # these via its NULL len_band join key; here the filter is
+    # explicit.
+    reps = corpus.filter(F.col("text").isNotNull()).groupBy(
+        F.md5("text").alias("_h")
+    ).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    sh = reps.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", _shingles().alias("shingles"))
+    return _band_rows(sh)
+
+
+def corpus_index_rep_shingles(corpus: DataFrame) -> DataFrame:
+    """The verify half of the LSH ingest index: each rep's shingle
+    set keyed by doc_id. Candidate verification is a batch-sized
+    point-lookup join against this (at 100 TB: stored bucketed by
+    doc_id, so the probe reads only candidate buckets) — band
+    membership alone is a hash coincidence; admission decisions
+    verify TRUE Jaccard."""
+    reps = corpus.filter(F.col("text").isNotNull()).groupBy(
+        F.md5("text").alias("_h")
+    ).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    return reps.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", _shingles().alias("shingles"))
+
+
+def _incremental_lsh_verdicts(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+) -> DataFrame:
+    """LSH-family admission verdicts for a batch against a (possibly
+    pre-materialized) corpus band index — the MinHash sibling of
+    :func:`_incremental_verdicts`. Stages, all batch-keyed:
+
+    1. exact md5 semi-join (vs corpus + earlier-in-batch), identical
+       to the n-gram path;
+    2. survivors' capped band rows equi-join the corpus band index on
+       (band, band_hash) → candidate (batch, rep) pairs;
+    3. candidates verify exact shingle Jaccard ≥ 0.5 via a point
+       fetch of the candidate reps' shingle sets — precision 1 by
+       construction, recall bounded by the banding (seeded-hash
+       semantics, so rows-only + recall tests, same declaration as
+       dedup_near).
+    """
+    batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
+    vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
+    first_in_batch = batch_h.groupBy("_h").agg(
+        F.min("doc_id").alias("_first")
+    )
+    vs_batch = (
+        batch_h.join(first_in_batch, "_h")
+        .filter(F.col("doc_id") != F.col("_first"))
+        .select("doc_id")
+    )
+    exact_ids = (
+        vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=False)
+    )
+
+    # NULL-text survivors skip the band probe (no shingle mass — see
+    # corpus_index_bands); they reach "admitted" through the final
+    # left join like every un-flagged doc
+    survivors = (
+        batch_h.join(exact_ids, "doc_id", "anti")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _shingles().alias("shingles"))
+    )
+    # the survivor shingle sets feed BOTH the band probe and the
+    # Jaccard verify — one (batch-sized) materialization
+    survivors = survivors.localCheckpoint(eager=False)
+    bb = _band_rows(survivors).select(
+        F.col("doc_id").alias("b_id"), "band", "band_hash"
+    )
+    candidates = (
+        bb.join(
+            corpus_bands.select(
+                F.col("doc_id").alias("c_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("b_id", "c_id")
+        .dropDuplicates(["b_id", "c_id"])
+    )
+    near_ids = (
+        candidates.join(
+            survivors.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "b_id",
+        )
+        .join(
+            corpus_shingles.select(
+                F.col("doc_id").alias("c_id"),
+                F.col("shingles").alias("sh_c"),
+            ),
+            "c_id",
+        )
+        .filter(
+            F.round(_jaccard(F.col("sh_b"), F.col("sh_c")), 6) >= 0.5
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e") == 1, "exact_dup")
+            .when(F.col("_n") == 1, "near_dup")
+            .otherwise("admitted")
+            .alias("verdict"),
+        )
+    )
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup, MinHash/LSH family: the same batch
+    stripe (doc_id % 10 == 9) admitted against the corpus via the
+    band index instead of n-gram postings. Library + probe surface
+    (rows-only by declaration — seeded-hash banding has no DuckDB
+    oracle; checked by recall/precision tests vs brute-force Jaccard
+    and by on-the-fly/stored-index parity in
+    tools/stress_incremental.py --lsh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    return _incremental_lsh_verdicts(
+        batch,
+        corpus_index_hashes(corpus),
+        corpus_index_bands(corpus),
+        corpus_index_rep_shingles(corpus),
     )
 
 

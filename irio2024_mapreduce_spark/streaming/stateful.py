@@ -54,6 +54,15 @@ OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_last timestamp, "
     "n_events long, sum_value double"
 )
+# What the Python side actually emits: raw int64 microseconds. The
+# µs → timestamp conversion is a stateless JVM projection AFTER the
+# stateful op — pd.to_datetime on tiny per-key frames is pure
+# per-crossing overhead the 100× probe pays ~2 M times (measured in
+# SCALE.md round-7).
+_PY_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_last_us long, "
+    "n_events long, sum_value double"
+)
 STATE_SCHEMA = "start long, last long, n long, sv double"
 
 _GAP_US = GAP_MINUTES * 60 * 1_000_000
@@ -79,8 +88,8 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": pd.to_datetime([start], unit="us"),
-                "session_last": pd.to_datetime([last], unit="us"),
+                "session_start_us": [start],
+                "session_last_us": [last],
                 "n_events": [n],
                 "sum_value": [round(sv, 2)],
             }
@@ -145,12 +154,8 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [c[0] for c in closed],
-                "session_start": pd.to_datetime(
-                    [c[1] for c in closed], unit="us"
-                ),
-                "session_last": pd.to_datetime(
-                    [c[2] for c in closed], unit="us"
-                ),
+                "session_start_us": [c[1] for c in closed],
+                "session_last_us": [c[2] for c in closed],
                 "n_events": [c[3] for c in closed],
                 "sum_value": [round(c[4], 2) for c in closed],
             }
@@ -209,10 +214,18 @@ def run_sessionize_stream(
         conf = GroupStateTimeout.NoTimeout
     sessions = prepared.groupBy("user_id").applyInPandasWithState(
         func,
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=_PY_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=conf,
+    ).select(
+        # stateless JVM projection after the stateful op: µs → ts
+        # here instead of pd.to_datetime per key inside it
+        "user_id",
+        F.timestamp_micros("session_start_us").alias("session_start"),
+        F.timestamp_micros("session_last_us").alias("session_last"),
+        "n_events",
+        "sum_value",
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
     _drain(sessions.writeStream.outputMode("append"), name)

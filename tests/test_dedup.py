@@ -628,3 +628,149 @@ def test_dedup_incremental_null_text_admits(spark):
         39: "admitted",
         49: "admitted",
     }
+
+
+def test_dedup_incremental_lsh_semantics(spark, sf_dir):
+    """LSH-family incremental verdicts: exact verdicts must equal the
+    n-gram path's (identical md5 stage); near_dup has precision 1 by
+    construction (candidates verify TRUE Jaccard >= 0.5 against a
+    corpus rep); recall vs the brute-force >=0.5 set is bounded by
+    8x4 banding and must clear the measured floor."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_lsh,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    lsh = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    }
+    ngram = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    assert sorted(lsh) == sorted(ngram)
+    assert {i for i, v in lsh.items() if v == "exact_dup"} == {
+        i for i, v in ngram.items() if v == "exact_dup"
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[k : k + 3]) for k in range(n)}
+
+    corpus_sh = [
+        shingles(t) for i, t in docs.items() if i % 10 != 9 and t is not None
+    ]
+    true_near = set()
+    for i, v in lsh.items():
+        if v == "exact_dup" or docs[i] is None:
+            continue
+        s = shingles(docs[i])
+        best = max(
+            (len(s & c) / len(s | c) for c in corpus_sh), default=0.0
+        )
+        if round(best, 6) >= 0.5:
+            true_near.add(i)
+        # precision: a near_dup verdict implies a true >=0.5 rep
+        if v == "near_dup":
+            assert round(best, 6) >= 0.5, (i, best)
+    flagged = {i for i, v in lsh.items() if v == "near_dup"}
+    assert flagged <= true_near
+    if true_near:
+        recall = len(flagged) / len(true_near)
+        assert recall >= 0.5, (recall, len(true_near))
+
+
+def test_dedup_incremental_lsh_index_backed_parity(spark, sf_dir, tmp_path):
+    """Stored-index LSH path (band rows + rep shingles materialized
+    to parquet at 'ingest time') must produce verdicts identical to
+    the on-the-fly form."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_lsh_verdicts,
+        corpus_index_bands,
+        corpus_index_hashes,
+        corpus_index_rep_shingles,
+        dedup_incremental_lsh,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+
+    hp = str(tmp_path / "idx_hashes")
+    bp = str(tmp_path / "idx_bands")
+    sp = str(tmp_path / "idx_shingles")
+    corpus_index_hashes(corpus).write.mode("overwrite").parquet(hp)
+    corpus_index_bands(corpus).write.mode("overwrite").parquet(bp)
+    corpus_index_rep_shingles(corpus).write.mode("overwrite").parquet(sp)
+
+    via_index = sorted(
+        map(
+            tuple,
+            _incremental_lsh_verdicts(
+                batch,
+                spark.read.parquet(hp),
+                spark.read.parquet(bp),
+                spark.read.parquet(sp),
+            ).collect(),
+        )
+    )
+    on_the_fly = sorted(
+        map(tuple, dedup_incremental_lsh(spark, sf_dir).collect())
+    )
+    assert via_index == on_the_fly and len(via_index) > 0
+
+
+def test_dedup_incremental_lsh_null_text_admits(spark):
+    """NULL-text rows admit through the LSH path too: NULL shingles
+    concat_ws to a shared band hash (NULL batch docs DO meet NULL
+    corpus reps as candidates), but the Jaccard verify is NULL and
+    the filter drops it — the verify stage is what makes the
+    banding's NULL collision harmless."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_lsh_verdicts,
+        corpus_index_bands,
+        corpus_index_hashes,
+        corpus_index_rep_shingles,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, None)], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (19, "a b c d e f g h i j"),  # exact dup of corpus 1
+            (29, None),                   # NULL: must admit
+            (39, "a b c d e f g h i j k"),  # near dup of corpus 1
+            (49, "x y z w v u t s r q"),  # novel: admits
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in _incremental_lsh_verdicts(
+            batch,
+            corpus_index_hashes(corpus),
+            corpus_index_bands(corpus),
+            corpus_index_rep_shingles(corpus),
+        ).collect()
+    }
+    assert got[19] == "exact_dup"
+    assert got[29] == "admitted"
+    assert got[49] == "admitted"
+    # 39 vs corpus 1: shingle sets of
+    # the 10-token vs 11-token texts share all 8 of the shorter's
+    # 3-grams: J = 8/9 >= 0.5 — and an 8/9-Jaccard pair is near-
+    # certain under 8x4 banding (p = 1-(1-(8/9)^4)^8 ≈ 0.9998)
+    assert got[39] == "near_dup"

@@ -97,6 +97,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--decontam":
         decontam_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 30)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--lsh":
+        lsh_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stress-incremental")
@@ -168,6 +171,103 @@ def main() -> None:
         1,
     )
     print(json.dumps({"scale": n, "results": out}))
+
+
+def lsh_probe(n: int) -> None:
+    """--lsh mode: the MinHash/LSH incremental family under the same
+    protocol as the n-gram default — batch stripe fixed, corpus grown
+    N× with DISTINCT replicas, on-the-fly vs stored-band-index parity
+    asserted at each scale before timing. The production daily path
+    probes the stored (band, band_hash)-keyed index plus doc_id-keyed
+    rep shingles; its cost must stay ~batch-sized."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_lsh_verdicts,
+        corpus_index_bands,
+        corpus_index_rep_shingles,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress-incremental-lsh")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for label, scale in [("1x", 1), (f"{n}x", n)]:
+        stage = build_staging(spark, base, scale) if scale > 1 else base
+        docs = load_table(spark, stage, "documents")
+        batch = docs.filter(F.col("doc_id") % 10 == 9)
+        corpus = docs.filter(F.col("doc_id") % 10 != 9)
+
+        idx = tempfile.mkdtemp(prefix="inc_lsh_idx_")
+        hp = os.path.join(idx, "hashes")
+        bp = os.path.join(idx, "bands")
+        sp = os.path.join(idx, "shingles")
+
+        def on_the_fly():
+            _incremental_lsh_verdicts(
+                batch,
+                corpus_index_hashes(corpus),
+                corpus_index_bands(corpus),
+                corpus_index_rep_shingles(corpus),
+            ).write.mode("overwrite").format("noop").save()
+
+        def index_build():
+            corpus_index_hashes(corpus).write.mode("overwrite").parquet(hp)
+            corpus_index_bands(corpus).write.mode("overwrite").parquet(bp)
+            corpus_index_rep_shingles(corpus).write.mode(
+                "overwrite"
+            ).parquet(sp)
+
+        def with_index():
+            _incremental_lsh_verdicts(
+                batch,
+                spark.read.parquet(hp),
+                spark.read.parquet(bp),
+                spark.read.parquet(sp),
+            ).write.mode("overwrite").format("noop").save()
+
+        index_build()
+        a = sorted(
+            map(
+                tuple,
+                _incremental_lsh_verdicts(
+                    batch,
+                    corpus_index_hashes(corpus),
+                    corpus_index_bands(corpus),
+                    corpus_index_rep_shingles(corpus),
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                _incremental_lsh_verdicts(
+                    batch,
+                    spark.read.parquet(hp),
+                    spark.read.parquet(bp),
+                    spark.read.parquet(sp),
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+        drain_driver_backlog(spark)
+        out[label] = {
+            "batch_rows": batch.count(),
+            "corpus_rows": corpus.count(),
+            "on_the_fly": timed(on_the_fly),
+            "index_build_once": timed(index_build),
+            "increment_with_index": timed(with_index),
+        }
+    big, small = out[f"{n}x"], out["1x"]
+    big["on_the_fly_ratio"] = round(
+        big["on_the_fly"] / max(small["on_the_fly"], 0.01), 1
+    )
+    big["increment_ratio"] = round(
+        big["increment_with_index"]
+        / max(small["increment_with_index"], 0.01),
+        1,
+    )
+    print(json.dumps({"mode": "lsh", "scale": n, "results": out}))
 
 
 def decontam_probe(n: int) -> None:

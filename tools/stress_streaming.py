@@ -45,7 +45,7 @@ from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 from irio2024_mapreduce_spark.sources.tables import load_table
 from irio2024_mapreduce_spark.streaming.jobs import _normalize_event_ts
 from irio2024_mapreduce_spark.streaming.stateful import (
-    OUTPUT_SCHEMA,
+    _PY_OUTPUT_SCHEMA,
     STATE_SCHEMA,
     _sessionize,
 )
@@ -147,10 +147,16 @@ def jobs(spark, src_dir: str, schema):
         )
         return prepared.groupBy("user_id").applyInPandasWithState(
             functools.partial(_sessionize, evict=True),
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=_PY_OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
+        ).select(
+            "user_id",
+            F.timestamp_micros("session_start_us").alias("session_start"),
+            F.timestamp_micros("session_last_us").alias("session_last"),
+            "n_events",
+            "sum_value",
         )
 
     return {
