@@ -338,6 +338,97 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR-style data selection: pick raw-corpus docs that look like a
+# small target-domain sample, scored by hashed n-gram importance
+# ratios. Fixture roles: doc_id % 10 == 7 is the target-domain sample
+# (DSIR's "target distribution" — small by design), everything else
+# is the raw pool being filtered.
+IMPORTANCE_BUCKETS_HEX = 2  # md5-prefix buckets: 16^2 = 256
+IMPORTANCE_SMOOTH = 1  # add-one smoothing on bucket counts
+
+
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-based data selection (DSIR-style): score every raw
+    doc by how target-like its hashed unigram profile is, admit docs
+    whose mean bucket importance clears parity, report per source.
+
+    Mechanics, all exact integer arithmetic so the DuckDB oracle
+    reproduces every value bit-for-bit:
+
+    * words hash to 256 buckets via their md5's first 2 hex chars
+      (content-addressed, engine/seed independent — the
+      ``deterministic_sample`` trick);
+    * bucket importance is the smoothed target/raw rate ratio scaled
+      ×10⁴: ``(10000 · (t_b+1) · raw_total) div ((r_b+1) ·
+      target_total)`` — the rational-arithmetic stand-in for DSIR's
+      log-likelihood ratio (a log-space double would hash-diverge
+      across libm implementations; at fixture scale the products fit
+      int64 comfortably — a 100 TB deployment flips to log-space
+      doubles and accepts approximate comparison);
+    * per-doc score = integer mean of its tokens' bucket importances;
+      admit iff score ≥ 10000 (more target-like than raw-average).
+
+    Scale shape: the bucket table is 256 rows — built by one
+    map-side-combined agg, broadcast back; the token-level weight
+    join is map-only, and the per-doc mean's groupBy collapses each
+    doc map-side (partial agg: a doc's exploded tokens are
+    partition-local), so the shuffle is one row per doc, never one
+    per token. The final rollup shuffles one row per source.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    is_target = F.col("doc_id") % 10 == 7
+    toks = docs.select(
+        "doc_id",
+        "source",
+        is_target.alias("is_t"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = F.substring(F.md5("w"), 1, IMPORTANCE_BUCKETS_HEX)
+
+    counts = toks.groupBy(bucket.alias("b")).agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    a = IMPORTANCE_SMOOTH
+    w = counts.select(
+        "b",
+        F.expr(
+            f"(10000 * (t_cnt + {a}) * (sum(r_cnt) over ())) div "
+            f"((r_cnt + {a}) * (sum(t_cnt) over ()))"
+        ).alias("imp_x10k"),
+    )
+
+    scored = (
+        toks.filter(~F.col("is_t"))
+        .withColumn("b", bucket)
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("sum(imp_x10k) div count(*)").alias("score_x10k"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.sum(
+                F.when(F.col("score_x10k") >= 10_000, 1).otherwise(0)
+            ).alias("docs_admitted"),
+            F.expr(
+                "10000 * (sum(case when score_x10k >= 10000 then 1 else 0 end) "
+                "div count(*)) + (10000 * (sum(case when score_x10k >= 10000 "
+                "then 1 else 0 end) % count(*))) div count(*)"
+            ).alias("admit_rate_x10k"),
+            F.expr(
+                "sum(score_x10k) div count(*)"
+            ).alias("avg_score_x10k"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registered driver surface (r7): decontaminate is the flagship
 # train-test hygiene operator — it took the window slot freed by
 # retiring fingerprint (a near-twin of dedup_exact's digest grouping;

@@ -155,19 +155,23 @@ def resize_image(
 def _resize_ppm(payload: bytes, target: tuple[int, int]) -> bytes:
     """Nearest-neighbor resize of a P6 payload — pure pixel striding,
     no codec: pick source row sy = y*h//th and column sx = x*w//tw
-    for each target pixel."""
+    for each target pixel. Vectorized with numpy fancy indexing: the
+    per-pixel Python loop was the multimodal pipeline's whole 100×
+    cost (tw·th·3 Python iterations per image — SCALE.md round-7)."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
     w, h, off = _parse_ppm(payload)
     tw, th = target
     px = payload[off:]
     if len(px) < w * h * 3:
         raise ValueError("truncated PPM pixel data")
-    out = bytearray()
-    for y in range(th):
-        row = px[(y * h // th) * w * 3:]
-        for x in range(tw):
-            sx = (x * w // tw) * 3
-            out += row[sx:sx + 3]
-    return encode_ppm(tw, th, bytes(out))
+    src = np.frombuffer(px, dtype=np.uint8, count=w * h * 3).reshape(
+        h, w, 3
+    )
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    out = src[rows][:, cols]
+    return encode_ppm(tw, th, out.tobytes())
 
 
 # ------------------------------------------------------------ video (AVI)
