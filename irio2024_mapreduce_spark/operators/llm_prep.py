@@ -472,9 +472,48 @@ RETIRED_TWIN_QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
     "source_mix": source_mix,
+    "importance_resample": importance_resample,
 }
 
+IMPORTANCE_RESAMPLE_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id, source, doc_id % 10 = 7 AS is_t, w
+        FROM (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE w <> ''
+    ), counts AS (
+        SELECT substr(md5(w), 1, 2) AS b,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt
+        FROM tk GROUP BY 1
+    ), wts AS (
+        SELECT b,
+               (10000 * (t_cnt + 1) * (SUM(r_cnt) OVER ())) //
+               ((r_cnt + 1) * (SUM(t_cnt) OVER ())) AS imp_x10k
+        FROM counts
+    ), scored AS (
+        SELECT doc_id, source,
+               SUM(imp_x10k) // COUNT(*) AS score_x10k
+        FROM tk JOIN wts ON substr(md5(w), 1, 2) = b
+        WHERE NOT is_t
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS docs_in,
+           SUM(CASE WHEN score_x10k >= 10000 THEN 1 ELSE 0 END)::BIGINT
+               AS docs_admitted,
+           CAST(10000 * (SUM(CASE WHEN score_x10k >= 10000 THEN 1
+                              ELSE 0 END) // COUNT(*))
+                + (10000 * (SUM(CASE WHEN score_x10k >= 10000 THEN 1
+                                ELSE 0 END) % COUNT(*))) // COUNT(*)
+             AS BIGINT) AS admit_rate_x10k,
+           CAST(SUM(score_x10k) // COUNT(*) AS BIGINT) AS avg_score_x10k
+    FROM scored GROUP BY source ORDER BY source
+"""
+
 RETIRED_TWIN_ORACLES = {
+    "importance_resample": IMPORTANCE_RESAMPLE_ORACLE,
     "pii_scrub": f"""
         WITH s AS (
             SELECT doc_id, text,

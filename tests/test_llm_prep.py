@@ -185,3 +185,49 @@ def test_decontaminate_flags_13gram_overlap(spark, tmp_path):
     assert got["srcA"]["n_clean"] == 1
     assert got["srcB"]["n_contaminated"] == 0
     assert got["srcB"]["n_clean"] == 1
+
+
+def test_importance_resample_crafted_selection(spark, tmp_path):
+    """DSIR-style selection on a crafted corpus with an unambiguous
+    answer: the target stripe (doc_id % 10 == 7) speaks 'ml ai'
+    vocabulary; raw docs sharing it must be admitted, raw docs in
+    disjoint vocabulary rejected, and the report's counts/rates are
+    hand-computable."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        importance_resample,
+    )
+
+    rows = [
+        # target sample: defines the desired distribution
+        (7, "ml ai ml ai ml ai", "srcT"),
+        (17, "ml ai model train", "srcT"),
+        # raw pool, source A: target-like vocabulary
+        (1, "ml ai ml model", "srcA"),
+        (2, "ai train ml model", "srcA"),
+        # raw pool, source B: disjoint vocabulary
+        (3, "cat dog fish bird", "srcB"),
+        (4, "apple pear plum fig", "srcB"),
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(os.path.join(stage, "documents.parquet"))
+
+    got = {
+        r["source"]: r.asDict()
+        for r in importance_resample(spark, stage).collect()
+    }
+    # srcT never appears: the target stripe is not scored
+    assert sorted(got) == ["srcA", "srcB"]
+    assert got["srcA"]["docs_in"] == 2
+    assert got["srcB"]["docs_in"] == 2
+    # every srcA token lives in target-heavy buckets → admitted;
+    # srcB's vocabulary only ever picks up smoothing mass → rejected
+    assert got["srcA"]["docs_admitted"] == 2
+    assert got["srcB"]["docs_admitted"] == 0
+    assert got["srcA"]["admit_rate_x10k"] == 10_000
+    assert got["srcB"]["admit_rate_x10k"] == 0
+    assert got["srcA"]["avg_score_x10k"] > got["srcB"]["avg_score_x10k"]

@@ -107,6 +107,8 @@ def test_retired_set_is_exactly_the_documented_twins():
         "fingerprint",
         # r7: Gopher-style intra-document repetition quality signals
         "quality_repetition",
+        # r7: DSIR-style hashed-ngram importance resampling
+        "importance_resample",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
         # retired r6 to admit dedup_incremental to the graded window
