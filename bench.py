@@ -67,6 +67,10 @@ HEADLINE = [
     # 26-query total is NOT comparable to the r03-r05 25-query
     # totals; compare per-query times and the r01 subset)
     "dedup_incremental",
+    # added r7 when it entered the graded window — 27-query totals are
+    # NOT comparable to the r6 26-query totals; compare per-query
+    # times and the r01 subset
+    "decontaminate",
 ]
 
 # The 20 queries HEADLINE contained through rounds 1-2 — their

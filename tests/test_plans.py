@@ -257,3 +257,76 @@ def test_boilerplate_registry_shuffles_digests_not_bodies(spark, sf_dir):
     ]
     assert hash_exchanges, plan
     assert all("text#" not in inp for inp in hash_exchanges), hash_exchanges
+
+
+def test_decontaminate_training_side_never_shuffles_bodies(spark, sf_dir):
+    """The membership probe must be a broadcast LEFT-SEMI join (the
+    benchmark digest set broadcasts; the training side streams
+    map-side) — never a sort-merge join, which would shuffle the
+    exploded training n-grams. Hash exchanges must carry digests and
+    counters only, never the text column."""
+    import re
+
+    from irio2024_mapreduce_spark.operators.llm_prep import decontaminate
+
+    plan = plan_of(decontaminate(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
+    inputs = re.findall(
+        r"\(\d+\) Exchange\n(Input[^\n]*)\nArguments: ([^\n]*)", plan
+    )
+    hash_exchanges = [
+        inp for inp, args in inputs if "hashpartitioning" in args
+    ]
+    assert all("text#" not in inp for inp in hash_exchanges), hash_exchanges
+
+
+def test_importance_resample_weights_broadcast_docs_collapse_mapside(
+    spark, sf_dir
+):
+    """The 256-row bucket-weight table must broadcast back onto the
+    token stream (BroadcastHashJoin, no SortMergeJoin/Cartesian), and
+    the per-doc score aggregation must keep its map-side partial
+    phase so the post-join shuffle is one row per doc, not one per
+    token. (The bucket table's own SUM() OVER () SinglePartition
+    window is bounded at 256 rows by construction — allowed.)"""
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        importance_resample,
+    )
+
+    plan = plan_of(importance_resample(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # bucket agg + doc agg, partial+final
+    assert "partial" in plan
+
+
+def test_quality_repetition_is_exchange_free(spark, sf_dir):
+    """The repetition signals are per-row array expressions — the
+    physical plan must contain NO Exchange at all (pure map over the
+    scan; this is the property that makes it trivially 100 TB-safe)."""
+    from irio2024_mapreduce_spark.operators.text_analysis import (
+        quality_repetition,
+    )
+
+    plan = plan_of(quality_repetition(spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bpe_apply_is_map_only(spark, sf_dir):
+    """Applying a trained merge table is a pure Arrow-batched map —
+    no Exchange anywhere between the scan and the per-doc output."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.bpe import bpe_apply
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    plan = plan_of(
+        bpe_apply(docs, [("a", "b"), ("ab", "c")]), mode="simple"
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
