@@ -202,11 +202,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingles().alias("shingles"))
     )
     pairs = _minhash_candidates(docs)
-    # Verify only the surviving candidate pairs. Melt pairs to
-    # (pair, role, doc_id) and join the RAW text once — so (a) the
-    # candidate subtree is computed once, not once per side-join, and
-    # (b) shingles are recomputed only for candidate rows (post-join
-    # projection), never for the whole corpus a second time.
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _verify_candidate_pairs(pairs, raw)
+
+
+def _verify_candidate_pairs(pairs: DataFrame, raw: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against raw text. Melt pairs to (pair, role, doc_id) and join the
+    RAW text once — so (a) the candidate subtree is computed once,
+    not once per side-join, and (b) shingles are recomputed only for
+    candidate rows (post-join projection), never for the whole corpus
+    a second time."""
     melted = pairs.select(
         F.struct("doc_a", "doc_b").alias("pair"),
         F.explode(
@@ -216,7 +222,6 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     ).select("pair", "m.role", "m.doc_id")
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_sh = melted.join(raw, "doc_id").select(
         "pair", "role", _shingles().alias("sh")
     )
@@ -295,6 +300,84 @@ def _band_rows(
     return _cap_buckets(
         banded, ["band", "band_hash"], bucket_cap, checkpoint_input=True
     )
+
+
+def _md5_band_rows(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """The DuckDB-EXPRESSIBLE twin of :func:`_band_rows`: min-hash
+    over md5 HEX STRINGS instead of seeded xxhash64 longs. Works
+    because fixed-length lowercase hex orders lexicographically
+    exactly like the 128-bit number it encodes, so
+    ``array_min(md5(...))`` IS a min-hash — and DuckDB computes the
+    identical md5/list_min, making the whole LSH pipeline (signature,
+    banding, hot-bucket cap, candidate join) oracle-checkable.
+    ~an order of magnitude more hashing cost than the xxhash64 form
+    (33 md5 calls per shingle vs 1 string hash + 32 long re-hashes),
+    which is why the GRADED dedup_near keeps the fast path and this
+    backs the local-oracle twin `dedup_near_md5`."""
+    base = docs.select(
+        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("h")
+    )
+    mins = ", ".join(
+        f"array_min(transform(h, x -> md5(concat('{i}:', x))))"
+        for i in range(MINHASH_PERMS)
+    )
+    sig = base.select("doc_id", F.expr(f"array({mins})").alias("sig"))
+    bands = ", ".join(
+        "named_struct('band', {b}, 'band_hash', "
+        "md5(concat_ws(',', {elems})))".format(
+            b=b,
+            elems=", ".join(
+                f"element_at(sig, {b * LSH_ROWS + r + 1})"
+                for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    banded = sig.select(
+        "doc_id", F.expr(f"explode(array({bands}))").alias("bh")
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    return _cap_buckets(
+        banded, ["band", "band_hash"], bucket_cap, checkpoint_input=True
+    )
+
+
+def dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an md5-hex hash family — the
+    FULL-ORACLE twin of :func:`dedup_near`. Same pipeline end to end
+    (exact-collapse reps → signatures → capped band equi-join →
+    exact-Jaccard verify ≥ 0.5); only the hash family differs, and
+    md5 is computable in DuckDB, so the ENTIRE LSH decision — which
+    buckets form, which get capped, which candidates verify — is
+    hash-checked against an independent engine instead of rows-only.
+    NULL-text docs are excluded on both sides (no shingle mass; see
+    corpus_index_bands for the [""]-shingle hazard)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _shingles().alias("shingles"))
+    )
+    banded = _md5_band_rows(docs).localCheckpoint(eager=False)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _verify_candidate_pairs(pairs, raw)
 
 
 def _minhash_candidates(
@@ -968,7 +1051,72 @@ ORACLE_SQL = {
     """,
     # dedup_near / dedup_simhash: seeded-xxhash LSH isn't expressible in
     # DuckDB SQL → rows-only check (SURVEY §7 hard-item 3); determinism +
-    # recall vs the exact queries are asserted in tests/.
+    # recall vs the exact queries are asserted in tests/. The LSH
+    # *logic* is oracle-checked anyway via the md5-hash-family twin
+    # dedup_near_md5 (RETIRED_TWIN_QUERIES below).
+}
+
+# Local-oracle twin (never registered — driver window full at 50):
+# verified every test run by tests/test_retired_twins.py.
+RETIRED_TWIN_QUERIES = {"dedup_near_md5": dedup_near_md5}
+RETIRED_TWIN_ORACLES = {
+    # The COMPLETE LSH pipeline in SQL: md5-hex min-hash signatures
+    # (lexicographic min of fixed-length hex == numeric min), 8×4
+    # banding, the hot-bucket cap, the candidate self-join, and the
+    # exact-Jaccard verify — every stage the graded dedup_near runs,
+    # hash-checked with an independent hash-family instance.
+    "dedup_near_md5": f"""
+        WITH reps AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text)
+        ), sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                       )),
+                       s -> md5(s)
+                   ) AS h
+            FROM reps
+        ), sig AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, {MINHASH_PERMS}),
+                       i -> list_min(list_transform(
+                           h, x -> md5(i::VARCHAR || ':' || x)))
+                   ) AS sig
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, g.b AS band,
+                   md5(sig[4*g.b+1] || ',' || sig[4*g.b+2] || ',' ||
+                       sig[4*g.b+3] || ',' || sig[4*g.b+4]) AS band_hash
+            FROM sig, (SELECT unnest(range(0, {LSH_BANDS})) AS b) g
+            QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
+                    <= {LSH_BUCKET_CAP}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ), shset AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   )) AS s
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT p.doc_a, p.doc_b,
+                   ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+            FROM pairs p
+            JOIN shset sa ON sa.doc_id = p.doc_a
+            JOIN shset sb ON sb.doc_id = p.doc_b
+        ) WHERE jaccard >= 0.5
+    """,
 }
 
 QUERIES = {

@@ -15,6 +15,7 @@ import pytest
 from irio2024_mapreduce_spark.operators import (
     advanced,
     chunking,
+    dedup,
     events,
     llm_prep,
     misc,
@@ -71,6 +72,13 @@ RETIRED = {
         )
         for name in chunking.RETIRED_TWIN_QUERIES
     },
+    **{
+        name: (
+            dedup.RETIRED_TWIN_QUERIES[name],
+            dedup.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in dedup.RETIRED_TWIN_QUERIES
+    },
 }
 
 
@@ -109,6 +117,11 @@ def test_retired_set_is_exactly_the_documented_twins():
         "quality_repetition",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
+        # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
+        # (signatures, banding, cap, candidate join, verify) under a
+        # DuckDB-computable hash family, closing the "dedup_near is
+        # permanently rows-only" gap at the logic level
+        "dedup_near_md5",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
         # retired r6 to admit dedup_incremental to the graded window
