@@ -519,6 +519,147 @@ def _simhash_candidates(
     )
 
 
+def _md5_hexdigit(k: int) -> str:
+    """SQL for hex-digit value 0..15 of md5 column ``m`` at 1-based
+    char ``k`` — `instr`/`strpos` into the hex alphabet, identical
+    syntax and semantics in Spark SQL and DuckDB."""
+    return f"(instr('0123456789abcdef', substr(m, {k}, 1)) - 1)"
+
+
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) with an md5-derived bit
+    source — the FULL-ORACLE twin of :func:`dedup_simhash`, exactly
+    as :func:`dedup_near_md5` twins `dedup_near`. Same pipeline:
+    per-token 64-bit votes → majority signature → 4×16-bit pigeonhole
+    chunks → capped equi-join → hamming verify. The 64 bits come from
+    the first 16 hex digits of ``md5('simhash:' || token)`` (4 bits
+    per digit via the portable `instr`-alphabet decode), so DuckDB
+    reproduces every vote, every chunk bucket, every cap decision,
+    and every hamming distance. NULL-text docs excluded on both
+    sides (the graded query keeps them at signature 0; the twin
+    checks the LSH logic, not the NULL convention)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    occ = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).withColumn(
+        "m", F.md5(F.concat(F.lit("simhash:"), F.col("tok")))
+    )
+    vote_cols = [
+        F.sum(
+            F.expr(f"({_md5_hexdigit(j // 4 + 1)} >> {j % 4}) & 1")
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    votes = occ.groupBy("doc_id").agg(
+        *vote_cols, F.count("*").alias("_nt")
+    )
+    sig_expr = " | ".join(
+        f"(CASE WHEN 2 * b{j} > _nt THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
+    )
+    simhash = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn(
+        "chunk_val", F.expr("(simhash >> cast(chunk * 16 as int)) & 65535")
+    )
+    chunks = _cap_buckets(chunks, ["chunk", "chunk_val"], SIMHASH_BUCKET_CAP)
+    chunks = chunks.localCheckpoint(eager=False)
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    """The dedup_simhash_md5 pipeline in DuckDB SQL, generated so the
+    64 vote sums / bits mirror the Spark expressions term-for-term.
+    The oracle never packs a 64-bit value (1<<63 overflow semantics
+    differ across engines); chunks and hamming work directly on the
+    bit columns, which is arithmetically identical."""
+    vote_sums = ", ".join(
+        f"SUM(({_md5_hexdigit(j // 4 + 1)} >> {j % 4}) & 1) AS b{j}"
+        for j in range(64)
+    )
+    bits = ", ".join(
+        f"(CASE WHEN 2 * b{j} > nt THEN 1 ELSE 0 END) AS bit{j}"
+        for j in range(64)
+    )
+    chunk_vals = ", ".join(
+        "("
+        + " + ".join(f"bit{16 * c + p} * {1 << p}" for p in range(16))
+        + f") AS cv{c}"
+        for c in range(4)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN a.bit{j} != b.bit{j} THEN 1 ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+        WITH reps AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text)
+        ), occ AS (
+            SELECT doc_id, md5('simhash:' || t) AS m
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM reps
+            )
+        ), votes AS (
+            SELECT doc_id, COUNT(*) AS nt, {vote_sums}
+            FROM occ GROUP BY doc_id
+        ), bits AS (
+            SELECT doc_id, {bits} FROM votes
+        ), cvs AS (
+            SELECT doc_id, {chunk_vals} FROM bits
+        ), chunks AS (
+            SELECT doc_id, g.c AS chunk,
+                   CASE g.c WHEN 0 THEN cv0 WHEN 1 THEN cv1
+                            WHEN 2 THEN cv2 ELSE cv3 END AS chunk_val
+            FROM cvs, (SELECT unnest(range(0, 4)) AS c) g
+            QUALIFY COUNT(*) OVER (PARTITION BY chunk, chunk_val)
+                    <= {SIMHASH_BUCKET_CAP}
+        ), pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM chunks l JOIN chunks r
+              ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+             AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT p.doc_a, p.doc_b, ({hamming})::BIGINT AS hamming
+            FROM pairs p
+            JOIN bits a ON a.doc_id = p.doc_a
+            JOIN bits b ON b.doc_id = p.doc_b
+        ) WHERE hamming <= 3
+    """
+
+
 # ---------------------------------------------------------------- ngram jaccard
 def _ngram_posting_join(
     spark: SparkSession,
@@ -1056,9 +1197,12 @@ ORACLE_SQL = {
     # dedup_near_md5 (RETIRED_TWIN_QUERIES below).
 }
 
-# Local-oracle twin (never registered — driver window full at 50):
+# Local-oracle twins (never registered — driver window full at 50):
 # verified every test run by tests/test_retired_twins.py.
-RETIRED_TWIN_QUERIES = {"dedup_near_md5": dedup_near_md5}
+RETIRED_TWIN_QUERIES = {
+    "dedup_near_md5": dedup_near_md5,
+    "dedup_simhash_md5": dedup_simhash_md5,
+}
 RETIRED_TWIN_ORACLES = {
     # The COMPLETE LSH pipeline in SQL: md5-hex min-hash signatures
     # (lexicographic min of fixed-length hex == numeric min), 8×4
@@ -1197,5 +1341,7 @@ ORACLE_SQL_INCREMENTAL = {
         LEFT JOIN near_ids n USING (doc_id)
     """,
 }
+
+RETIRED_TWIN_ORACLES["dedup_simhash_md5"] = _simhash_md5_oracle()
 
 ORACLE_SQL.update(ORACLE_SQL_INCREMENTAL)

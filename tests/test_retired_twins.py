@@ -122,6 +122,7 @@ def test_retired_set_is_exactly_the_documented_twins():
         # DuckDB-computable hash family, closing the "dedup_near is
         # permanently rows-only" gap at the logic level
         "dedup_near_md5",
+        "dedup_simhash_md5",
         # r6: real stdlib WAV decode over JVM-built PCM payloads
         "multimodal_audio",
         # retired r6 to admit dedup_incremental to the graded window
