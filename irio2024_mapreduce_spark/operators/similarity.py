@@ -504,6 +504,91 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_oracle() -> str:
+    """similarity_ann's FULL pipeline in DuckDB SQL. Possible because
+    the 'random' hyperplanes are plain Python splitmix64 float
+    constants (`_hyperplane_values`) — injected below as the exact
+    same literals (repr round-trips doubles losslessly) — and because
+    cross-engine double dot products agree bit-for-bit here
+    (established by the hash-passing dedup_embedding/similarity_topk
+    oracles; both engines fold the product sum left-to-right).
+    Signature bits, probe-flip selection (abs-projection ranking,
+    ties by plane index), single+pair probes, candidate dedup,
+    cosine scoring, and the rounded-cosine top-k all mirror the
+    Spark expressions term-for-term."""
+    planes_rows = ",\n            ".join(
+        "({t}, {bit}, [{vals}])".format(
+            t=i // ANN_PLANES,
+            bit=i % ANN_PLANES,
+            vals=", ".join(repr(c) for c in _hyperplane_values(i)),
+        )
+        for i in range(ANN_TABLES * ANN_PLANES)
+    )
+    return f"""
+        WITH planes(t, bit, pl) AS (VALUES
+            {planes_rows}
+        ), emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), proj AS (
+            SELECT e.vec_id, p.t, p.bit, list_dot_product(e.v, p.pl) AS x
+            FROM emb e, planes p
+        ), sigs AS (
+            SELECT vec_id, t,
+                   SUM(CASE WHEN x > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM proj GROUP BY vec_id, t
+        ), corpus AS (
+            SELECT vec_id AS neighbor_id, t, sig
+            FROM sigs WHERE vec_id >= {N_QUERIES}
+        ), qs AS (
+            SELECT vec_id AS query_id, t, sig
+            FROM sigs WHERE vec_id < {N_QUERIES}
+        ), qflips AS (
+            SELECT vec_id, t, bit,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, t ORDER BY abs(x), bit
+                   ) AS rk
+            FROM proj WHERE vec_id < {N_QUERIES}
+            QUALIFY rk <= {ANN_PROBE_BITS}
+        ), probes AS (
+            SELECT query_id, t, sig AS probe FROM qs
+            UNION
+            SELECT q.query_id, q.t, xor(q.sig, 1::BIGINT << f.bit)
+            FROM qs q JOIN qflips f
+              ON f.vec_id = q.query_id AND f.t = q.t
+            UNION
+            SELECT q.query_id, q.t,
+                   xor(xor(q.sig, 1::BIGINT << f1.bit),
+                       1::BIGINT << f2.bit)
+            FROM qs q
+            JOIN qflips f1 ON f1.vec_id = q.query_id AND f1.t = q.t
+            JOIN qflips f2 ON f2.vec_id = q.query_id AND f2.t = q.t
+                          AND f1.rk < f2.rk
+        ), cand AS (
+            SELECT DISTINCT p.query_id, c.neighbor_id
+            FROM probes p JOIN corpus c
+              ON c.t = p.t AND c.sig = p.probe
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))),
+                         6) AS cosine
+            FROM cand
+            JOIN emb q ON q.vec_id = cand.query_id
+            JOIN emb c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 ORACLE_SQL = {
     "similarity_topk": f"""
         SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -523,8 +608,12 @@ ORACLE_SQL = {
               ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
         ) WHERE rank <= {TOP_K}
     """,
-    # similarity_ann: seeded-hash hyperplanes aren't expressible in
-    # DuckDB SQL → rows-only; recall vs similarity_topk asserted in tests.
+    # similarity_ann graduated to a FULL oracle row in r7: the
+    # hyperplanes were never engine-bound hashes — they are Python
+    # splitmix64 float constants, injectable into SQL verbatim (see
+    # _ann_oracle). similarity_ivf stays rows-only: its quantizer is
+    # an iterative driver-side Lloyd loop no SQL can replay.
+    "similarity_ann": _ann_oracle(),
 }
 
 QUERIES = {

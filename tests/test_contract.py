@@ -11,14 +11,17 @@ def test_every_oracle_key_has_a_query():
     assert set(osql) <= set(qs)
     # rows-only queries are deliberate, enumerated exceptions
     rows_only = set(qs) - set(osql)
-    # multimodal_pipeline and multimodal_frames graduated to full
-    # oracle rows in r6 (real stdlib P6 decode / index-arithmetic
-    # frame sampling over SQL-reconstructible payloads); the rest are
-    # seeded-hash LSH families and approximate sketches by design
+    # multimodal_pipeline/multimodal_frames graduated to full oracle
+    # rows in r6, similarity_ann in r7 (its hyperplanes are Python
+    # float constants, injectable into DuckDB SQL verbatim). The rest:
+    # dedup_near/dedup_simhash are seeded-xxhash64 families (their
+    # LOGIC is oracle-checked via the md5 hash-family twins in
+    # tests/test_retired_twins.py), similarity_ivf's quantizer is an
+    # iterative driver-side Lloyd loop no SQL can replay, sketches
+    # are approximate by design.
     assert rows_only == {
         "dedup_near",
         "dedup_simhash",
-        "similarity_ann",
         "sketches",
         "similarity_ivf",
     }
