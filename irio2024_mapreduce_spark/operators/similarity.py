@@ -9,13 +9,14 @@ Two paths:
   All arithmetic in double via codegen'd higher-order functions
   (``zip_with`` + ``aggregate``) — no UDF, no Python.
 * **similarity_ann** — the 100 TB path: random-hyperplane LSH.
-  Corpus vectors are bucketed by an H-bit signature (H seeded
-  pseudo-random hyperplanes built from ``xxhash64``, so the "random"
-  planes are deterministic and cluster-reproducible); queries probe
-  only their own bucket. Recall vs the exact path is asserted in
-  tests. An IVF variant would swap the signature for a k-means
-  assignment — same plan shape (bucket equi-join), different
-  bucketing function.
+  Corpus vectors are bucketed by an H-bit signature (H deterministic
+  pseudo-random hyperplanes: splitmix64-derived float constants, so
+  the "random" planes are cluster-reproducible AND injectable into
+  the DuckDB oracle verbatim — full oracle row since r7); queries
+  probe their own bucket plus multi-probe flips. Recall vs the exact
+  path is asserted in tests. The IVF variant swaps the signature for
+  a k-means assignment — same plan shape (bucket equi-join),
+  different bucketing function.
 """
 
 from __future__ import annotations
