@@ -267,3 +267,48 @@ def test_audio_table_payloads_are_real_wav(spark, sf_dir):
         assert 16 <= n <= 195
         # total payload = 44-byte canonical header + one byte/frame
         assert len(bytes(r["payload"])) == 44 + n
+
+
+def test_resize_numpy_matches_scalar_reference():
+    """The vectorized nearest-neighbor resize must byte-match the
+    scalar striding definition (sy = y*h//th, sx = x*w//tw) on
+    arbitrary images and target shapes — hypothesis-driven guard for
+    the r7 numpy rewrite."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        _resize_ppm,
+        encode_ppm,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        tw=st.integers(1, 24),
+        th=st.integers(1, 24),
+        data=st.data(),
+    )
+    def check(w, h, tw, th, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        payload = encode_ppm(w, h, px)
+        got = _resize_ppm(payload, (tw, th))
+        # scalar reference: the original per-pixel loop
+        out = bytearray()
+        for y in range(th):
+            row = px[(y * h // th) * w * 3:]
+            for x in range(tw):
+                sx = (x * w // tw) * 3
+                out += row[sx:sx + 3]
+        assert got == encode_ppm(tw, th, bytes(out))
+
+    check()
