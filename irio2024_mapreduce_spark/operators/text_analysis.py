@@ -159,29 +159,50 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _max_run_char_mass(arr: Column) -> Column:
+    """Max over distinct elements of (occurrence count × element
+    length), computed as a fold over the SORTED array: equal elements
+    are adjacent after array_sort, so one O(n) pass tracking the
+    current run replaces the O(distinct × n) filter-per-distinct form
+    (which a single 100k-token document would turn into 10¹⁰
+    comparisons inside one task — the kind of per-row quadratic that
+    survives every small-fixture test and dies at corpus scale).
+    O(n log n) per doc total, still pure array expressions."""
+    s = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),  # value irrelevant: run starts at 0
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        (F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1)
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            (F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1)
+            * F.length(x),
+        ).alias("best"),
+    )
+    return F.aggregate(s, acc0, step, lambda acc: acc["best"])
+
+
 def _top_ngram_char_mass(toks: Column, n: int) -> Column:
     """Character mass of the dominant word n-gram: max over distinct
     n-grams of (occurrence count × n-gram length). Gopher's
     top-n-gram repetition signal, phrased so the max is deterministic
     under count ties (the tied gram with more characters wins — the
     quantity of interest IS the character share). Pure array
-    expressions, no shuffle; O(distinct × total) per doc, fine at any
-    corpus size since docs are bounded. NULL when the doc has fewer
-    than n tokens (no n-gram exists)."""
+    expressions, no shuffle; O(n log n) per doc via
+    :func:`_max_run_char_mass`. NULL when the doc has fewer than n
+    tokens (no n-gram exists)."""
     # clamp: sequence(1, x≤0) DESCENDS in Spark instead of emptying —
     # the when() guard below nulls the undersized-doc case anyway
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    mass = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g))
-            * F.length(g),
-        )
-    )
-    return F.when(F.size(toks) >= n, mass)
+    return F.when(F.size(toks) >= n, _max_run_char_mass(grams))
 
 
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,15 +238,31 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     n_lines = F.size(lines)
     dup_lines = n_lines - F.size(F.array_distinct(lines))
     # character mass of lines that occur 2+ times (each occurrence
-    # counts — Gopher's "fraction of characters in duplicate lines")
+    # counts — Gopher's "fraction of characters in duplicate lines").
+    # Run-fold over the sorted array, same O(n log n) rationale as
+    # _max_run_char_mass: the filter-per-distinct form is per-doc
+    # quadratic and would melt on a many-line document.
+    sorted_lines = F.array_sort(lines)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mass")
+    )
+    run_of = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1
+    )
     dup_line_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == l)) > 1,
-            F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
-        ).otherwise(F.lit(0)),
+        sorted_lines,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            (
+                acc["mass"]
+                + F.when(run_of(acc, x) == 2, 2 * F.length(x))
+                .when(run_of(acc, x) > 2, F.length(x))
+                .otherwise(F.lit(0))
+            ).alias("mass"),
+        ),
+        lambda acc: acc["mass"],
     )
     total_line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
