@@ -38,6 +38,15 @@ from irio2024_mapreduce_spark.sources.tables import load_table
 BPE_VOCAB_WORDS = 4096  # bounded driver collect, ~100 KB ceiling
 BPE_MERGES = 200
 
+# Encode-side guard: the merge loop is O(L²) in word length (each
+# round scans for the lowest-rank pair), so one pathological
+# 100k-char "word" would cost ~10¹⁰ steps inside a single task.
+# Words longer than this are encoded in fixed-size segments — the
+# standard production mitigation (HF tokenizers caps/splits long
+# words the same way); concatenation round-trip is preserved, and
+# ordinary vocabulary never hits the cap.
+BPE_MAX_WORD_CHARS = 64
+
 MergePair = tuple[str, str]
 
 
@@ -92,7 +101,18 @@ def bpe_encode(word: str, ranks: dict[MergePair, int]) -> list[str]:
     """Encode one word with a trained merge-rank table: repeatedly
     merge the lowest-rank adjacent pair (all its non-overlapping
     occurrences, left to right) until no mergeable pair remains.
-    Lossless by construction: ``''.join(result) == word`` always."""
+    Lossless by construction: ``''.join(result) == word`` always.
+    Words beyond BPE_MAX_WORD_CHARS encode per fixed-size segment —
+    the merge loop is quadratic in segment length (see the constant's
+    note), and segment boundaries only ever SPLIT tokens, never
+    corrupt them (round-trip still holds)."""
+    if len(word) > BPE_MAX_WORD_CHARS:
+        out: list[str] = []
+        for i in range(0, len(word), BPE_MAX_WORD_CHARS):
+            out.extend(
+                bpe_encode(word[i : i + BPE_MAX_WORD_CHARS], ranks)
+            )
+        return out
     syms: list[str] = list(word)
     while len(syms) > 1:
         best_rank = None

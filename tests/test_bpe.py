@@ -114,3 +114,21 @@ def test_spark_train_apply_consistency(spark, sf_dir):
         # subwords than characters-less-spaces
         assert row["fertility_x10k"] >= 10_000
         assert row["chars_per_subword_x10k"] > 10_000
+
+
+def test_encode_long_word_segments_and_round_trips():
+    """A pathological no-space blob must not trigger the quadratic
+    merge loop on its full length: it encodes per 64-char segment
+    (bounded work) and still concatenates back exactly."""
+    from irio2024_mapreduce_spark.operators.bpe import BPE_MAX_WORD_CHARS
+
+    ranks = {("a", "b"): 0, ("ab", "ab"): 1}
+    blob = "ab" * 5000  # 10k chars
+    pieces = bpe_encode(blob, ranks)
+    assert "".join(pieces) == blob
+    # segment isolation: no piece spans a segment boundary
+    assert all(len(p) <= BPE_MAX_WORD_CHARS for p in pieces)
+    # inside each 64-char segment the merges still fire fully: 32
+    # chars of "ab" collapse rank-0 then rank-1 into "abab" tokens
+    assert pieces[0] == "abab"
+    assert set(pieces) == {"abab"}
