@@ -205,6 +205,70 @@ def _top_ngram_char_mass(toks: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, _max_run_char_mass(grams))
 
 
+# quality_funnel rule thresholds — chosen so each rule has real
+# attrition on the fixture corpus (a funnel whose rules never fire
+# verifies nothing)
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MAX_REPETITION_X10K = 6000  # 1 - TTR, scaled ×10⁴
+FUNNEL_MIN_STOPWORDS = 1  # at least one English stopword
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style kill-rule funnel with per-rule attrition attribution:
+    every doc is charged to its FIRST failing rule (the order is the
+    production semantics — a doc killed by the length rule never
+    reaches the repetition rule, so downstream rule counts measure
+    what that rule actually removed from the surviving stream).
+
+    Rules, in order: NULL text → too short (< FUNNEL_MIN_TOKENS
+    whitespace tokens) → too repetitive (1 − TTR, exact ×10⁴ integer,
+    > threshold) → no English stopword. Survivors pass.
+
+    Per-source report of docs_in / per-rule kills / docs_out — the
+    attrition table every corpus-cleaning run ships with. Map-only
+    expressions + one small per-source aggregation; all integers, so
+    the DuckDB oracle matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens()
+    n_tokens = F.size(toks)
+    # exact integer form: 10000 - (10000*unique) div tokens
+    rep_x10k = F.expr(
+        "10000 - (10000 * size(array_distinct(split(text, ' '))))"
+        " div size(split(text, ' '))"
+    )
+    stop_cnt = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    verdict = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(n_tokens < FUNNEL_MIN_TOKENS, "too_short")
+        .when(rep_x10k > FUNNEL_MAX_REPETITION_X10K, "too_repetitive")
+        .when(stop_cnt < FUNNEL_MIN_STOPWORDS, "no_stopwords")
+        .otherwise("pass")
+    )
+    tagged = docs.select("source", verdict.alias("verdict"))
+    k = lambda v: F.sum(  # noqa: E731
+        F.when(F.col("verdict") == v, 1).otherwise(0)
+    ).alias(f"k_{v}")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            k("null_text"),
+            k("too_short"),
+            k("too_repetitive"),
+            k("no_stopwords"),
+            F.sum(F.when(F.col("verdict") == "pass", 1).otherwise(0)).alias(
+                "docs_out"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signals — the filter
     family every production quality stack runs alongside the
@@ -422,7 +486,10 @@ RETIRED_TWIN_QUERIES = {
     "token_count": token_count,
     "fingerprint": fingerprint,
     "quality_repetition": quality_repetition,
+    "quality_funnel": quality_funnel,
 }
+
+_FUNNEL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
 def _sql_topgram(n: int) -> str:
@@ -440,6 +507,38 @@ def _sql_topgram(n: int) -> str:
 
 
 RETIRED_TWIN_ORACLES = {
+    "quality_funnel": f"""
+        WITH tagged AS (
+            SELECT source,
+                   CASE
+                     WHEN text IS NULL THEN 'null_text'
+                     WHEN len(string_split(text, ' ')) < {FUNNEL_MIN_TOKENS}
+                       THEN 'too_short'
+                     WHEN 10000 - (10000 * len(list_distinct(string_split(text, ' '))))
+                                  // len(string_split(text, ' '))
+                          > {FUNNEL_MAX_REPETITION_X10K}
+                       THEN 'too_repetitive'
+                     WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                              [{_FUNNEL_STOPLIST}])) < {FUNNEL_MIN_STOPWORDS}
+                       THEN 'no_stopwords'
+                     ELSE 'pass'
+                   END AS verdict
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS docs_in,
+               SUM(CASE WHEN verdict = 'null_text' THEN 1 ELSE 0 END)::BIGINT
+                   AS k_null_text,
+               SUM(CASE WHEN verdict = 'too_short' THEN 1 ELSE 0 END)::BIGINT
+                   AS k_too_short,
+               SUM(CASE WHEN verdict = 'too_repetitive' THEN 1 ELSE 0 END)::BIGINT
+                   AS k_too_repetitive,
+               SUM(CASE WHEN verdict = 'no_stopwords' THEN 1 ELSE 0 END)::BIGINT
+                   AS k_no_stopwords,
+               SUM(CASE WHEN verdict = 'pass' THEN 1 ELSE 0 END)::BIGINT
+                   AS docs_out
+        FROM tagged GROUP BY source ORDER BY source
+    """,
     "quality_repetition": f"""
         WITH t AS (
             SELECT doc_id, text,

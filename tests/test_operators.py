@@ -284,3 +284,45 @@ def test_repetition_signals_crafted_ratios(spark):
     assert out[3]["top2gram_char_frac"] is None
     assert out[3]["top3gram_char_frac"] is None
     assert out[3]["top4gram_char_frac"] is None
+
+
+def test_quality_funnel_first_failing_rule_attribution(spark, tmp_path):
+    """Each doc is charged to its FIRST failing rule: a doc that is
+    both short and stopword-free counts as too_short only; rule
+    totals + survivors tile docs_in exactly."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.text_analysis import (
+        quality_funnel,
+    )
+
+    rows = [
+        (1, None, "s"),                                  # null_text
+        (2, "tiny doc", "s"),                            # too_short
+        # 12 tokens, all identical → repetition 10000-10000//12
+        (3, " ".join(["dup"] * 12), "s"),                # too_repetitive
+        # 12 distinct tokens, no English stopword
+        (4, " ".join(f"w{i}" for i in range(12)), "s"),  # no_stopwords
+        # 12 distinct tokens incl "the" → passes everything
+        (5, "the " + " ".join(f"w{i}" for i in range(11)), "s"),
+        # short AND stopword-free: charged to too_short only
+        (6, "x y", "s"),
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(os.path.join(stage, "documents.parquet"))
+
+    got = quality_funnel(spark, stage).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r == {
+        "source": "s",
+        "docs_in": 6,
+        "k_null_text": 1,
+        "k_too_short": 2,
+        "k_too_repetitive": 1,
+        "k_no_stopwords": 1,
+        "docs_out": 1,
+    }

@@ -115,6 +115,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         "fingerprint",
         # r7: Gopher-style intra-document repetition quality signals
         "quality_repetition",
+        # r7: C4-style kill-rule funnel with first-failing-rule
+        # attrition attribution
+        "quality_funnel",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
         # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
