@@ -730,3 +730,71 @@ def test_streaming_restart_recovers_from_checkpoint_exactly_once(
     # sink, nothing was skipped, and the redelivered (1, t0) row was
     # deduped by state recovered across the restart
     assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_quality_funnel_runs_unchanged_as_a_stream(spark, sf_dir):
+    """Spark-first dividend: the funnel is declarative (map
+    expressions + one aggregation), so the SAME operator logic runs
+    under Structured Streaming with zero changes — readStream in,
+    complete-mode aggregate out, result identical to the batch
+    query. This is the property that lets a 100 TB corpus-cleaning
+    pipeline run incrementally over a landing directory instead of
+    re-scanning the corpus per day."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.text_analysis import (
+        FUNNEL_MAX_REPETITION_X10K,
+        FUNNEL_MIN_STOPWORDS,
+        FUNNEL_MIN_TOKENS,
+        STOPWORDS,
+        quality_funnel,
+    )
+    from irio2024_mapreduce_spark.streaming.jobs import _drain, _stage_dir
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+
+    toks = F.split("text", " ")
+    rep_x10k = F.expr(
+        "10000 - (10000 * size(array_distinct(split(text, ' '))))"
+        " div size(split(text, ' '))"
+    )
+    stop_cnt = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    verdict = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(F.size(toks) < FUNNEL_MIN_TOKENS, "too_short")
+        .when(rep_x10k > FUNNEL_MAX_REPETITION_X10K, "too_repetitive")
+        .when(stop_cnt < FUNNEL_MIN_STOPWORDS, "no_stopwords")
+        .otherwise("pass")
+    )
+    k = lambda v: F.sum(  # noqa: E731
+        F.when(F.col("verdict") == v, 1).otherwise(0)
+    ).alias(f"k_{v}")
+    agg = (
+        stream.select("source", verdict.alias("verdict"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            k("null_text"),
+            k("too_short"),
+            k("too_repetitive"),
+            k("no_stopwords"),
+            F.sum(
+                F.when(F.col("verdict") == "pass", 1).otherwise(0)
+            ).alias("docs_out"),
+        )
+    )
+    name = f"sfq_{uuid.uuid4().hex[:8]}"
+    _drain(agg.writeStream.outputMode("complete"), name)
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+    batch = sorted(map(tuple, quality_funnel(spark, sf_dir).collect()))
+    assert streamed == batch and len(batch) > 0
