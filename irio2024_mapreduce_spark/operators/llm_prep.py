@@ -144,7 +144,13 @@ def _assign(df_with_off: DataFrame) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed concatenate-then-chunk packing (see module
     docstring for the two-phase prefix-sum topology)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pack_docs(spark, load_table(spark, sf_dir, "documents"))
+
+
+def pack_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Frame-level packing core — shared by :func:`pack_sequences`
+    (the graded query over raw documents) and ``plans.corpus_prep``
+    (packing the cleaned survivors)."""
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         _keyed_tokens(docs)

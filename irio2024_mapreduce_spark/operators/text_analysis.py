@@ -213,6 +213,32 @@ FUNNEL_MAX_REPETITION_X10K = 6000  # 1 - TTR, scaled ×10⁴
 FUNNEL_MIN_STOPWORDS = 1  # at least one English stopword
 
 
+def funnel_verdict(text_col: str = "text"):
+    """The funnel's first-failing-rule verdict as a Column — single
+    source of truth shared by :func:`quality_funnel` (the report
+    query) and ``plans.corpus_prep`` (the materializing pipeline)."""
+    toks = F.split(text_col, " ")
+    n_tokens = F.size(toks)
+    # exact integer form: 10000 - (10000*unique) div tokens
+    rep_x10k = F.expr(
+        f"10000 - (10000 * size(array_distinct(split({text_col}, ' '))))"
+        f" div size(split({text_col}, ' '))"
+    )
+    stop_cnt = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    return (
+        F.when(F.col(text_col).isNull(), "null_text")
+        .when(n_tokens < FUNNEL_MIN_TOKENS, "too_short")
+        .when(rep_x10k > FUNNEL_MAX_REPETITION_X10K, "too_repetitive")
+        .when(stop_cnt < FUNNEL_MIN_STOPWORDS, "no_stopwords")
+        .otherwise("pass")
+    )
+
+
 def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style kill-rule funnel with per-rule attrition attribution:
     every doc is charged to its FIRST failing rule (the order is the
@@ -229,27 +255,7 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions + one small per-source aggregation; all integers, so
     the DuckDB oracle matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _ws_tokens()
-    n_tokens = F.size(toks)
-    # exact integer form: 10000 - (10000*unique) div tokens
-    rep_x10k = F.expr(
-        "10000 - (10000 * size(array_distinct(split(text, ' '))))"
-        " div size(split(text, ' '))"
-    )
-    stop_cnt = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
-        )
-    )
-    verdict = (
-        F.when(F.col("text").isNull(), "null_text")
-        .when(n_tokens < FUNNEL_MIN_TOKENS, "too_short")
-        .when(rep_x10k > FUNNEL_MAX_REPETITION_X10K, "too_repetitive")
-        .when(stop_cnt < FUNNEL_MIN_STOPWORDS, "no_stopwords")
-        .otherwise("pass")
-    )
-    tagged = docs.select("source", verdict.alias("verdict"))
+    tagged = docs.select("source", funnel_verdict().alias("verdict"))
     k = lambda v: F.sum(  # noqa: E731
         F.when(F.col("verdict") == v, 1).otherwise(0)
     ).alias(f"k_{v}")
