@@ -312,3 +312,72 @@ def test_resize_numpy_matches_scalar_reference():
         assert got == encode_ppm(tw, th, bytes(out))
 
     check()
+
+
+def test_av_codecs_round_trip_property():
+    """Hypothesis round-trips for both RIFF codecs: arbitrary frame
+    payloads and dims survive encode→decode bit-exactly (AVI needs
+    4-byte row alignment ⇒ width ≡ 0 mod 4; WAV needs frame-aligned
+    buffers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        decode_avi,
+        decode_wav,
+        encode_avi,
+        encode_wav,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w4=st.integers(1, 6),  # width = 4*w4 keeps rows 4-aligned
+        h=st.integers(1, 8),
+        nf=st.integers(0, 6),
+        data=st.data(),
+    )
+    def check_avi(w4, h, nf, data):
+        w = 4 * w4
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(nf)
+        ]
+        got = decode_avi(encode_avi(w, h, frames))
+        assert got == (w, h, nf, frames)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2),
+        bits=st.sampled_from([8, 16]),
+        nf=st.integers(0, 64),
+        data=st.data(),
+    )
+    def check_wav(rate, ch, bits, nf, data):
+        block = ch * bits // 8
+        pcm = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=nf * block,
+                    max_size=nf * block,
+                )
+            )
+        )
+        assert decode_wav(encode_wav(rate, ch, bits, pcm)) == (
+            rate,
+            ch,
+            bits,
+            nf,
+        )
+
+    check_avi()
+    check_wav()
