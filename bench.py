@@ -124,6 +124,21 @@ def main() -> None:
     # warm-up: pay JVM/codegen init outside the timings
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # machine-speed canary: a FIXED pure-JVM workload (no I/O, no
+    # shuffle — codegen'd range+sum over 32 partitions) timed
+    # min-of-3. Cross-round totals on this box swing ±25% with host
+    # contention/frequency (measured r7: three same-HEAD runs spread
+    # 9.6-12.5 s on the r01 subset); dividing by the canary gives a
+    # reader a machine-normalized comparison the raw seconds can't.
+    canary_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id % 7 + id % 11)"
+        ).collect()
+        canary_times.append(time.perf_counter() - t0)
+    canary = round(min(canary_times), 3)
+
     missing = [name for name in HEADLINE if name not in qs]
     if missing:
         raise SystemExit(
@@ -287,6 +302,9 @@ def main() -> None:
                 "value_r01_comparable_subset": r01_subset,
                 "queries": results,
                 "transient_count": len(transients),
+                # fixed-work JVM canary (see above): normalize
+                # cross-round totals as value / machine_canary_sec
+                "machine_canary_sec": canary,
                 "detail": os.path.basename(detail_path),
                 "sf": sf_dir,
                 # background load swings single runs 2×+ (see SCALE.md

@@ -154,6 +154,7 @@ def test_bench_summary_line_fits_driver_tail_capture():
         "value_r01_comparable_subset": 99999.999,
         "queries": {name: 9999.999 for name in bench.HEADLINE},
         "transient_count": len(bench.HEADLINE),
+        "machine_canary_sec": 9999.999,
         "detail": "BENCH_DETAIL_last.json",
         "sf": "/root/testdata/sf0.1",
         "load_avg_start": [99.99, 99.99, 99.99],
