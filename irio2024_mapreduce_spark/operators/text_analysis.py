@@ -476,6 +476,98 @@ ORACLE_SQL = {
     """,
 }
 
+# ----------------------------------------------------------- BM25 retrieval
+# Corpus search — the one text capability the pack lacked. Log-free
+# BM25 variant: idf is the RATIONAL (N - df + 0.5)/(df + 0.5) without
+# the log wrap — ln() is not correctly-rounded-specified across libm
+# implementations (would hash-diverge between engines), while +,*,/
+# on doubles are exact IEEE operations, so the whole score is
+# bit-identical in Spark and DuckDB as long as the additions happen
+# in a FIXED order (per-term score columns summed left-to-right, not
+# a float SUM aggregate whose partial order varies by partition).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["table", "query", "join", "stream"]
+BM25_TOP_K = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOP_K`` docs for a fixed query-term set under
+    rational-idf BM25.
+
+    Plan shape (the inverted-index topology at 100 TB): the tiny term
+    list filters the exploded tokens BEFORE any shuffle, term
+    frequencies reduce with map-side partials to one row per (doc,
+    matched term), document frequencies are a |terms|-row aggregate
+    (collected — bounded by the query size, like the IVF training
+    sample), per-term partial scores pivot into fixed columns, and
+    the corpus body never shuffles."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    terms = BM25_QUERY_TERMS
+    toks = _ws_tokens()
+
+    # corpus stats as exact integers; ONE division each → identical
+    # doubles on both engines
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+    ).collect()[0]
+    n_docs, total_tokens = stats["n_docs"], stats["total_tokens"]
+
+    matches = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = matches.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_counts = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+
+    k1, b = BM25_K1, BM25_B
+    avgdl = f"({total_tokens} / {n_docs})"  # one double division
+    # D suffix: bare decimal literals parse as DECIMAL in Spark SQL
+    # (and DuckDB), and decimal/double promotion rounds differently
+    # per engine — every float literal must be DOUBLE-typed on both
+    # sides for the IEEE-exactness argument to hold
+    per_term = [
+        F.max(
+            F.when(
+                F.col("term") == t,
+                F.expr(
+                    f"(({n_docs} - {df_counts.get(t, 0)} + 0.5D) / "
+                    f"({df_counts.get(t, 0)} + 0.5D)) * "
+                    f"(tf * ({k1}D + 1)) / "
+                    f"(tf + {k1}D * (1 - {b}D + {b}D * dl / {avgdl}))"
+                ),
+            )
+        ).alias(f"s_{t}")
+        for t in terms
+    ]
+    scored = tf.groupBy("doc_id").agg(*per_term)
+    # FIXED left-to-right addition order — never a float SUM aggregate
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    ranked = scored.select("doc_id", F.round(total, 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "score", "rank")
+    )
+
+
 QUERIES = {
     "text_analysis": text_analysis,
     "lang_id": lang_id,
@@ -493,7 +585,59 @@ RETIRED_TWIN_QUERIES = {
     "fingerprint": fingerprint,
     "quality_repetition": quality_repetition,
     "quality_funnel": quality_funnel,
+    "bm25_search": bm25_search,
 }
+
+
+def _bm25_oracle() -> str:
+    """bm25_search in DuckDB SQL: the stats/df values Spark injects
+    as Python int literals are recomputed as the same exact integers,
+    and every float step repeats the same IEEE operations in the same
+    order — so the rounded scores hash-match bit-for-bit."""
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = BM25_K1, BM25_B
+    pivots = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN "
+        f"((s.n_docs - dfc.df + 0.5::DOUBLE) / (dfc.df + 0.5::DOUBLE)) * "
+        f"(tf * ({k1}::DOUBLE + 1)) / "
+        f"(tf + {k1}::DOUBLE * (1 - {b}::DOUBLE + {b}::DOUBLE * dl "
+        f"/ (s.total_tokens / s.n_docs)))"
+        f" END) AS s_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    total = " + ".join(
+        f"COALESCE(s_{t}, 0.0)" for t in BM25_QUERY_TERMS
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(toks))::BIGINT AS total_tokens
+            FROM d
+        ), m AS (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+            FROM d
+        ), tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM m WHERE term IN ({terms_sql})
+            GROUP BY doc_id, dl, term
+        ), dfc AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id, {pivots}
+            FROM tf JOIN dfc USING (term), s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, rank FROM (
+            SELECT doc_id, ROUND({total}, 6) AS score,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND({total}, 6) DESC, doc_id ASC
+                   )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOP_K}
+    """
 
 _FUNNEL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
@@ -513,6 +657,7 @@ def _sql_topgram(n: int) -> str:
 
 
 RETIRED_TWIN_ORACLES = {
+    "bm25_search": _bm25_oracle(),
     "quality_funnel": f"""
         WITH tagged AS (
             SELECT source,

@@ -118,6 +118,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r7: C4-style kill-rule funnel with first-failing-rule
         # attrition attribution
         "quality_funnel",
+        # r7: rational-idf BM25 corpus search (log-free so the float
+        # score is cross-engine IEEE-exact)
+        "bm25_search",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
         # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
