@@ -330,3 +330,23 @@ def test_bpe_apply_is_map_only(spark, sf_dir):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_bm25_corpus_body_never_shuffles(spark, sf_dir):
+    """The inverted-index claim: document text reaches only the scan
+    and the map-side explode/filter — no Exchange carries the text
+    column, and the tf aggregation keeps its map-side partial phase
+    so the shuffle is one row per (doc, matched term)."""
+    import re
+
+    from irio2024_mapreduce_spark.operators.text_analysis import bm25_search
+
+    plan = plan_of(bm25_search(spark, sf_dir))
+    inputs = re.findall(
+        r"\(\d+\) Exchange\n(Input[^\n]*)\nArguments: ([^\n]*)", plan
+    )
+    assert inputs, plan
+    assert all("text#" not in inp for inp, _ in inputs), inputs
+    simple = plan_of(bm25_search(spark, sf_dir), mode="simple")
+    assert simple.count("HashAggregate") >= 2
+    assert "partial" in simple
