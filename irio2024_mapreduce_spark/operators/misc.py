@@ -283,7 +283,14 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
-    "sketches": sketches,
     "conditional_agg": conditional_agg,
     "deterministic_sample": deterministic_sample,
 }
+
+# sketches retired from the driver window r8 to admit bm25_search /
+# quality_funnel (both full-oracle): a rows-only driver row spent a
+# window slot on a query whose correctness the driver could never
+# hash-check anyway — its verification has always been the error-bound
+# assertions vs the exact twin columns (tests/test_advanced.py::
+# test_sketches_error_bounds), which keep running every test run.
+RETIRED_ROWS_ONLY_QUERIES = {"sketches": sketches}

@@ -560,10 +560,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
         total = c if total is None else total + c
     ranked = scored.select("doc_id", F.round(total, 6).alias("score"))
+    # top-k FIRST via orderBy+limit — Spark compiles this to
+    # TakeOrderedAndProject (per-partition partial top-k, k-row merge
+    # on one reducer), so the global row_number window only ever sees
+    # ≤ BM25_TOP_K rows. The alternative (row_number over ALL scored
+    # docs, then filter rank ≤ k) funnels the whole scored set through
+    # a single WindowExec partition — the unbounded-window hazard at
+    # corpus scale. Tie order (score desc, doc_id asc) is total, so
+    # limit-then-rank is exactly rank-then-filter.
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        BM25_TOP_K
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "score", "rank")
     )
 
@@ -572,6 +582,13 @@ QUERIES = {
     "text_analysis": text_analysis,
     "lang_id": lang_id,
     "quality_score": quality_score,
+    # registered r8 (sketches + dedup_simhash retired to make room):
+    # both hash-match DuckDB locally at 3 SFs since r7; promoting them
+    # lifts the driver artifact's oracle-row count at zero capability
+    # loss (the retirees' logic stays verified every test run — see
+    # RETIRED_ROWS_ONLY_QUERIES in misc.py / dedup.py).
+    "quality_funnel": quality_funnel,
+    "bm25_search": bm25_search,
 }
 
 # token_count retired from the driver window in r6 (its tokenizer
@@ -584,8 +601,6 @@ RETIRED_TWIN_QUERIES = {
     "token_count": token_count,
     "fingerprint": fingerprint,
     "quality_repetition": quality_repetition,
-    "quality_funnel": quality_funnel,
-    "bm25_search": bm25_search,
 }
 
 
@@ -656,9 +671,12 @@ def _sql_topgram(n: int) -> str:
         END"""
 
 
-RETIRED_TWIN_ORACLES = {
-    "bm25_search": _bm25_oracle(),
-    "quality_funnel": f"""
+# promoted to the graded window r8 — the f-string constants
+# (FUNNEL_*, BM25_*) are injected exactly as the local harness always
+# injected them, so the driver sees the same SQL the 3-SF local sweep
+# hash-matched.
+ORACLE_SQL["bm25_search"] = _bm25_oracle()
+ORACLE_SQL["quality_funnel"] = f"""
         WITH tagged AS (
             SELECT source,
                    CASE
@@ -689,7 +707,9 @@ RETIRED_TWIN_ORACLES = {
                SUM(CASE WHEN verdict = 'pass' THEN 1 ELSE 0 END)::BIGINT
                    AS docs_out
         FROM tagged GROUP BY source ORDER BY source
-    """,
+    """
+
+RETIRED_TWIN_ORACLES = {
     "quality_repetition": f"""
         WITH t AS (
             SELECT doc_id, text,

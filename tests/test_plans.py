@@ -350,3 +350,9 @@ def test_bm25_corpus_body_never_shuffles(spark, sf_dir):
     simple = plan_of(bm25_search(spark, sf_dir), mode="simple")
     assert simple.count("HashAggregate") >= 2
     assert "partial" in simple
+    # r8 (graded-window promotion): top-k is limit-first — the
+    # distributed TakeOrderedAndProject merge, with the row_number
+    # window running over ≤ BM25_TOP_K rows. The retired shape
+    # (row_number over ALL scored docs, filter rank ≤ k) funnels the
+    # whole scored set through one WindowExec partition.
+    assert "TakeOrderedAndProject" in simple, simple

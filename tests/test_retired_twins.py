@@ -114,13 +114,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # near-twin of dedup_exact's digest grouping)
         "fingerprint",
         # r7: Gopher-style intra-document repetition quality signals
+        # (quality_funnel + bm25_search graduated from this set to the
+        # graded driver window in r8)
         "quality_repetition",
-        # r7: C4-style kill-rule funnel with first-failing-rule
-        # attrition attribution
-        "quality_funnel",
-        # r7: rational-idf BM25 corpus search (log-free so the float
-        # score is cross-engine IEEE-exact)
-        "bm25_search",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
         # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
@@ -137,6 +133,29 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r6: C4-style cross-document boilerplate registry
         "boilerplate_chunks",
     }
+
+
+# Rows-only retirees (r8): queries deregistered from the driver
+# window whose driver row was rows-only anyway — no oracle exists by
+# design, so parity here is a smoke check; their REAL verification is
+# elsewhere and keeps running every test run (sketches: error bounds
+# vs in-row exact twins, tests/test_advanced.py; dedup_simhash:
+# precision tests in tests/test_dedup.py + the full-pipeline md5 twin
+# dedup_simhash_md5 oracle-checked above).
+RETIRED_ROWS_ONLY = {
+    **misc.RETIRED_ROWS_ONLY_QUERIES,
+    **dedup.RETIRED_ROWS_ONLY_QUERIES,
+}
+
+
+def test_rows_only_retirees_are_exactly_the_documented_set():
+    assert set(RETIRED_ROWS_ONLY) == {"sketches", "dedup_simhash"}
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED_ROWS_ONLY))
+def test_rows_only_retiree_still_runs(name, spark, sf_dir):
+    df = RETIRED_ROWS_ONLY[name](spark, sf_dir)
+    assert df.count() > 0
 
 
 @pytest.mark.parametrize("name", sorted(RETIRED))
