@@ -829,6 +829,56 @@ def _side_postings(side: DataFrame) -> DataFrame:
     return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
 
 
+def near_dup_kill_ids(deduped: DataFrame) -> DataFrame:
+    """Keep-first self near-dedup kill set over an already
+    exact-collapsed corpus: one ``doc_id`` row for every doc that is
+    the LARGER side of at least one 3-gram-Jaccard ≥ 0.5 pair.
+
+    Pairs come from the corpus posting index (:func:`_side_postings`
+    — the same banded, ``NGRAM_POSTING_CAP``-capped machinery the
+    incremental ingest probe uses, and deliberately NOT
+    ``dedup_ngram_jaccard``'s ``PAIRWISE_BLOCK_CAP``: at corpus scale
+    every length band exceeds any fixed block constant, so a band cap
+    here would silently disable near-dedup for the whole corpus —
+    see the `_side_postings` docstring).
+
+    Keep-first semantics: the min-doc_id member of every qualifying
+    pair always survives; kills do not cascade (a doc whose only
+    near-dup partner was itself killed is still killed). One pass,
+    deterministic, and census-checkable from a single pair
+    enumeration — the property ``plans.corpus_prep``'s manifest
+    cross-check relies on.
+    """
+    posting = _side_postings(
+        deduped.filter(F.col("text").isNotNull())
+    ).localCheckpoint(eager=False)  # both sides of the self-join
+    l, r = posting.alias("l"), posting.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.len_band") == F.col("r.len_band"))
+            & (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            )
+            >= 0.5
+        )
+    )
+    return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+
 def corpus_index_hashes(corpus: DataFrame) -> DataFrame:
     """The exact-dup half of the corpus ingest index: distinct md5s."""
     return corpus.select(F.md5("text").alias("_h")).distinct()

@@ -52,7 +52,7 @@ operations a 100 TB pretraining corpus actually goes through between
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark.sources.tables import load_table
@@ -285,6 +285,36 @@ _MIX_CASE_HEX = (
 DECONTAM_NGRAM = 13
 
 
+def _decontam_grams(n: int = DECONTAM_NGRAM) -> Column:
+    """md5'd n-token-gram array of ``text`` — the 16-byte digest
+    replaces the n-gram STRING before anything shuffles. Shared by
+    :func:`decontaminate` (the report query) and
+    ``plans.corpus_prep`` (the materializing pipeline), so both run
+    the exact conviction rule the driver oracle hash-checks."""
+    toks = F.split("text", " ")
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+
+
+def contaminated_ids(train: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """doc_ids of ``train`` docs sharing ≥ 1 {DECONTAM_NGRAM}-gram
+    with any ``benchmark`` doc. The benchmark side is eval-corpus-
+    sized (tiny), so the membership probe is a broadcast semi-join —
+    the training side never shuffles at all."""
+    grams = _decontam_grams()
+    bench_grams = benchmark.select(F.explode(grams).alias("g")).distinct()
+    return (
+        train.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test decontamination report. Fixture roles: doc_id % 10
     == 8 is the held-out eval benchmark; everything else is the
@@ -300,26 +330,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map pass over the corpus against a broadcast digest set, the
     same topology similarity_topk pins for its corpus side."""
     docs = load_table(spark, sf_dir, "documents")
-    n = DECONTAM_NGRAM
-    toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
-        ),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-    bench_grams = (
-        docs.filter(F.col("doc_id") % 10 == 8)
-        .select(F.explode(grams).alias("g"))
-        .distinct()
-    )
-    train = docs.filter(F.col("doc_id") % 10 != 8).select(
-        "doc_id", "source", F.explode(grams).alias("g")
-    )
-    hit_ids = (
-        train.join(F.broadcast(bench_grams), "g", "semi")
-        .select("doc_id")
-        .distinct()
+    hit_ids = contaminated_ids(
+        docs.filter(F.col("doc_id") % 10 != 8),
+        docs.filter(F.col("doc_id") % 10 == 8),
     )
     return (
         docs.filter(F.col("doc_id") % 10 != 8)

@@ -3,21 +3,46 @@ training-data team actually runs, composed from the oracle-checked
 operator stages (single source of truth: each stage reuses the same
 column helpers its report query is hash-verified with):
 
+0. **benchmark holdout** — the eval stripe (doc_id % 10 == 8, the
+   same fixture role ``decontaminate`` is hash-checked with) is
+   carved out of the training pool up front. It is never trainable —
+   and decontaminating a pool that still CONTAINS the benchmark
+   would convict every benchmark doc of matching itself.
 1. **exact dedup** — one representative (min doc_id) per distinct
-   text; NULL-text rows pass through untouched (the funnel owns
-   them) so every kill is attributed to exactly one stage.
-2. **quality funnel** — `funnel_verdict` first-failing-rule tagging;
+   text via groupBy(sha2)+min + semi-join (the same groupBy-agg
+   shape ``dedup_exact`` uses — NOT a window partitioned by the
+   digest, which would buffer a heavily-duplicated text's whole
+   group inside one WindowExec task; see dedup._cap_buckets).
+   NULL-text rows pass through untouched (the funnel owns them) so
+   every kill is attributed to exactly one stage.
+2. **near dedup** — keep-first 3-gram-Jaccard ≥ 0.5 kill set from
+   ``dedup.near_dup_kill_ids`` (the incremental machinery's banded,
+   posting-capped corpus index; no band cap, so it stays live at
+   corpus scale).
+3. **quality funnel** — `funnel_verdict` first-failing-rule tagging;
    only 'pass' docs survive.
-3. **PII scrub** — `scrub_text`'s chained JVM regexp_replace.
-4. **sequence packing** — `pack_docs` two-phase distributed prefix
+4. **decontamination** — ``llm_prep.contaminated_ids`` against the
+   held-out benchmark stripe: any surviving doc sharing one 13-token
+   n-gram with the benchmark is removed. Runs on RAW text (the same
+   bytes the benchmark side grams over), before the scrubber
+   rewrites anything.
+5. **PII scrub** — `scrub_text`'s chained JVM regexp_replace;
+   ``n_chars`` is RECOMPUTED from the scrubbed text so the shipped
+   length column describes the shipped bytes.
+6. **sequence packing** — `pack_docs` two-phase distributed prefix
    sum over the CLEANED text's token counts.
 
 Outputs: ``clean_documents.parquet`` (scrubbed survivors) and
 ``packs.parquet`` (doc → pack assignment), plus a manifest dict of
-per-stage attrition — the numbers every run must ship with.
+per-stage attrition — the numbers every run must ship with. The
+manifest tiles ``docs_in`` exactly: every input doc is held out,
+killed by exactly one stage, or shipped.
 
-Scale shape: stages 1–3 are one window/agg on 32-byte digests plus
-map-only expressions; stage 4 is the pinned two-phase scan. Nothing
+Scale shape: stages 0-1 are map-only filters plus one agg on 32-byte
+digests; stage 2 is the capped posting self-join (the measured
+dedup_ngram_jaccard/incremental surface); stage 3 is map-only; stage
+4 is a broadcast semi-join probe (training side never shuffles);
+stage 5 is map-only; stage 6 is the pinned two-phase scan. Nothing
 here collects to the driver except the manifest's counts.
 """
 
@@ -27,11 +52,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from irio2024_mapreduce_spark.operators.llm_prep import pack_docs, scrub_text
+from irio2024_mapreduce_spark.operators.dedup import near_dup_kill_ids
+from irio2024_mapreduce_spark.operators.llm_prep import (
+    contaminated_ids,
+    pack_docs,
+    scrub_text,
+)
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
 from irio2024_mapreduce_spark.sources.tables import load_table
+
+# the eval-benchmark stripe — the fixture role decontaminate's driver
+# oracle is hash-checked with
+BENCHMARK_STRIPE = 8
 
 
 def prepare_corpus(
@@ -43,40 +76,69 @@ def prepare_corpus(
     docs = load_table(spark, sf_dir, "documents")
     docs_in = docs.count()
 
+    # stage 0: benchmark holdout
+    benchmark = docs.filter(F.col("doc_id") % 10 == BENCHMARK_STRIPE)
+    pool = docs.filter(F.col("doc_id") % 10 != BENCHMARK_STRIPE)
+    pool_n = pool.count()
+
     # stage 1: exact dedup (NULL texts exempt — the funnel kills and
     # counts them; exempting keeps stage attribution disjoint)
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-    deduped = (
-        docs.filter(F.col("text").isNotNull())
-        .withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") == 1)
-        .drop("_rank")
-        .unionByName(docs.filter(F.col("text").isNull()))
+    non_null = pool.filter(F.col("text").isNotNull())
+    keep_ids = (
+        non_null.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = non_null.join(keep_ids, "doc_id", "semi").unionByName(
+        pool.filter(F.col("text").isNull())
     )
     after_dedup = deduped.count()
 
-    # stage 2: quality funnel
-    tagged = deduped.withColumn("_verdict", funnel_verdict())
+    # stage 2: near dedup over the exact-collapse survivors. The kill
+    # set is materialized once (lazily) — it is batch-small relative
+    # to the corpus, and the anti-join's build side.
+    near_kills = near_dup_kill_ids(deduped).localCheckpoint(eager=False)
+    near_deduped = deduped.join(near_kills, "doc_id", "anti")
+    after_near = near_deduped.count()
+
+    # stage 3: quality funnel
+    tagged = near_deduped.withColumn("_verdict", funnel_verdict())
     kills = {
         r["_verdict"]: r["cnt"]
         for r in tagged.groupBy("_verdict").agg(F.count("*").alias("cnt")).collect()
     }
     survivors = tagged.filter(F.col("_verdict") == "pass").drop("_verdict")
+    after_funnel = survivors.count()
 
-    # stage 3: PII scrub — survivors' text replaced by clean_text
-    cleaned = scrub_text(survivors).select(
+    # stage 4: decontamination vs the held-out benchmark (raw text on
+    # both sides — the scrubber hasn't rewritten anything yet)
+    contam_ids = contaminated_ids(survivors, benchmark).localCheckpoint(
+        eager=False
+    )
+    decontaminated = survivors.join(contam_ids, "doc_id", "anti")
+    after_decontam = decontaminated.count()
+
+    # stage 5: PII scrub — text replaced by clean_text, n_chars
+    # recomputed from the scrubbed bytes (a carried-forward n_chars
+    # would describe text the artifact no longer contains)
+    cleaned = scrub_text(decontaminated).select(
         "doc_id",
         F.col("clean_text").alias("text"),
         (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
             "n_redactions"
         ),
-        *[c for c in survivors.columns if c not in ("doc_id", "text")],
+        F.length("clean_text").cast("long").alias("n_chars"),
+        *[
+            c
+            for c in decontaminated.columns
+            if c not in ("doc_id", "text", "n_chars")
+        ],
     )
     clean_path = os.path.join(out_dir, "clean_documents.parquet")
     cleaned.write.mode("overwrite").parquet(clean_path)
     cleaned = spark.read.parquet(clean_path)  # packing reads the artifact
 
-    # stage 4: pack the cleaned corpus
+    # stage 6: pack the cleaned corpus
     packs = pack_docs(spark, cleaned)
     packs_path = os.path.join(out_dir, "packs.parquet")
     packs.write.mode("overwrite").parquet(packs_path)
@@ -93,11 +155,14 @@ def prepare_corpus(
 
     return {
         "docs_in": docs_in,
-        "exact_dups_removed": docs_in - after_dedup,
+        "benchmark_held_out": docs_in - pool_n,
+        "exact_dups_removed": pool_n - after_dedup,
+        "near_dups_removed": after_dedup - after_near,
         "killed_null_text": kills.get("null_text", 0),
         "killed_too_short": kills.get("too_short", 0),
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
+        "contaminated_removed": after_funnel - after_decontam,
         "docs_out": int(agg["docs"]),
         "pii_redactions": int(n_redactions or 0),
         "total_tokens": int(agg["tokens"]),
