@@ -1253,6 +1253,13 @@ RETIRED_TWIN_QUERIES = {
     "dedup_near_md5": dedup_near_md5,
     "dedup_simhash_md5": dedup_simhash_md5,
 }
+# band-slice SQL derived from LSH_ROWS exactly the way _md5_band_rows
+# derives its element_at slice — a hardcoded `sig[4*b+1..+4]` here
+# would silently break the twin if LSH_ROWS ever changed (ADVICE r7)
+_MD5_BAND_SLICE_SQL = " || ',' || ".join(
+    f"sig[{LSH_ROWS}*g.b+{r + 1}]" for r in range(LSH_ROWS)
+)
+
 RETIRED_TWIN_ORACLES = {
     # The COMPLETE LSH pipeline in SQL: md5-hex min-hash signatures
     # (lexicographic min of fixed-length hex == numeric min), 8×4
@@ -1284,8 +1291,7 @@ RETIRED_TWIN_ORACLES = {
             FROM sh
         ), bands AS (
             SELECT doc_id, g.b AS band,
-                   md5(sig[4*g.b+1] || ',' || sig[4*g.b+2] || ',' ||
-                       sig[4*g.b+3] || ',' || sig[4*g.b+4]) AS band_hash
+                   md5({_MD5_BAND_SLICE_SQL}) AS band_hash
             FROM sig, (SELECT unnest(range(0, {LSH_BANDS})) AS b) g
             QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
                     <= {LSH_BUCKET_CAP}

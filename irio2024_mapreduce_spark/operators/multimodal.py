@@ -44,9 +44,10 @@ DECODED_SCHEMA = (
 
 def _try_import_pil():
     """Import-guard for Pillow: returns the ``PIL.Image`` module or
-    ``None``. The graded pipeline always runs the deterministic fake
-    (fixture payloads are UTF-8 text, not image bytes); the real path
-    activates automatically in environments that have Pillow."""
+    ``None``. Since r6 the graded pipeline decodes REAL bytes with
+    the stdlib decoders (P6/BMP images, PCM-WAV audio, uncompressed
+    AVI video — see the module header); Pillow, when present, only
+    widens the accepted image formats."""
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
 
@@ -237,32 +238,44 @@ def encode_avi(width: int, height: int, frames: list[bytes]) -> bytes:
 
 def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse an uncompressed AVI payload → (width, height,
-    total_frames, frame_buffers). Recursive RIFF walk: ``avih``
-    supplies dims and the declared frame count, ``movi``'s ``..db``/
-    ``..dc`` chunks supply the raw frame bytes. Stdlib-only."""
+    total_frames, frame_buffers). Iterative RIFF walk over an
+    explicit span stack (a recursive walk would RecursionError on an
+    adversarially deep LIST nesting); ``avih`` supplies dims and the
+    declared frame count, ``movi``'s ``..db``/``..dc`` chunks supply
+    the raw frame bytes. Declared chunk sizes are CLAMPED to the
+    enclosing span and the buffer — a malformed size raises instead
+    of silently truncating frames. Stdlib-only."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     dims: list[int] | None = None
     total: int | None = None
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal dims, total
+    spans: list[tuple[int, int]] = [(12, len(payload))]
+    while spans:
+        pos, end = spans.pop()
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             body = pos + 8
+            if body + size > end:
+                raise ValueError(
+                    f"chunk {cid!r} at {pos} declares {size} bytes but "
+                    f"only {end - body} remain in its enclosing span"
+                )
             if cid == b"LIST":
-                walk(body + 4, body + size)  # skip the list-type fourcc
-            elif cid == b"avih":
+                # resume the current span after this list, then walk
+                # the list body (skipping the list-type fourcc)
+                spans.append((body + size + (size & 1), end))
+                pos, end = body + 4, body + size
+                continue
+            if cid == b"avih":
                 hdr = struct.unpack_from("<IIIIIIIIII", payload, body)
                 total = hdr[4]
                 dims = [hdr[8], hdr[9]]
             elif cid[2:4] in (b"db", b"dc"):
                 frames.append(payload[body : body + size])
             pos = body + size + (size & 1)  # chunks are word-aligned
-
-    walk(12, len(payload))
     if dims is None or total is None:
         raise ValueError("missing avih header")
     if len(frames) != total:

@@ -131,6 +131,37 @@ def test_avi_roundtrip_and_rejection():
         encode_avi(3, 2, [b"\x00" * 18])  # stride 9 not 4-aligned
 
 
+def test_avi_walker_is_iterative_and_clamps_chunk_sizes():
+    """Adversarial payloads (ADVICE r7): a LIST nesting deeper than
+    the Python recursion limit must not RecursionError, and a chunk
+    whose declared size overruns its enclosing span must raise, not
+    silently truncate frames."""
+    import struct
+    import sys
+
+    from irio2024_mapreduce_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    # deep nesting: LIST shells around a valid hdrl+movi core
+    core = encode_avi(4, 2, [bytes(24)])[12:]  # strip RIFF header
+    depth = sys.getrecursionlimit() + 100
+    body = core
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"nest" + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    w, h, total, frames = decode_avi(payload)  # no RecursionError
+    assert (w, h, total, len(frames)) == (4, 2, 1, 1)
+
+    # declared chunk size overruns the buffer → loud error
+    avi = encode_avi(4, 2, [bytes(24)])
+    movi_at = avi.index(b"00db")
+    oversize = avi[: movi_at + 4] + struct.pack("<I", 10**6) + avi[movi_at + 8 :]
+    with pytest.raises(ValueError, match="declares 1000000"):
+        decode_avi(oversize)
+
+
 def test_video_table_payloads_are_real_avi(spark, sf_dir):
     """The JVM-expression-built payloads must parse as genuine
     uncompressed AVI with the documented fixture parameters, and must
