@@ -151,9 +151,43 @@ def pack_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Frame-level packing core — shared by :func:`pack_sequences`
     (the graded query over raw documents) and ``plans.corpus_prep``
     (packing the cleaned survivors)."""
+    return _pack_from_counts(spark, _keyed_tokens(docs))
+
+
+def pack_docs_bpe(
+    spark: SparkSession, docs: DataFrame, merges
+) -> DataFrame:
+    """BPE-aware packing: identical two-phase distributed prefix
+    scan, but token counts come from the trained tokenizer's Arrow
+    stage (``bpe.bpe_apply``) instead of whitespace splits — real
+    pipelines pack by what the model will actually consume, and a
+    whitespace count misallocates by the corpus fertility (~1.2-1.5
+    subwords/word). The layout key is the same content-addressed
+    md5(doc_id), so the doc ORDER in the packed stream is identical
+    to the whitespace variant's — only offsets/boundaries move.
+
+    Scale shape unchanged by the composition: the Arrow stage is
+    map-only (mapInPandas emits one row per doc, no shuffle), then
+    the pinned range-partition + local-window + broadcast-offsets
+    scan. tests/test_bpe.py pins the composed plan."""
+    from irio2024_mapreduce_spark.operators.bpe import bpe_apply
+
+    counts = bpe_apply(docs, merges).select(
+        "doc_id",
+        F.col("subword_tokens").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
+            "shuffle_key"
+        ),
+    )
+    return _pack_from_counts(spark, counts)
+
+
+def _pack_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """The two-phase distributed prefix scan over any
+    (doc_id, n_tokens, shuffle_key) frame."""
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
-        _keyed_tokens(docs)
+        counts
         .repartitionByRange(n_parts, "shuffle_key", "doc_id")
         .withColumn("pid", F.spark_partition_id())
     )

@@ -132,3 +132,71 @@ def test_encode_long_word_segments_and_round_trips():
     # chars of "ab" collapse rank-0 then rank-1 into "abab" tokens
     assert pieces[0] == "abab"
     assert set(pieces) == {"abab"}
+
+
+def test_pack_docs_bpe_tiling_parity_and_plan(spark, sf_dir):
+    """BPE-aware packing (r8): gapless tiling under SUBWORD counts,
+    identical doc order to the whitespace variant (same
+    content-addressed layout key), and the pinned two-phase-scan
+    shape surviving the Arrow-stage composition."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        PACK_MAX_TOKENS,
+        pack_docs,
+        pack_docs_bpe,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    merges = train_bpe_from_corpus(spark, docs)
+    bpe_rows = sorted(
+        pack_docs_bpe(spark, docs, merges).collect(),
+        key=lambda r: r["seq_offset"],
+    )
+    assert bpe_rows
+
+    # gapless tiling under subword counts; boundary flags consistent
+    pos = 0
+    for r in bpe_rows:
+        assert r["seq_offset"] == pos
+        assert r["pack_id"] == pos // PACK_MAX_TOKENS
+        assert r["spans_boundary"] == int(
+            pos // PACK_MAX_TOKENS
+            != (pos + r["n_tokens"] - 1) // PACK_MAX_TOKENS
+        )
+        pos += r["n_tokens"]
+
+    # totals equal the Arrow stage's own counts — packing must not
+    # invent or drop a subword
+    per_doc = {
+        r["doc_id"]: r["subword_tokens"]
+        for r in bpe_apply(docs, merges).collect()
+    }
+    assert pos == sum(per_doc.values())
+    assert all(r["n_tokens"] == per_doc[r["doc_id"]] for r in bpe_rows)
+
+    # doc ORDER parity with the whitespace variant: same md5(doc_id)
+    # layout key, so only offsets/boundaries may differ
+    ws_rows = sorted(
+        pack_docs(spark, docs).collect(), key=lambda r: r["seq_offset"]
+    )
+    assert [r["doc_id"] for r in ws_rows] == [
+        r["doc_id"] for r in bpe_rows
+    ]
+
+    # plan pin: the composed plan keeps the distributed scan shape —
+    # range partitioning + broadcast offsets join, no whole-corpus
+    # SinglePartition exchange beyond the bounded offsets branch
+    plan = (
+        pack_docs_bpe(spark, docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert plan.count("SinglePartition") <= 1
+    assert "MapInPandas" in plan  # the Arrow count stage is in-plan
