@@ -191,13 +191,9 @@ def _probes_of(sig: Column, projs: Column) -> Column:
     return F.array_distinct(F.array(*probes))
 
 
-def _ann_topk(emb: DataFrame) -> DataFrame:
-    """Multi-table multi-probe hyperplane-LSH approximate top-k over
-    an (vec_id, v:array<double>) frame. The plan stays a bucketed
-    equi-join: corpus rows explode to (table, sig) — at 100 TB these
-    are written once, partitioned by (table, sig) — and each query
-    probes its own bucket plus the low-confidence flips, touching
-    L·probes/2^H of the corpus instead of all of it."""
+def _ann_sigs(emb: DataFrame) -> DataFrame:
+    """Per-vector projections + per-table signatures — the shared
+    front-end of the corpus-index and query-probe frames."""
     all_projs = emb.select(
         "vec_id", "v", _all_projections(F.col("v")).alias("ap")
     )
@@ -209,7 +205,7 @@ def _ann_topk(emb: DataFrame) -> DataFrame:
             for t in range(ANN_TABLES)
         ],
     )
-    sigs = projected.select(
+    return projected.select(
         "vec_id",
         "v",
         *[F.col(f"projs_{t}") for t in range(ANN_TABLES)],
@@ -218,7 +214,14 @@ def _ann_topk(emb: DataFrame) -> DataFrame:
             for t in range(ANN_TABLES)
         ],
     )
-    corpus = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+
+
+def _ann_corpus_rows(sigs: DataFrame) -> DataFrame:
+    """Corpus index rows (neighbor_id, cv, tbl, cb) — at 100 TB these
+    are WRITTEN ONCE, partitioned by (tbl, cb), and probed as point
+    bucket reads (tools/stress_ann_index.py materializes exactly this
+    layout and asserts parity with the on-the-fly path)."""
+    return sigs.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.explode(
@@ -233,7 +236,12 @@ def _ann_topk(emb: DataFrame) -> DataFrame:
             )
         ).alias("ts"),
     ).select("neighbor_id", "cv", "ts.tbl", "ts.cb")
-    queries = (
+
+
+def _ann_query_probes(sigs: DataFrame) -> DataFrame:
+    """Query probe rows (query_id, qv, qtbl, probe): own signature
+    plus the low-|projection| single/pair flips, per table."""
+    return (
         sigs.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -257,6 +265,11 @@ def _ann_topk(emb: DataFrame) -> DataFrame:
             F.explode("tp.probes").alias("probe"),
         )
     )
+
+
+def _ann_join_score(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Bucket equi-join + cosine + per-query top-k — shared by the
+    on-the-fly path and the stored-index probe."""
     # a pair can collide in several tables/probes — dedupe candidates
     # BEFORE scoring so each cosine is computed once
     cand = (
@@ -280,6 +293,17 @@ def _ann_topk(emb: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _ann_topk(emb: DataFrame) -> DataFrame:
+    """Multi-table multi-probe hyperplane-LSH approximate top-k over
+    an (vec_id, v:array<double>) frame. The plan stays a bucketed
+    equi-join: corpus rows explode to (table, sig) — at 100 TB these
+    are written once, partitioned by (table, sig) — and each query
+    probes its own bucket plus the low-confidence flips, touching
+    L·probes/2^H of the corpus instead of all of it."""
+    sigs = _ann_sigs(emb)
+    return _ann_join_score(_ann_corpus_rows(sigs), _ann_query_probes(sigs))
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
