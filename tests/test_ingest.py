@@ -1,0 +1,149 @@
+"""Incremental ingest driver: stored-index verdict parity with the
+oracle-checked dedup_incremental query, manifest tiling, and the
+append-only index actually protecting later batches (a doc admitted
+in batch 1 must convict its duplicates in batch 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.dedup import (
+    _incremental_verdicts,
+    dedup_incremental,
+)
+from irio2024_mapreduce_spark.plans.ingest import (
+    build_corpus_index,
+    ingest_batch,
+)
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+
+def _tiles(m: dict) -> bool:
+    return m["batch_in"] == (
+        m["exact_dups"]
+        + m["near_dups"]
+        + m["killed_null_text"]
+        + m["killed_too_short"]
+        + m["killed_too_repetitive"]
+        + m["killed_no_stopwords"]
+        + m["appended"]
+    )
+
+
+def test_stored_index_verdicts_match_graded_query(spark, sf_dir, tmp_path):
+    """The stored-index probe must reproduce dedup_incremental's
+    (driver-oracle-checked) verdicts exactly — same core, index via
+    parquet round-trip instead of on the fly."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    idx = str(tmp_path / "idx")
+    counts = build_corpus_index(spark, corpus, idx)
+    assert counts["hash_rows"] > 0 and counts["posting_rows"] > 0
+
+    stored = {
+        r["doc_id"]: r["verdict"]
+        for r in _incremental_verdicts(
+            batch,
+            spark.read.parquet(f"{idx}/hashes"),
+            spark.read.parquet(f"{idx}/postings"),
+        ).collect()
+    }
+    fly = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    assert stored == fly and len(stored) > 0
+
+    m = ingest_batch(spark, batch, idx, str(tmp_path / "corpus"))
+    assert _tiles(m)
+    shipped = spark.read.parquet(
+        str(tmp_path / "corpus" / "clean_documents.parquet")
+    )
+    assert shipped.count() == m["appended"]
+    # the index grew by the survivors' rows — next batch sees them
+    assert spark.read.parquet(f"{idx}/hashes").count() > counts["hash_rows"]
+
+
+def test_second_batch_dedups_against_first(spark, tmp_path):
+    """Hand-built two-day ingest: batch 2's exact copy and near-dup
+    of a batch-1 admission must be convicted BY THE APPENDED INDEX,
+    and the corpus artifact must grow by exactly the fresh docs."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).select(*cols)
+
+    t_corpus0 = (
+        "the ancient library kept thousands of scrolls catalogued by "
+        "patient scribes over centuries"
+    )
+    t_corpus1 = (
+        "the fishing village woke before dawn as boats slipped quietly "
+        "into the grey harbor water"
+    )
+    t_fresh1 = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit ridge"
+    )
+    t_near = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit pass"
+    )
+    t_fresh2 = (
+        "the night train rattled past sleeping towns carrying mail "
+        "and quiet travellers north"
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(
+        spark, frame([(100, t_corpus0), (101, t_corpus1)]), idx
+    )
+
+    m1 = ingest_batch(
+        spark,
+        frame([(200, t_fresh1), (201, t_corpus0), (202, None)]),
+        idx,
+        out,
+    )
+    assert _tiles(m1)
+    assert m1 == {
+        "batch_in": 3,
+        "exact_dups": 1,  # 201 == corpus doc 100
+        "near_dups": 0,
+        "killed_null_text": 1,  # 202
+        "killed_too_short": 0,
+        "killed_too_repetitive": 0,
+        "killed_no_stopwords": 0,
+        "appended": 1,  # 200
+    }
+
+    m2 = ingest_batch(
+        spark,
+        frame([(300, t_fresh1), (301, t_near), (302, t_fresh2)]),
+        idx,
+        out,
+    )
+    assert _tiles(m2)
+    assert m2 == {
+        "batch_in": 3,
+        "exact_dups": 1,  # 300 == yesterday's 200, via appended hashes
+        "near_dups": 1,  # 301 ~ 200 (3-gram J = 10/12), via postings
+        "killed_null_text": 0,
+        "killed_too_short": 0,
+        "killed_too_repetitive": 0,
+        "killed_no_stopwords": 0,
+        "appended": 1,  # 302
+    }
+
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped.collect()} == {200, 302}
+    # shipped length column describes the shipped bytes
+    assert all(
+        r["n_chars"] == len(r["text"]) for r in shipped.collect()
+    )
