@@ -98,11 +98,48 @@ def drain_and_measure(stream_df, name: str) -> dict:
         if ops:
             last_state = sum(op.get("numRowsTotal", 0) for op in ops)
             break
+    last_mem = None
+    for p in reversed(progresses):
+        ops = p.get("stateOperators") or []
+        if ops:
+            last_mem = sum(op.get("memoryUsedBytes", 0) for op in ops)
+            break
     return {
         "batches": len(batches),
         "input_rows": sum(p["numInputRows"] for p in batches),
         "state_rows_final": last_state,
+        "state_mem_bytes": last_mem,
     }
+
+
+def output_fingerprint(spark, stream_df, name: str) -> tuple[int, int]:
+    """Drain the stream to a parquet sink and return (row_count,
+    order-insensitive xxhash64 XOR) of the materialized output —
+    the provider-parity evidence: HDFS-backed and RocksDB state
+    stores must produce IDENTICAL results, not just similar state
+    sizes. bit_xor is commutative (sink file/row order is not
+    deterministic) and overflow-free where a sum of hashes under
+    ANSI mode is not."""
+    outdir = tempfile.mkdtemp(prefix=f"sp_out_{name}_")
+    q = (
+        stream_df.writeStream.queryName(f"fp_{name}")
+        .format("parquet")
+        .option("path", outdir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"sp_fpckpt_{name}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(outdir)
+    cols = ", ".join(f"`{c}`" for c in sorted(df.columns))
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
 
 
 def jobs(spark, src_dir: str, schema):
@@ -166,15 +203,41 @@ def jobs(spark, src_dir: str, schema):
     }
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("stress-streaming")
+ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+}
+
+
+def run_provider(provider: str, n: int, srcs: dict[int, str]) -> dict:
+    """All three jobs at 1× and N× under one state-store provider,
+    plus an output fingerprint of each job at 1× for cross-provider
+    parity. A fresh SparkSession per provider — the providerClass is
+    fixed at session creation. ``srcs`` are staged ONCE and shared:
+    the file-listing order (and with it micro-batch composition and
+    watermark evolution) must be identical across providers, or the
+    parity check measures staging noise, not the state store."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(
+        f"stress-streaming-{provider}",
+        extra_conf=ROCKSDB_CONF if provider == "rocksdb" else {},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    assert (
+        "RocksDB"
+        in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", "HDFS"
+        )
+    ) == (provider == "rocksdb")
 
     out: dict[str, dict] = {}
     for label, scale in [("1x", 1), (f"{n}x", n)]:
-        src = build_staged_events(spark, base, scale)
+        src = srcs[scale]
         schema = spark.read.parquet(src).schema
         for jname, mk in jobs(spark, src, schema).items():
             drain_driver_backlog(spark)
@@ -182,6 +245,12 @@ def main() -> None:
             m = drain_and_measure(mk(), f"sp_{jname}_{uuid.uuid4().hex[:6]}")
             m["sec"] = round(time.perf_counter() - t0, 2)
             out.setdefault(jname, {})[label] = m
+            if label == "1x":
+                cnt, h = output_fingerprint(
+                    spark, mk(), f"{jname}_{uuid.uuid4().hex[:6]}"
+                )
+                out[jname]["output_rows"] = cnt
+                out[jname]["output_hash"] = h
     for jname, d in out.items():
         d["ratio"] = round(
             d[f"{n}x"]["sec"] / max(d["1x"]["sec"], 0.01), 1
@@ -191,7 +260,35 @@ def main() -> None:
             big["state_over_input"] = round(
                 big["state_rows_final"] / big["input_rows"], 4
             )
-    print(json.dumps({"scale": n, "results": out}))
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    providers = os.environ.get(
+        "SPARK_GRAFT_STATE_PROVIDERS", "hdfs,rocksdb"
+    ).split(",")
+    boot = get_spark("stress-streaming-stage")
+    boot.sparkContext.setLogLevel("ERROR")
+    srcs = {scale: build_staged_events(boot, base, scale) for scale in (1, n)}
+    results = {p: run_provider(p, n, srcs) for p in providers}
+    parity_ok = True
+    if len(results) == 2:
+        a, b = results.values()
+        for jname in a:
+            if (a[jname]["output_rows"], a[jname]["output_hash"]) != (
+                b[jname]["output_rows"],
+                b[jname]["output_hash"],
+            ):
+                parity_ok = False
+    print(
+        json.dumps(
+            {"scale": n, "providers": results, "output_parity": parity_ok}
+        )
+    )
+    if not parity_ok:
+        raise SystemExit("provider output mismatch")
 
 
 if __name__ == "__main__":
