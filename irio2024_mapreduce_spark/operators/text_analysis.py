@@ -275,6 +275,58 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style LM quality scoring, integer-exact. Real pipelines score
+# documents with a small LM's perplexity and drop the tail; the
+# monotone core of that signal is "how improbable are this doc's
+# tokens under the corpus unigram distribution". log()/float
+# perplexity is not cross-engine hash-stable (the bm25 libm lesson),
+# so the score here is the exact-integer improbability N div c_t —
+# same ordering signal, bit-identical on both engines.
+UNIGRAM_VOCAB_TOP = 1024  # bounded broadcast vocab; OOV counts as 1
+
+
+def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM quality score: mean over the doc's tokens
+    of ``N div c_t`` (corpus token total over the token's corpus
+    count; out-of-vocab tokens score N). High mean-improbability docs
+    are gibberish/rare-token tails — the population a perplexity
+    filter removes.
+
+    Scale shape: the vocabulary is the top ``UNIGRAM_VOCAB_TOP``
+    tokens by (count desc, token asc) — a TakeOrderedAndProject over
+    the map-side-partial token counts, then BROADCAST back onto the
+    exploded token stream (map-side join: corpus tokens never shuffle
+    for the lookup; the only corpus-keyed exchange is the final
+    per-doc aggregation, one row per (doc, partition) after
+    partials). The corpus token total ships as an int literal, like
+    bm25's stats — a bounded 1-row collect."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("t")).limit(
+        UNIGRAM_VOCAB_TOP
+    )
+    n_total = int(toks.count())
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_tokens"),
+            F.expr(
+                f"sum({n_total} div coalesce(c, 1L)) div count(*)"
+            ).alias("mean_improbability"),
+        )
+        .select("doc_id", "n_tokens", "oov_tokens", "mean_improbability")
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signals — the filter
     family every production quality stack runs alongside the
@@ -601,6 +653,9 @@ RETIRED_TWIN_QUERIES = {
     "token_count": token_count,
     "fingerprint": fingerprint,
     "quality_repetition": quality_repetition,
+    # r8: CCNet-style unigram-LM improbability scoring (window full —
+    # local-oracle extra)
+    "quality_unigram_lm": quality_unigram_lm,
 }
 
 
@@ -710,6 +765,32 @@ ORACLE_SQL["quality_funnel"] = f"""
     """
 
 RETIRED_TWIN_ORACLES = {
+    # the corpus token total is a scalar subquery here where Spark
+    # injects a collected int literal — same value, exact integer
+    # arithmetic throughout, so the scores hash-match bit-for-bit
+    "quality_unigram_lm": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ), filtered AS (
+            SELECT * FROM toks WHERE t <> ''
+        ), counts AS (
+            SELECT t, COUNT(*) AS c FROM filtered GROUP BY t
+        ), vocab AS (
+            SELECT t, c FROM counts
+            ORDER BY c DESC, t ASC LIMIT {UNIGRAM_VOCAB_TOP}
+        ), n AS (
+            SELECT COUNT(*) AS nn FROM filtered
+        )
+        SELECT f.doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS oov_tokens,
+               (SUM((SELECT nn FROM n) // COALESCE(v.c, 1))
+                // COUNT(*))::BIGINT AS mean_improbability
+        FROM filtered f LEFT JOIN vocab v ON f.t = v.t
+        GROUP BY f.doc_id
+    """,
     "quality_repetition": f"""
         WITH t AS (
             SELECT doc_id, text,

@@ -326,3 +326,33 @@ def test_quality_funnel_first_failing_rule_attribution(spark, tmp_path):
         "k_no_stopwords": 1,
         "docs_out": 1,
     }
+
+
+def test_quality_unigram_lm_semantics_and_plan(spark, sf_dir):
+    """The improbability score must separate rare-token docs from
+    common-token docs, and the plan must keep the bounded-vocab
+    topology: TakeOrderedAndProject for the vocab cut, broadcast join
+    back onto the token stream (the corpus side never shuffles for
+    the lookup)."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.text_analysis import (
+        quality_unigram_lm,
+    )
+
+    df = quality_unigram_lm(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows
+    # every doc's score is >= 1 (N div c <= N, c <= N) and a doc made
+    # entirely of vocab-topping tokens scores lower than the corpus max
+    scores = [r["mean_improbability"] for r in rows.values()]
+    assert all(s >= 1 for s in scores)
+    assert min(scores) < max(scores)  # the signal separates docs
+    # oov accounting is internally consistent
+    assert all(
+        0 <= r["oov_tokens"] <= r["n_tokens"] for r in rows.values()
+    )
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

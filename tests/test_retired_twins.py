@@ -117,6 +117,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # (quality_funnel + bm25_search graduated from this set to the
         # graded driver window in r8)
         "quality_repetition",
+        # r8: CCNet-style unigram-LM improbability quality scoring
+        # (integer-exact perplexity proxy; window full)
+        "quality_unigram_lm",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
         # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
