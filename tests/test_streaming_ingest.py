@@ -1,0 +1,91 @@
+"""Streaming ingest: the foreachBatch mount of the ingest driver must
+process file-batches in order, with batch 2's duplicates of batch 1's
+admissions convicted by the index rows batch 1 appended — the same
+two-day scenario test_ingest.py pins for the batch form, replayed
+through a Structured Streaming file source."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from irio2024_mapreduce_spark.plans.ingest import build_corpus_index
+from irio2024_mapreduce_spark.streaming.ingest_stream import (
+    run_ingest_stream,
+)
+
+T_CORPUS0 = (
+    "the ancient library kept thousands of scrolls catalogued by "
+    "patient scribes over centuries"
+)
+T_FRESH1 = (
+    "the mountain trail crossed seven wooden bridges before "
+    "reaching the snowy summit ridge"
+)
+T_NEAR = (
+    "the mountain trail crossed seven wooden bridges before "
+    "reaching the snowy summit pass"
+)
+T_FRESH2 = (
+    "the night train rattled past sleeping towns carrying mail "
+    "and quiet travellers north"
+)
+
+
+def _write_batch(path, rows):
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in rows],
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(t or "") for _, t in rows],
+        }
+    ).to_parquet(path)
+
+
+def test_stream_batches_dedup_in_file_order(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    seed = spark.createDataFrame(
+        [(100, T_CORPUS0, "en", "src0", len(T_CORPUS0))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    build_corpus_index(spark, seed, idx)
+
+    # file names order the batches (the file source lists a stable
+    # order for a static directory): day1 before day2
+    _write_batch(
+        src / "day1.parquet",
+        [(200, T_FRESH1), (201, T_CORPUS0), (202, None)],
+    )
+    _write_batch(
+        src / "day2.parquet",
+        [(300, T_FRESH1), (301, T_NEAR), (302, T_FRESH2)],
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    manifests = run_ingest_stream(
+        spark, str(src), schema, idx, out, files_per_trigger=1
+    )
+    assert [m["batch_in"] for m in manifests] == [3, 3]
+
+    day1, day2 = manifests
+    assert (day1["exact_dups"], day1["killed_null_text"], day1["appended"]) == (
+        1,
+        1,
+        1,
+    )
+    # day 2's exact copy and near-dup of day 1's admission are
+    # convicted by the index rows day 1's micro-batch appended
+    assert (day2["exact_dups"], day2["near_dups"], day2["appended"]) == (
+        1,
+        1,
+        1,
+    )
+
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped.collect()} == {200, 302}
