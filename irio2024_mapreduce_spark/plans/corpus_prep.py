@@ -57,6 +57,7 @@ from irio2024_mapreduce_spark.operators.dedup import near_dup_kill_ids
 from irio2024_mapreduce_spark.operators.llm_prep import (
     contaminated_ids,
     pack_docs,
+    pack_docs_bpe,
     scrub_text,
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
@@ -68,11 +69,20 @@ BENCHMARK_STRIPE = 8
 
 
 def prepare_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tokenizer_merges=None,
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
-    the attrition manifest."""
+    the attrition manifest.
+
+    ``tokenizer_merges`` (a trained BPE merge table from
+    ``bpe.train_bpe_from_corpus``) switches stage 6 to
+    ``pack_docs_bpe``: packs sized by what the model actually
+    consumes instead of whitespace counts. Same layout key, same
+    two-phase scan — only ``n_tokens``/offsets change."""
     docs = load_table(spark, sf_dir, "documents")
     docs_in = docs.count()
 
@@ -138,8 +148,12 @@ def prepare_corpus(
     cleaned.write.mode("overwrite").parquet(clean_path)
     cleaned = spark.read.parquet(clean_path)  # packing reads the artifact
 
-    # stage 6: pack the cleaned corpus
-    packs = pack_docs(spark, cleaned)
+    # stage 6: pack the cleaned corpus (by tokenizer output when a
+    # merge table is supplied)
+    if tokenizer_merges is not None:
+        packs = pack_docs_bpe(spark, cleaned, tokenizer_merges)
+    else:
+        packs = pack_docs(spark, cleaned)
     packs_path = os.path.join(out_dir, "packs.parquet")
     packs.write.mode("overwrite").parquet(packs_path)
     packs = spark.read.parquet(packs_path)

@@ -275,3 +275,39 @@ def test_prepare_corpus_stage1_is_not_a_digest_window(spark, sf_dir):
     )
     plan = keep._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_prepare_corpus_bpe_packing_variant(spark, sf_dir, tmp_path):
+    """tokenizer_merges switches stage 6 to subword-sized packs: the
+    shipped doc set is identical to the whitespace run, packs still
+    tile gaplessly, and total_tokens becomes the tokenizer's count
+    (>= whitespace count: BPE fertility >= 1)."""
+    from irio2024_mapreduce_spark.operators.bpe import (
+        train_bpe_from_corpus,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    merges = train_bpe_from_corpus(spark, docs)
+
+    m_ws = prepare_corpus(spark, sf_dir, str(tmp_path / "ws"))
+    m_bpe = prepare_corpus(
+        spark, sf_dir, str(tmp_path / "bpe"), tokenizer_merges=merges
+    )
+    # attrition identical — packing choice cannot change who ships
+    for k in m_ws:
+        if k not in ("total_tokens", "n_packs"):
+            assert m_ws[k] == m_bpe[k], k
+    assert m_bpe["total_tokens"] >= m_ws["total_tokens"]
+
+    packs = sorted(
+        spark.read.parquet(str(tmp_path / "bpe" / "packs.parquet")).collect(),
+        key=lambda r: r["seq_offset"],
+    )
+    pos = 0
+    for r in packs:
+        assert r["seq_offset"] == pos
+        pos += r["n_tokens"]
+    assert pos == m_bpe["total_tokens"]
