@@ -35,29 +35,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark.operators.dedup import (
+    _incremental_lsh_verdicts,
     _incremental_verdicts,
+    corpus_index_bands,
     corpus_index_hashes,
     corpus_index_postings,
+    corpus_index_rep_shingles,
 )
 from irio2024_mapreduce_spark.operators.llm_prep import scrub_text
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
 
 
 def build_corpus_index(
-    spark: SparkSession, corpus: DataFrame, index_dir: str
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    family: str = "ngram",
 ) -> dict[str, int]:
     """One-time ingest-side index build over an existing corpus.
-    Returns {hash_rows, posting_rows}."""
-    hashes_path = os.path.join(index_dir, "hashes")
-    postings_path = os.path.join(index_dir, "postings")
-    corpus_index_hashes(corpus).write.mode("overwrite").parquet(hashes_path)
-    corpus_index_postings(corpus).write.mode("overwrite").parquet(
-        postings_path
-    )
-    return {
-        "hash_rows": spark.read.parquet(hashes_path).count(),
-        "posting_rows": spark.read.parquet(postings_path).count(),
+
+    ``family`` picks the near-dup half: ``"ngram"`` (3-gram posting
+    rows — precise on token-level edits) or ``"lsh"`` (MinHash band
+    rows + doc_id-keyed rep shingles for the true-Jaccard verify —
+    survives edits that shift every 3-gram, the long/paraphrased-doc
+    complement). The exact-dup md5 half is shared. Returns per-part
+    row counts."""
+    counts: dict[str, int] = {}
+    parts: dict[str, DataFrame] = {
+        "hashes": corpus_index_hashes(corpus)
     }
+    if family == "ngram":
+        parts["postings"] = corpus_index_postings(corpus)
+    elif family == "lsh":
+        parts["bands"] = corpus_index_bands(corpus)
+        parts["rep_shingles"] = corpus_index_rep_shingles(corpus)
+    else:
+        raise ValueError(f"unknown index family: {family!r}")
+    for name, df in parts.items():
+        path = os.path.join(index_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        counts[f"{name}_rows"] = spark.read.parquet(path).count()
+    return counts
 
 
 def ingest_batch(
@@ -65,18 +83,32 @@ def ingest_batch(
     batch: DataFrame,
     index_dir: str,
     corpus_dir: str,
+    family: str = "ngram",
 ) -> dict[str, int]:
     """Admit ``batch`` against the stored index, clean the admitted
     docs, append survivors to ``{corpus_dir}/clean_documents.parquet``
-    and their index rows to ``index_dir``. Returns the batch
-    manifest; every batch doc is charged to exactly one outcome."""
+    and their index rows to ``index_dir``. ``family`` must match the
+    index build. Returns the batch manifest; every batch doc is
+    charged to exactly one outcome."""
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
 
     batch_in = batch.count()
-    verdicts = _incremental_verdicts(batch, hashes, postings).localCheckpoint(
-        eager=False
-    )
+    if family == "ngram":
+        verdicts = _incremental_verdicts(
+            batch,
+            hashes,
+            spark.read.parquet(os.path.join(index_dir, "postings")),
+        )
+    elif family == "lsh":
+        verdicts = _incremental_lsh_verdicts(
+            batch,
+            hashes,
+            spark.read.parquet(os.path.join(index_dir, "bands")),
+            spark.read.parquet(os.path.join(index_dir, "rep_shingles")),
+        )
+    else:
+        raise ValueError(f"unknown index family: {family!r}")
+    verdicts = verdicts.localCheckpoint(eager=False)
     by_verdict = {
         r["verdict"]: r["cnt"]
         for r in verdicts.groupBy("verdict")
@@ -121,14 +153,25 @@ def ingest_batch(
 
     # append the survivors' index rows so the NEXT batch dedups
     # against today's admissions. The survivor frame is the corpus
-    # increment, so the same index builders apply — both appends are
-    # batch-sized.
+    # increment, so the same index builders apply — every append is
+    # batch-sized. NB the index covers the survivors' RAW text (the
+    # bytes tomorrow's duplicates will carry), while the corpus
+    # artifact ships the scrubbed text — dedup on pre-scrub bytes is
+    # deliberate.
     corpus_index_hashes(survivors).write.mode("append").parquet(
         os.path.join(index_dir, "hashes")
     )
-    corpus_index_postings(survivors).write.mode("append").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    if family == "ngram":
+        corpus_index_postings(survivors).write.mode("append").parquet(
+            os.path.join(index_dir, "postings")
+        )
+    else:
+        corpus_index_bands(survivors).write.mode("append").parquet(
+            os.path.join(index_dir, "bands")
+        )
+        corpus_index_rep_shingles(survivors).write.mode("append").parquet(
+            os.path.join(index_dir, "rep_shingles")
+        )
 
     return {
         "batch_in": batch_in,

@@ -39,7 +39,7 @@ def test_stored_index_verdicts_match_graded_query(spark, sf_dir, tmp_path):
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     idx = str(tmp_path / "idx")
     counts = build_corpus_index(spark, corpus, idx)
-    assert counts["hash_rows"] > 0 and counts["posting_rows"] > 0
+    assert counts["hashes_rows"] > 0 and counts["postings_rows"] > 0
 
     stored = {
         r["doc_id"]: r["verdict"]
@@ -62,7 +62,7 @@ def test_stored_index_verdicts_match_graded_query(spark, sf_dir, tmp_path):
     )
     assert shipped.count() == m["appended"]
     # the index grew by the survivors' rows — next batch sees them
-    assert spark.read.parquet(f"{idx}/hashes").count() > counts["hash_rows"]
+    assert spark.read.parquet(f"{idx}/hashes").count() > counts["hashes_rows"]
 
 
 def test_second_batch_dedups_against_first(spark, tmp_path):
@@ -147,3 +147,72 @@ def test_second_batch_dedups_against_first(spark, tmp_path):
     assert all(
         r["n_chars"] == len(r["text"]) for r in shipped.collect()
     )
+
+
+def test_second_batch_dedups_against_first_lsh_family(spark, tmp_path):
+    """The same two-day scenario under the MinHash/LSH index family:
+    batch 2's exact copy is convicted by the shared md5 half, and its
+    near-dup by the appended BAND index + true-Jaccard verify (the
+    pair's banding is deterministic for the fixed seeded hash
+    family — verified by this very assertion)."""
+    t_corpus0 = (
+        "the ancient library kept thousands of scrolls catalogued by "
+        "patient scribes over centuries"
+    )
+    t_fresh1 = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit ridge"
+    )
+    t_near = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit pass"
+    )
+    t_fresh2 = (
+        "the night train rattled past sleeping towns carrying mail "
+        "and quiet travellers north"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    counts = build_corpus_index(
+        spark, frame([(100, t_corpus0)]), idx, family="lsh"
+    )
+    assert counts == {
+        "hashes_rows": 1,
+        "bands_rows": 8,  # LSH_BANDS rows for the one rep
+        "rep_shingles_rows": 1,
+    }
+
+    m1 = ingest_batch(
+        spark,
+        frame([(200, t_fresh1), (201, t_corpus0), (202, None)]),
+        idx,
+        out,
+        family="lsh",
+    )
+    assert _tiles(m1)
+    assert (m1["exact_dups"], m1["killed_null_text"], m1["appended"]) == (
+        1,
+        1,
+        1,
+    )
+
+    m2 = ingest_batch(
+        spark,
+        frame([(300, t_fresh1), (301, t_near), (302, t_fresh2)]),
+        idx,
+        out,
+        family="lsh",
+    )
+    assert _tiles(m2)
+    assert (m2["exact_dups"], m2["near_dups"], m2["appended"]) == (1, 1, 1)
+
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped.collect()} == {200, 302}
