@@ -65,3 +65,66 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for an append-grown parquet dataset —
+    the maintenance pass an ingest pipeline (``plans.ingest``
+    appends one batch-sized file set per day) schedules periodically.
+
+    A dataset of f tiny files costs every future reader f opens and
+    f-task scheduling; at 100 TB a year of daily appends is >300
+    file sets per partition. Compaction rewrites the dataset into
+    ceil(bytes / target_file_bytes) files of ~``target_file_bytes``
+    (the same 128 MiB the scan-side ``maxPartitionBytes`` is tuned
+    to, so post-compaction one file ≈ one split ≈ one task).
+
+    Atomicity on a filesystem: write to a sibling temp dir, then a
+    directory swap — readers never observe a half-written dataset;
+    on object stores the swap becomes a manifest/metastore pointer
+    flip. Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    data_files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
+        if _os.path.isfile(f)
+    ]
+    files_before = len(data_files)
+    total_bytes = sum(_os.path.getsize(f) for f in data_files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    # repartition (round-robin shuffle) — not coalesce: coalesce
+    # narrows without rebalancing, so one fat input file would keep
+    # its skew and produce one fat output file
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+
+    files_after = len(
+        [
+            f
+            for f in _glob.glob(
+                _os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if _os.path.isfile(f)
+        ]
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -216,3 +216,32 @@ def test_second_batch_dedups_against_first_lsh_family(spark, tmp_path):
 
     shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
     assert {r["doc_id"] for r in shipped.collect()} == {200, 302}
+
+
+def test_compact_parquet_after_appends(spark, tmp_path):
+    """Many-batch appends leave one file set per batch; compaction
+    must shrink the file count to the byte-target ceiling with the
+    dataset's contents bit-identical before and after."""
+    from irio2024_mapreduce_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "grown.parquet")
+    for k in range(6):
+        spark.range(k * 100, (k + 1) * 100).selectExpr(
+            "id", "id * 2 as v"
+        ).write.mode("append").parquet(path)
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    assert stats["files_before"] >= 6
+    assert stats["files_after"] == 1  # 600 tiny rows « 1 GiB target
+    # no leftover temp/old dirs
+    import os
+
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
