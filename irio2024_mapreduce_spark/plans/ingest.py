@@ -173,6 +173,29 @@ def ingest_batch(
             os.path.join(index_dir, "rep_shingles")
         )
 
+    # append one MERGEABLE stats row per batch: exact counters plus
+    # HLL sketches (Apache DataSketches via hll_sketch_agg) of the
+    # distinct texts and distinct tokens this batch contributed.
+    # Corpus-wide stats then come from merging the batch rows
+    # (corpus_stats below) — the 100 TB primitive: distinct counts
+    # over the whole corpus WITHOUT ever rescanning it, at a few KB
+    # of state per batch.
+    doc_stats = cleaned.agg(
+        F.count("*").alias("docs"),
+        F.coalesce(
+            F.sum(F.size(F.split("text", " "))).cast("long"), F.lit(0)
+        ).alias("tokens"),
+        F.hll_sketch_agg(F.md5("text")).alias("text_sketch"),
+    )
+    tok_stats = (
+        cleaned.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.hll_sketch_agg("t").alias("token_sketch"))
+    )
+    doc_stats.crossJoin(tok_stats).write.mode("append").parquet(
+        os.path.join(index_dir, "stats")
+    )
+
     return {
         "batch_in": batch_in,
         "exact_dups": by_verdict.get("exact_dup", 0),
@@ -182,4 +205,29 @@ def ingest_batch(
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
         "appended": appended,
+    }
+
+
+def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:
+    """Corpus-wide statistics from the per-batch stats rows alone —
+    exact counters sum, HLL sketches merge (``hll_union_agg``); the
+    shipped corpus is never rescanned. At 100 TB this is the only
+    affordable way to keep live distinct-token / distinct-text
+    counts over a growing corpus."""
+    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    row = stats.agg(
+        F.sum("docs").alias("docs"),
+        F.sum("tokens").alias("tokens"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("text_sketch")
+        ).alias("approx_distinct_texts"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("token_sketch")
+        ).alias("approx_distinct_tokens"),
+    ).collect()[0]
+    return {
+        "docs": int(row["docs"] or 0),
+        "tokens": int(row["tokens"] or 0),
+        "approx_distinct_texts": int(row["approx_distinct_texts"] or 0),
+        "approx_distinct_tokens": int(row["approx_distinct_tokens"] or 0),
     }

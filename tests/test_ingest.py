@@ -245,3 +245,46 @@ def test_compact_parquet_after_appends(spark, tmp_path):
 
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_corpus_stats_merge_without_rescan(spark, sf_dir, tmp_path):
+    """Per-batch HLL stats rows must merge to corpus-wide numbers
+    matching an exact rescan: counters exactly, distinct estimates
+    within the sketch's error bound — and the merge must read ONLY
+    the KB-sized stats rows, never the corpus."""
+    from irio2024_mapreduce_spark.plans.ingest import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    # two disjoint batch halves ingested separately
+    b1 = docs.filter((F.col("doc_id") % 10 == 9) & (F.col("doc_id") < 250))
+    b2 = docs.filter((F.col("doc_id") % 10 == 9) & (F.col("doc_id") >= 250))
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, corpus, idx)
+    m1 = ingest_batch(spark, b1, idx, out)
+    m2 = ingest_batch(spark, b2, idx, out)
+
+    got = corpus_stats(spark, idx)
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    exact_docs = shipped.count()
+    assert got["docs"] == exact_docs == m1["appended"] + m2["appended"]
+    exact_tokens = shipped.agg(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert got["tokens"] == exact_tokens
+    exact_texts = shipped.select("text").distinct().count()
+    exact_toks = (
+        shipped.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    # HLL default accuracy is ~2-3% at these cardinalities; 10% bound
+    # keeps the assertion meaningful without flaking
+    assert abs(got["approx_distinct_texts"] - exact_texts) <= max(
+        2, exact_texts // 10
+    )
+    assert abs(got["approx_distinct_tokens"] - exact_toks) <= max(
+        2, exact_toks // 10
+    )
