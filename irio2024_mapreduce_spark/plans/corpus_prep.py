@@ -73,6 +73,7 @@ def prepare_corpus(
     sf_dir: str,
     out_dir: str,
     tokenizer_merges=None,
+    index_dir: str | None = None,
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
@@ -82,7 +83,13 @@ def prepare_corpus(
     ``bpe.train_bpe_from_corpus``) switches stage 6 to
     ``pack_docs_bpe``: packs sized by what the model actually
     consumes instead of whitespace counts. Same layout key, same
-    two-phase scan — only ``n_tokens``/offsets change."""
+    two-phase scan — only ``n_tokens``/offsets change.
+
+    ``index_dir`` seeds the DAILY pipeline: the shipped corpus's
+    ingest indexes (md5 hashes + capped postings over the PRE-scrub
+    text — the bytes tomorrow's duplicates will carry) plus the
+    mergeable stats row are written there, so ``plans.ingest`` can
+    continue this corpus batch-by-batch from day one."""
     docs = load_table(spark, sf_dir, "documents")
     docs_in = docs.count()
 
@@ -157,6 +164,17 @@ def prepare_corpus(
     packs_path = os.path.join(out_dir, "packs.parquet")
     packs.write.mode("overwrite").parquet(packs_path)
     packs = spark.read.parquet(packs_path)
+
+    if index_dir is not None:
+        # seed the ingest index from the SHIPPED corpus: dedup keys
+        # over the pre-scrub text (ingest's convention), stats row
+        # over the shipped bytes. Import here to keep the one-shot
+        # driver importable without the ingest module.
+        from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+            seed_index_from_prepared,
+        )
+
+        seed_index_from_prepared(spark, decontaminated, cleaned, index_dir)
 
     agg = packs.agg(
         F.count("*").alias("docs"),

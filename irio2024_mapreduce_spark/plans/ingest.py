@@ -173,13 +173,28 @@ def ingest_batch(
             os.path.join(index_dir, "rep_shingles")
         )
 
-    # append one MERGEABLE stats row per batch: exact counters plus
-    # HLL sketches (Apache DataSketches via hll_sketch_agg) of the
-    # distinct texts and distinct tokens this batch contributed.
-    # Corpus-wide stats then come from merging the batch rows
-    # (corpus_stats below) — the 100 TB primitive: distinct counts
-    # over the whole corpus WITHOUT ever rescanning it, at a few KB
-    # of state per batch.
+    _append_stats_row(cleaned, index_dir)
+
+    return {
+        "batch_in": batch_in,
+        "exact_dups": by_verdict.get("exact_dup", 0),
+        "near_dups": by_verdict.get("near_dup", 0),
+        "killed_null_text": kills.get("null_text", 0),
+        "killed_too_short": kills.get("too_short", 0),
+        "killed_too_repetitive": kills.get("too_repetitive", 0),
+        "killed_no_stopwords": kills.get("no_stopwords", 0),
+        "appended": appended,
+    }
+
+
+def _append_stats_row(cleaned: DataFrame, index_dir: str) -> None:
+    """One MERGEABLE stats row per corpus increment: exact counters
+    plus HLL sketches (Apache DataSketches via ``hll_sketch_agg``) of
+    the distinct texts and distinct tokens contributed. Corpus-wide
+    stats then come from merging the rows (:func:`corpus_stats`) —
+    the 100 TB primitive: distinct counts over the whole corpus
+    WITHOUT ever rescanning it, at a few KB of state per batch. (The
+    crossJoin is two 1-row aggregates — bounded by construction.)"""
     doc_stats = cleaned.agg(
         F.count("*").alias("docs"),
         F.coalesce(
@@ -196,16 +211,25 @@ def ingest_batch(
         os.path.join(index_dir, "stats")
     )
 
-    return {
-        "batch_in": batch_in,
-        "exact_dups": by_verdict.get("exact_dup", 0),
-        "near_dups": by_verdict.get("near_dup", 0),
-        "killed_null_text": kills.get("null_text", 0),
-        "killed_too_short": kills.get("too_short", 0),
-        "killed_too_repetitive": kills.get("too_repetitive", 0),
-        "killed_no_stopwords": kills.get("no_stopwords", 0),
-        "appended": appended,
-    }
+
+def seed_index_from_prepared(
+    spark: SparkSession,
+    raw_survivors: DataFrame,
+    cleaned: DataFrame,
+    index_dir: str,
+) -> None:
+    """Bridge from the one-shot build to the daily pipeline: write
+    the shipped corpus's ingest indexes (md5 hashes + capped postings
+    over ``raw_survivors`` — the PRE-scrub text, ingest's dedup
+    convention) and its stats row, so ``ingest_batch`` continues the
+    corpus from day one."""
+    corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "hashes")
+    )
+    corpus_index_postings(raw_survivors).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    _append_stats_row(cleaned, index_dir)
 
 
 def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:

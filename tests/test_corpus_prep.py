@@ -311,3 +311,53 @@ def test_prepare_corpus_bpe_packing_variant(spark, sf_dir, tmp_path):
         assert r["seq_offset"] == pos
         pos += r["n_tokens"]
     assert pos == m_bpe["total_tokens"]
+
+
+def test_prepare_corpus_seeds_ingest_index(spark, sf_dir, tmp_path):
+    """index_dir bridges the one-shot build to the daily pipeline:
+    a next-day batch duplicating a shipped doc's RAW text must come
+    back exact_dup against the seeded index, and corpus_stats must
+    cover build + batch without rescanning either corpus."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        corpus_stats,
+        ingest_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "prepared")
+    m = prepare_corpus(spark, sf_dir, out, index_dir=idx)
+    stats0 = corpus_stats(spark, idx)
+    assert stats0["docs"] == m["docs_out"]
+
+    # tomorrow's batch: one RAW duplicate of a shipped doc + one
+    # fresh doc. The shipped artifact is scrubbed, so the dup must be
+    # taken from the SOURCE text of a surviving doc_id.
+    shipped_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{out}/clean_documents.parquet"
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    a_doc = (
+        docs.filter(F.col("doc_id").isin(list(shipped_ids)))
+        .orderBy("doc_id")
+        .first()
+    )
+    fresh = (
+        "the careful archivist labelled every folder before the "
+        "winter recess began this year"
+    )
+    batch = spark.createDataFrame(
+        [
+            (900001, a_doc["text"], "en", "src0", len(a_doc["text"])),
+            (900002, fresh, "en", "src0", len(fresh)),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    mb = ingest_batch(spark, batch, idx, out)
+    assert mb["exact_dups"] == 1 and mb["appended"] == 1
+
+    stats1 = corpus_stats(spark, idx)
+    assert stats1["docs"] == stats0["docs"] + 1
