@@ -71,6 +71,7 @@ def compact_parquet(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for an append-grown parquet dataset —
     the maintenance pass an ingest pipeline (``plans.ingest``
@@ -87,10 +88,27 @@ def compact_parquet(
     directory swap — readers never observe a half-written dataset;
     on object stores the swap becomes a manifest/metastore pointer
     flip. Returns {files_before, files_after, bytes}.
+
+    Hive-partitioned datasets must pass ``partition_by`` (the rewrite
+    then compacts WITHIN each partition dir); compacting one without
+    it would silently flatten the layout and lose partition pruning
+    for every downstream reader — refused loudly instead.
     """
     import glob as _glob
     import os as _os
     import shutil as _shutil
+
+    hive_dirs = [
+        d
+        for d in _os.listdir(path)
+        if "=" in d and _os.path.isdir(_os.path.join(path, d))
+    ]
+    if hive_dirs and not partition_by:
+        raise ValueError(
+            f"{path} is hive-partitioned ({hive_dirs[0]}, ...): pass "
+            "partition_by= or the compaction would flatten the layout "
+            "and lose partition pruning"
+        )
 
     data_files = [
         f
@@ -105,10 +123,18 @@ def compact_parquet(
     tmp = path.rstrip("/") + "._compact_tmp"
     # repartition (round-robin shuffle) — not coalesce: coalesce
     # narrows without rebalancing, so one fat input file would keep
-    # its skew and produce one fat output file
-    spark.read.parquet(path).repartition(n_out).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    # its skew and produce one fat output file. Partitioned datasets
+    # repartition ON the partition columns so each hive dir's rows
+    # land together before the per-partition write.
+    df = spark.read.parquet(path)
+    writer = (
+        df.repartition(n_out, *partition_by)
+        if partition_by
+        else df.repartition(n_out)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     old = path.rstrip("/") + "._compact_old"
     _os.rename(path, old)
     _os.rename(tmp, path)

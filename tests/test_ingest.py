@@ -288,3 +288,39 @@ def test_corpus_stats_merge_without_rescan(spark, sf_dir, tmp_path):
     assert abs(got["approx_distinct_tokens"] - exact_toks) <= max(
         2, exact_toks // 10
     )
+
+
+def test_compact_parquet_partitioned_dataset(spark, tmp_path):
+    """Hive-partitioned compaction: refused without partition_by
+    (flattening would lose pruning), and with it the layout + rows
+    survive intact."""
+    import os
+
+    import pytest
+
+    from irio2024_mapreduce_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "part.parquet")
+    for k in range(4):
+        spark.range(k * 50, (k + 1) * 50).selectExpr(
+            "id", "cast(id % 3 as string) as grp"
+        ).write.mode("append").partitionBy("grp").parquet(path)
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
+
+    before = sorted(
+        (r["id"], r["grp"]) for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_parquet(
+        spark, path, target_file_bytes=1 << 30, partition_by=["grp"]
+    )
+    after = sorted(
+        (r["id"], r["grp"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    # layout preserved: one dir per grp value
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("grp=")
+    ) == ["grp=0", "grp=1", "grp=2"]
