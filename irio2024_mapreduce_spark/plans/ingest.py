@@ -21,6 +21,16 @@ writes of batch-sized frames. Nothing corpus-sized moves.
 ``tools/stress_incremental.py`` measures the probe's ~flat cost at
 100× corpus.
 
+Durability note: each ``ingest_batch`` issues several independent
+parquet append jobs (corpus, hashes, postings/bands, stats). Spark's
+file committer makes each WRITE atomic (readers never see a job's
+``_temporary`` output), but a driver crash BETWEEN writes can leave
+the index missing one half of a batch's rows — re-ingesting the same
+batch is then safe-but-lossy (its dups self-convict via the hashes
+half that did land). Production deployments put these appends behind
+a transactional table format or a manifest commit; on this plain
+filesystem the per-batch manifest is the audit trail.
+
 Note the index covers SHIPPED docs only: a batch doc killed by the
 funnel never enters the index — a future byte-identical doc fails the
 same funnel rule, which is the correct (and census-checkable)
