@@ -275,6 +275,51 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3  # characteristic terms reported per doc
+
+
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: the TFIDF_TOP_K most characteristic
+    terms of every document, scored tf × (N+1)/(df+1) with the same
+    log-free rational-idf discipline as ``bm25_search`` (one IEEE
+    division and one multiplication — bit-identical on both engines,
+    where ln() would hash-diverge across libm builds).
+
+    Scale shape: tf is a map-side-partial (doc, term) aggregation;
+    df is one |vocab|-row aggregate joined back ON THE TERM (at
+    corpus scale the vocab frame shuffles, never the corpus bodies);
+    the per-doc top-k window is partitioned by doc_id — bounded by a
+    doc's distinct terms, never corpus-sized."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_docs = docs.count()  # bounded: one scalar, same role as bm25's stats
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
 # CCNet-style LM quality scoring, integer-exact. Real pipelines score
 # documents with a small LM's perplexity and drop the tail; the
 # monotone core of that signal is "how improbable are this doc's
@@ -656,6 +701,9 @@ RETIRED_TWIN_QUERIES = {
     # r8: CCNet-style unigram-LM improbability scoring (window full —
     # local-oracle extra)
     "quality_unigram_lm": quality_unigram_lm,
+    # r8: per-doc TF-IDF keyword extraction, rational idf (window
+    # full — local-oracle extra)
+    "tfidf_topk_terms": tfidf_topk_terms,
 }
 
 
@@ -765,6 +813,36 @@ ORACLE_SQL["quality_funnel"] = f"""
     """
 
 RETIRED_TWIN_ORACLES = {
+    # same rational-idf discipline as bm25: one IEEE division + one
+    # multiplication per score, rounded at 6dp on both engines
+    "tfidf_topk_terms": f"""
+        WITH docs_nn AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM docs_nn
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT COUNT(*) AS nd FROM docs_nn
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * (((SELECT nd FROM n) + 1.0)
+                                  / (dfreq.df + 1.0)), 6) AS score
+            FROM tf JOIN dfreq ON tf.term = dfreq.term
+        )
+        SELECT doc_id, term, score, rank FROM (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC
+                   )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """,
     # the corpus token total is a scalar subquery here where Spark
     # injects a collected int literal — same value, exact integer
     # arithmetic throughout, so the scores hash-match bit-for-bit

@@ -120,6 +120,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r8: CCNet-style unigram-LM improbability quality scoring
         # (integer-exact perplexity proxy; window full)
         "quality_unigram_lm",
+        # r8: per-doc TF-IDF keyword extraction (rational idf, the
+        # bm25 float discipline; window full)
+        "tfidf_topk_terms",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
         # r7: md5-hash-family MinHash twin — the FULL LSH pipeline
