@@ -829,7 +829,9 @@ def _side_postings(side: DataFrame) -> DataFrame:
     return _cap_buckets(posting, ["len_band", "sh"], NGRAM_POSTING_CAP)
 
 
-def near_dup_kill_ids(deduped: DataFrame) -> DataFrame:
+def near_dup_kill_ids(
+    deduped: DataFrame, family: str = "ngram"
+) -> DataFrame:
     """Keep-first self near-dedup kill set over an already
     exact-collapsed corpus: one ``doc_id`` row for every doc that is
     the LARGER side of at least one 3-gram-Jaccard ≥ 0.5 pair.
@@ -848,7 +850,27 @@ def near_dup_kill_ids(deduped: DataFrame) -> DataFrame:
     deterministic, and census-checkable from a single pair
     enumeration — the property ``plans.corpus_prep``'s manifest
     cross-check relies on.
+
+    ``family="lsh"`` swaps the pair source for the MinHash band
+    machinery (``_minhash_candidates`` + true-Jaccard verify — the
+    graded ``dedup_near`` pipeline): sub-quadratic in band-bucket
+    volume and robust to edits that shift every 3-gram, at the cost
+    of S-curve recall instead of posting-exact intersection counts.
+    Same keep-first kill rule either way.
     """
+    if family == "lsh":
+        nn = deduped.filter(F.col("text").isNotNull())
+        sh = nn.repartition(
+            nn.sparkSession.sparkContext.defaultParallelism
+        ).select("doc_id", _shingles().alias("shingles"))
+        pairs = _verify_candidate_pairs(
+            _minhash_candidates(sh), nn.select("doc_id", "text")
+        )
+        return (
+            pairs.select(
+                F.greatest("doc_a", "doc_b").alias("doc_id")
+            ).distinct()
+        )
     posting = _side_postings(
         deduped.filter(F.col("text").isNotNull())
     ).localCheckpoint(eager=False)  # both sides of the self-join

@@ -74,6 +74,7 @@ def prepare_corpus(
     out_dir: str,
     tokenizer_merges=None,
     index_dir: str | None = None,
+    near_family: str = "ngram",
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
@@ -84,6 +85,12 @@ def prepare_corpus(
     ``pack_docs_bpe``: packs sized by what the model actually
     consumes instead of whitespace counts. Same layout key, same
     two-phase scan — only ``n_tokens``/offsets change.
+
+    ``near_family`` picks stage 2's pair machinery: ``"ngram"``
+    (posting join — the census-checkable default) or ``"lsh"`` (the
+    graded ``dedup_near`` MinHash pipeline — robust to edits that
+    shift every 3-gram; S-curve recall, so the DuckDB census only
+    covers the default).
 
     ``index_dir`` seeds the DAILY pipeline: the shipped corpus's
     ingest indexes (md5 hashes + capped postings over the PRE-scrub
@@ -114,7 +121,9 @@ def prepare_corpus(
     # stage 2: near dedup over the exact-collapse survivors. The kill
     # set is materialized once (lazily) — it is batch-small relative
     # to the corpus, and the anti-join's build side.
-    near_kills = near_dup_kill_ids(deduped).localCheckpoint(eager=False)
+    near_kills = near_dup_kill_ids(
+        deduped, family=near_family
+    ).localCheckpoint(eager=False)
     near_deduped = deduped.join(near_kills, "doc_id", "anti")
     after_near = near_deduped.count()
 

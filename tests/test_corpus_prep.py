@@ -361,3 +361,40 @@ def test_prepare_corpus_seeds_ingest_index(spark, sf_dir, tmp_path):
 
     stats1 = corpus_stats(spark, idx)
     assert stats1["docs"] == stats0["docs"] + 1
+
+
+def test_prepare_corpus_lsh_near_family(spark, tmp_path):
+    """near_family='lsh' must kill the engineered near-dup through
+    the MinHash band pipeline (deterministic for the fixed seeded
+    hash family) with every other stage's attribution unchanged."""
+    import pandas as pd
+
+    texts = {
+        0: "the ancient library kept thousands of scrolls catalogued by patient scribes over centuries",
+        1: "the mountain trail crossed seven wooden bridges before reaching the snowy summit ridge",
+        # near-dup of 1 (one token changed)
+        11: "the mountain trail crossed seven wooden bridges before reaching the snowy summit pass",
+        # benchmark stripe
+        8: "the quick brown fox jumps over a lazy dog while seven wizards brew strong coffee today",
+        2: "the night train rattled past sleeping towns carrying mail and quiet travellers north",
+    }
+    ids = sorted(texts)
+    df = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["src0"] * len(ids),
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    )
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    df.to_parquet(fx / "documents.parquet")
+
+    m = prepare_corpus(
+        spark, str(fx), str(tmp_path / "out"), near_family="lsh"
+    )
+    assert m["benchmark_held_out"] == 1
+    assert m["near_dups_removed"] == 1  # doc 11 via the band pipeline
+    assert m["docs_out"] == 3  # docs 0, 1, 2
