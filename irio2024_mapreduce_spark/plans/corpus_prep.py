@@ -183,7 +183,9 @@ def prepare_corpus(
             seed_index_from_prepared,
         )
 
-        seed_index_from_prepared(spark, decontaminated, cleaned, index_dir)
+        seed_index_from_prepared(
+            spark, decontaminated, cleaned, index_dir, family=near_family
+        )
 
     agg = packs.agg(
         F.count("*").alias("docs"),

@@ -22,14 +22,17 @@ writes of batch-sized frames. Nothing corpus-sized moves.
 100× corpus.
 
 Durability note: each ``ingest_batch`` issues several independent
-parquet append jobs (corpus, hashes, postings/bands, stats). Spark's
-file committer makes each WRITE atomic (readers never see a job's
-``_temporary`` output), but a driver crash BETWEEN writes can leave
-the index missing one half of a batch's rows — re-ingesting the same
-batch is then safe-but-lossy (its dups self-convict via the hashes
-half that did land). Production deployments put these appends behind
-a transactional table format or a manifest commit; on this plain
-filesystem the per-batch manifest is the audit trail.
+parquet append jobs in a DELIBERATE order — index hashes first, the
+near-dup index half next, the corpus append after, the stats row
+last. Spark's file committer makes each WRITE atomic (readers never
+see a job's ``_temporary`` output), and the ordering makes a driver
+crash between writes recoverable by re-ingesting the same batch:
+its docs self-convict via the hashes that already landed, so the
+corpus never gains duplicates (safe-but-lossy; a crash after the
+corpus append at worst under-counts the stats row). Production
+deployments put the whole sequence behind a transactional table
+format or a manifest commit; on this plain filesystem the per-batch
+manifest is the audit trail.
 
 Note the index covers SHIPPED docs only: a batch doc killed by the
 funnel never enters the index — a future byte-identical doc fails the
@@ -51,6 +54,7 @@ from irio2024_mapreduce_spark.operators.dedup import (
     corpus_index_hashes,
     corpus_index_postings,
     corpus_index_rep_shingles,
+    near_dup_kill_ids,
 )
 from irio2024_mapreduce_spark.operators.llm_prep import scrub_text
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
@@ -131,6 +135,19 @@ def ingest_batch(
         "semi",
     )
 
+    # INTRA-batch near dedup: the corpus probe above checks each
+    # batch doc against the CORPUS only (exact dups within the batch
+    # self-convict via the earlier-doc rule, but two near-dup docs
+    # co-arriving in one batch would both admit). The admitted frame
+    # is already exact-collapsed, so the one-shot pipeline's
+    # keep-first kill set applies directly; kills are charged to
+    # near_dups alongside the corpus-probe convictions.
+    intra_kills = near_dup_kill_ids(
+        admitted, family=family
+    ).localCheckpoint(eager=False)
+    intra_near = intra_kills.count()
+    admitted = admitted.join(intra_kills, "doc_id", "anti")
+
     # quality funnel over the admitted docs (same first-failing-rule
     # column the one-shot pipeline and the graded query use)
     tagged = admitted.withColumn("_verdict", funnel_verdict())
@@ -140,10 +157,18 @@ def ingest_batch(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    survivors = tagged.filter(F.col("_verdict") == "pass").drop("_verdict")
+    # survivors feeds the scrub (corpus write) AND the index builders
+    # (raw text) — one batch-sized materialization, not 4-5 re-runs of
+    # the admit-join + funnel subtree per consumer
+    survivors = (
+        tagged.filter(F.col("_verdict") == "pass")
+        .drop("_verdict")
+        .localCheckpoint(eager=False)
+    )
 
-    # scrub + append to the corpus artifact (n_chars recomputed from
-    # the shipped bytes, same policy as prepare_corpus)
+    # scrub (n_chars recomputed from the shipped bytes, same policy
+    # as prepare_corpus); checkpointed once for its three consumers
+    # (corpus append, count, stats row)
     cleaned = scrub_text(survivors).select(
         "doc_id",
         F.col("clean_text").alias("text"),
@@ -156,18 +181,19 @@ def ingest_batch(
             for c in survivors.columns
             if c not in ("doc_id", "text", "n_chars")
         ],
-    )
-    clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
-    cleaned.write.mode("append").parquet(clean_path)
-    appended = cleaned.count()
+    ).localCheckpoint(eager=False)
 
-    # append the survivors' index rows so the NEXT batch dedups
-    # against today's admissions. The survivor frame is the corpus
-    # increment, so the same index builders apply — every append is
-    # batch-sized. NB the index covers the survivors' RAW text (the
-    # bytes tomorrow's duplicates will carry), while the corpus
-    # artifact ships the scrubbed text — dedup on pre-scrub bytes is
-    # deliberate.
+    # WRITE ORDER is the crash-recovery story (module docstring):
+    # index halves FIRST (hashes before the near-dup half), corpus
+    # next, stats last. A crash after the hashes append but before
+    # the corpus append means a re-ingest of the same batch
+    # self-convicts via those hashes — safe-but-lossy. The reverse
+    # order (corpus first) would DUPLICATE corpus rows on retry,
+    # which is unrecoverable. A crash after the corpus append but
+    # before the stats row only under-counts corpus_stats. The index
+    # covers the survivors' RAW text (the bytes tomorrow's duplicates
+    # will carry), while the corpus artifact ships the scrubbed text —
+    # dedup on pre-scrub bytes is deliberate.
     corpus_index_hashes(survivors).write.mode("append").parquet(
         os.path.join(index_dir, "hashes")
     )
@@ -183,12 +209,16 @@ def ingest_batch(
             os.path.join(index_dir, "rep_shingles")
         )
 
+    clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
+    cleaned.write.mode("append").parquet(clean_path)
+    appended = cleaned.count()
+
     _append_stats_row(cleaned, index_dir)
 
     return {
         "batch_in": batch_in,
         "exact_dups": by_verdict.get("exact_dup", 0),
-        "near_dups": by_verdict.get("near_dup", 0),
+        "near_dups": by_verdict.get("near_dup", 0) + intra_near,
         "killed_null_text": kills.get("null_text", 0),
         "killed_too_short": kills.get("too_short", 0),
         "killed_too_repetitive": kills.get("too_repetitive", 0),
@@ -197,7 +227,9 @@ def ingest_batch(
     }
 
 
-def _append_stats_row(cleaned: DataFrame, index_dir: str) -> None:
+def _append_stats_row(
+    cleaned: DataFrame, index_dir: str, mode: str = "append"
+) -> None:
     """One MERGEABLE stats row per corpus increment: exact counters
     plus HLL sketches (Apache DataSketches via ``hll_sketch_agg``) of
     the distinct texts and distinct tokens contributed. Corpus-wide
@@ -217,7 +249,7 @@ def _append_stats_row(cleaned: DataFrame, index_dir: str) -> None:
         .filter(F.col("t") != "")
         .agg(F.hll_sketch_agg("t").alias("token_sketch"))
     )
-    doc_stats.crossJoin(tok_stats).write.mode("append").parquet(
+    doc_stats.crossJoin(tok_stats).write.mode(mode).parquet(
         os.path.join(index_dir, "stats")
     )
 
@@ -227,19 +259,33 @@ def seed_index_from_prepared(
     raw_survivors: DataFrame,
     cleaned: DataFrame,
     index_dir: str,
+    family: str = "ngram",
 ) -> None:
     """Bridge from the one-shot build to the daily pipeline: write
-    the shipped corpus's ingest indexes (md5 hashes + capped postings
-    over ``raw_survivors`` — the PRE-scrub text, ingest's dedup
-    convention) and its stats row, so ``ingest_batch`` continues the
-    corpus from day one."""
+    the shipped corpus's ingest indexes (md5 hashes + the ``family``
+    near-dup half over ``raw_survivors`` — the PRE-scrub text,
+    ingest's dedup convention) and its stats row, so ``ingest_batch``
+    continues the corpus from day one. EVERY part is overwrite —
+    seeding is day-zero, so a re-run of the build replaces the index
+    wholesale (an appended stats row here would double-count
+    corpus_stats on every build retry)."""
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")
     )
-    corpus_index_postings(raw_survivors).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    _append_stats_row(cleaned, index_dir)
+    if family == "ngram":
+        corpus_index_postings(raw_survivors).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "postings"))
+    elif family == "lsh":
+        corpus_index_bands(raw_survivors).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands")
+        )
+        corpus_index_rep_shingles(raw_survivors).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "rep_shingles"))
+    else:
+        raise ValueError(f"unknown index family: {family!r}")
+    _append_stats_row(cleaned, index_dir, mode="overwrite")
 
 
 def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:

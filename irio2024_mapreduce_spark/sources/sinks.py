@@ -13,6 +13,7 @@ bucket keys skip their shuffle entirely.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_single_file(
@@ -84,10 +85,17 @@ def compact_parquet(
     (the same 128 MiB the scan-side ``maxPartitionBytes`` is tuned
     to, so post-compaction one file ≈ one split ≈ one task).
 
-    Atomicity on a filesystem: write to a sibling temp dir, then a
-    directory swap — readers never observe a half-written dataset;
-    on object stores the swap becomes a manifest/metastore pointer
-    flip. Returns {files_before, files_after, bytes}.
+    Swap semantics on a plain filesystem: write to a sibling temp
+    dir, then TWO renames (path→old, tmp→path). Each rename is
+    atomic but the pair is not — a reader in the gap sees a missing
+    dataset, and a crash between them leaves the data under
+    ``._compact_old``. Both are recovered here: stale temp dirs are
+    cleaned on entry and an orphaned old dir (crash signature: old
+    exists, path missing) is renamed back before compacting. True
+    readers-never-blocked atomicity needs a manifest/metastore
+    pointer flip (transactional table format) — this is the honest
+    filesystem approximation, not that. Returns
+    {files_before, files_after, bytes}.
 
     Hive-partitioned datasets must pass ``partition_by`` (the rewrite
     then compacts WITHIN each partition dir); compacting one without
@@ -97,6 +105,19 @@ def compact_parquet(
     import glob as _glob
     import os as _os
     import shutil as _shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # crash recovery: a stale tmp is garbage from a failed write; a
+    # stale old with NO live dataset is the pre-swap data — restore
+    # it; a stale old WITH a live dataset is post-swap garbage.
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    if _os.path.exists(old):
+        if _os.path.exists(path):
+            _shutil.rmtree(old)
+        else:
+            _os.rename(old, path)
 
     hive_dirs = [
         d
@@ -120,22 +141,26 @@ def compact_parquet(
     total_bytes = sum(_os.path.getsize(f) for f in data_files)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
 
-    tmp = path.rstrip("/") + "._compact_tmp"
     # repartition (round-robin shuffle) — not coalesce: coalesce
     # narrows without rebalancing, so one fat input file would keep
     # its skew and produce one fat output file. Partitioned datasets
-    # repartition ON the partition columns so each hive dir's rows
-    # land together before the per-partition write.
+    # RANGE-partition on (partition cols, row hash): ranges keep a
+    # partition's rows on contiguous tasks (each task writes into at
+    # most a couple of hive dirs, so total files stay ~n_out) while
+    # the trailing hash splits a HOT partition across as many tasks
+    # as its bytes deserve — plain repartition(n_out, *partition_by)
+    # would collapse each hive dir onto ONE task and write one
+    # arbitrarily large file per partition, ignoring the byte target.
     df = spark.read.parquet(path)
-    writer = (
-        df.repartition(n_out, *partition_by)
-        if partition_by
-        else df.repartition(n_out)
-    ).write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        salt = F.xxhash64(*[F.col(c) for c in df.columns])
+        shaped = df.repartitionByRange(
+            n_out, *[F.col(c) for c in partition_by], salt
+        )
+        writer = shaped.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        writer = df.repartition(n_out).write.mode("overwrite")
     writer.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     _os.rename(path, old)
     _os.rename(tmp, path)
     _shutil.rmtree(old)

@@ -324,3 +324,88 @@ def test_compact_parquet_partitioned_dataset(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("grp=")
     ) == ["grp=0", "grp=1", "grp=2"]
+
+
+def test_intra_batch_near_dups_are_killed(spark, tmp_path):
+    """Two near-dup docs co-arriving in ONE batch (neither matching
+    the corpus) must not both ship: the intra-batch pass kills the
+    larger doc_id, charged to near_dups."""
+    t_corpus = (
+        "the ancient library kept thousands of scrolls catalogued by "
+        "patient scribes over centuries"
+    )
+    t_a = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit ridge"
+    )
+    t_b = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit pass"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, frame([(100, t_corpus)]), idx)
+    m = ingest_batch(spark, frame([(200, t_a), (201, t_b)]), idx, out)
+    assert _tiles(m)
+    assert m["near_dups"] == 1 and m["appended"] == 1
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped.collect()} == {200}
+
+
+def test_reingest_same_batch_is_idempotent_for_the_corpus(
+    spark, tmp_path
+):
+    """Crash-retry story: re-ingesting an already-ingested batch must
+    append NOTHING (every doc self-convicts via the hashes that
+    landed), so the corpus can never gain duplicates from an
+    at-least-once redelivery."""
+    t_corpus = (
+        "the ancient library kept thousands of scrolls catalogued by "
+        "patient scribes over centuries"
+    )
+    t_new = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit ridge"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, frame([(100, t_corpus)]), idx)
+    batch = frame([(200, t_new)])
+    m1 = ingest_batch(spark, batch, idx, out)
+    assert m1["appended"] == 1
+    m2 = ingest_batch(spark, batch, idx, out)
+    assert m2["appended"] == 0 and m2["exact_dups"] == 1
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert shipped.count() == 1
+
+
+def test_seed_rerun_does_not_double_count_stats(spark, sf_dir, tmp_path):
+    """Re-running the one-shot build with the same index_dir must
+    REPLACE the seeded index (including the stats row) — an appended
+    stats row would silently double corpus_stats on every retry."""
+    from irio2024_mapreduce_spark.plans.corpus_prep import prepare_corpus
+    from irio2024_mapreduce_spark.plans.ingest import corpus_stats
+
+    idx = str(tmp_path / "idx")
+    m1 = prepare_corpus(spark, sf_dir, str(tmp_path / "o1"), index_dir=idx)
+    s1 = corpus_stats(spark, idx)
+    prepare_corpus(spark, sf_dir, str(tmp_path / "o2"), index_dir=idx)
+    s2 = corpus_stats(spark, idx)
+    assert s1 == s2
+    assert s1["docs"] == m1["docs_out"]

@@ -92,16 +92,11 @@ def drain_and_measure(stream_df, name: str) -> dict:
     q.awaitTermination()
     progresses = [json.loads(p.json) for p in q.recentProgress]
     batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
-    last_state = None
+    last_state = last_mem = None
     for p in reversed(progresses):
         ops = p.get("stateOperators") or []
         if ops:
             last_state = sum(op.get("numRowsTotal", 0) for op in ops)
-            break
-    last_mem = None
-    for p in reversed(progresses):
-        ops = p.get("stateOperators") or []
-        if ops:
             last_mem = sum(op.get("memoryUsedBytes", 0) for op in ops)
             break
     return {
