@@ -361,41 +361,28 @@ def dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _shingles().alias("shingles"))
     )
-    banded = _md5_band_rows(docs).localCheckpoint(eager=False)
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = _band_pair_join(_md5_band_rows(docs))
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _verify_candidate_pairs(pairs, raw)
 
 
-def _minhash_candidates(
-    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
-) -> DataFrame:
-    """(doc_id, shingles) → deduplicated candidate pairs
-    (doc_a, doc_b) via MinHash signatures + LSH banding, with the
-    hot-bucket cap applied before the band self-join."""
-    banded = _band_rows(docs, bucket_cap)
+def _band_pair_join(banded: DataFrame) -> DataFrame:
+    """Capped band rows → deduplicated candidate pairs (doc_a,
+    doc_b). ONE implementation shared by the graded xxhash64 path
+    (:func:`_minhash_candidates`) and the md5 oracle twin
+    (:func:`dedup_near_md5`) — the twins exist to prove 'only the
+    hash family differs', so the join itself must be literally the
+    same code (a fix applied to one copy would silently break that
+    guarantee).
 
-    # materialize ONCE before the self-join: both join sides otherwise
-    # instantiate the whole signature pipeline (K minhashes per
-    # shingle — the expensive part) as separate subtrees, and no
-    # exchange reuse rescues it because the planner broadcasts one
-    # side. Band rows are just (doc_id, band, band_hash) — cheap to
-    # hold; lazy, so the join's own action materializes it.
+    The localCheckpoint materializes the band rows ONCE before the
+    self-join: both join sides otherwise instantiate the whole
+    signature pipeline (K minhashes per shingle — the expensive
+    part) as separate subtrees, and no exchange reuse rescues it
+    because the planner broadcasts one side. Band rows are just
+    (doc_id, band, band_hash) — cheap to hold; lazy, so the join's
+    own action materializes it."""
     banded = banded.localCheckpoint(eager=False)
-
     return (
         banded.alias("l")
         .join(
@@ -410,6 +397,15 @@ def _minhash_candidates(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def _minhash_candidates(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, shingles) → deduplicated candidate pairs
+    (doc_a, doc_b) via MinHash signatures + LSH banding, with the
+    hot-bucket cap applied before the band self-join."""
+    return _band_pair_join(_band_rows(docs, bucket_cap))
 
 
 # ---------------------------------------------------------------- simhash
@@ -488,6 +484,18 @@ def _simhash_candidates(
     )
     simhash = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
 
+    return _simhash_chunk_pairs(simhash, bucket_cap)
+
+
+def _simhash_chunk_pairs(
+    simhash: DataFrame, bucket_cap: int
+) -> DataFrame:
+    """(doc_id, simhash) → candidate pairs carrying both signatures
+    (doc_a, doc_b, sh_a, sh_b) via the 4×16-bit pigeonhole chunk
+    equi-join. ONE implementation shared by the graded xxhash-vote
+    path and the md5 oracle twin — the twin's guarantee is 'only the
+    bit source differs', so the chunking/cap/join must be literally
+    the same code."""
     chunks = simhash.select(
         "doc_id",
         "simhash",
@@ -498,7 +506,7 @@ def _simhash_candidates(
     # hot-bucket guard BEFORE the self-join (see LSH_BUCKET_CAP)
     chunks = _cap_buckets(chunks, ["chunk", "chunk_val"], bucket_cap)
     # one materialization of the signature pipeline for both join
-    # sides (see _minhash_candidates) — chunk rows are 4 small rows
+    # sides (see _band_pair_join) — chunk rows are 4 small rows
     # per doc
     chunks = chunks.localCheckpoint(eager=False)
     l, r = chunks.alias("l"), chunks.alias("r")
@@ -564,30 +572,8 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(64)
     )
     simhash = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
-    chunks = simhash.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
-    ).withColumn(
-        "chunk_val", F.expr("(simhash >> cast(chunk * 16 as int)) & 65535")
-    )
-    chunks = _cap_buckets(chunks, ["chunk", "chunk_val"], SIMHASH_BUCKET_CAP)
-    chunks = chunks.localCheckpoint(eager=False)
-    l, r = chunks.alias("l"), chunks.alias("r")
     return (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        _simhash_chunk_pairs(simhash, SIMHASH_BUCKET_CAP)
         .withColumn(
             "hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long")
         )
@@ -800,15 +786,17 @@ def _side_postings(side: DataFrame) -> DataFrame:
     hash-count-sized) output to ONE partition, and the expensive
     part — building ~L shingle strings per doc and exploding them —
     would then run on a single task (measured 2.7 s single-task vs
-    0.3 s spread at sf0.1; same guard as _ngram_posting_join). That cap guards the all-pairs
-    verify twin (a band of b docs costs O(b²) comparisons there);
-    the posting join's fan-out is bounded per (band, shingle) by
-    NGRAM_POSTING_CAP alone. At corpus scale EVERY band exceeds any
-    fixed constant, so a band cap here would silently disable
-    near-dedup for the whole corpus — found empirically by
-    tools/stress_incremental.py at 100× distinct docs, where the
-    band-capped index collapsed to empty and the probe got *faster*
-    with more data."""
+    0.3 s spread at sf0.1; same guard as _ngram_posting_join).
+
+    Why no PAIRWISE_BLOCK_CAP here: that cap exists for the
+    all-pairs VERIFY twin, where a length band of b docs costs O(b²)
+    comparisons; this posting join's fan-out is bounded per
+    (band, shingle) by NGRAM_POSTING_CAP alone. At corpus scale
+    EVERY length band exceeds any fixed constant, so a band cap here
+    would silently disable near-dedup for the whole corpus — found
+    empirically by tools/stress_incremental.py at 100× distinct
+    docs, where the band-capped index collapsed to empty and the
+    probe got *faster* with more data."""
     sh = side.repartition(
         side.sparkSession.sparkContext.defaultParallelism
     ).select(
@@ -919,6 +907,35 @@ def corpus_index_postings(corpus: DataFrame) -> DataFrame:
     return _side_postings(reps)
 
 
+def _exact_dup_ids(
+    batch_h: DataFrame, corpus_hashes: DataFrame
+) -> DataFrame:
+    """Exact-dup doc_ids of a hashed batch: byte-identical to a
+    corpus digest (semi join) OR to an EARLIER (smaller doc_id) doc
+    in the same batch. ONE implementation shared by the n-gram and
+    LSH verdict cores — the LSH twin's docstring promises this stage
+    is 'identical to the n-gram path', so it must be the same code.
+
+    Materialized once (lazy localCheckpoint): three consumers (the
+    survivors anti-join, the final verdict join, and transitively
+    everything under near_ids) would otherwise each re-execute the
+    batch hashing + corpus semi-join subtree."""
+    vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
+    first_in_batch = batch_h.groupBy("_h").agg(
+        F.min("doc_id").alias("_first")
+    )
+    vs_batch = (
+        batch_h.join(first_in_batch, "_h")
+        .filter(F.col("doc_id") != F.col("_first"))
+        .select("doc_id")
+    )
+    return (
+        vs_corpus.unionByName(vs_batch)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def _incremental_verdicts(
     batch: DataFrame,
     corpus_hashes: DataFrame,
@@ -929,26 +946,7 @@ def _incremental_verdicts(
     :func:`dedup_incremental` (index derived on the fly) and the
     index-backed probe path (index read from parquet)."""
     batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
-
-    # exact: vs corpus (semi join) OR vs an earlier batch doc
-    vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
-    first_in_batch = batch_h.groupBy("_h").agg(
-        F.min("doc_id").alias("_first")
-    )
-    vs_batch = (
-        batch_h.join(first_in_batch, "_h")
-        .filter(F.col("doc_id") != F.col("_first"))
-        .select("doc_id")
-    )
-    # materialize the (tiny, ≤batch-sized) exact-dup id set ONCE:
-    # three consumers (the survivors anti-join, the final verdict
-    # join, and transitively everything under near_ids) would
-    # otherwise each re-execute its subtree — batch hashing plus the
-    # corpus md5 semi-join — tripling the corpus-side work. Lazy, so
-    # the first consumer's job pays the single materialization.
-    exact_ids = (
-        vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=False)
-    )
+    exact_ids = _exact_dup_ids(batch_h, corpus_hashes)
 
     # near: survivors vs corpus reps, banded capped posting join
     survivors = batch_h.join(exact_ids, "doc_id", "anti").select(
@@ -1059,18 +1057,7 @@ def _incremental_lsh_verdicts(
        dedup_near).
     """
     batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
-    vs_corpus = batch_h.join(corpus_hashes, "_h", "semi").select("doc_id")
-    first_in_batch = batch_h.groupBy("_h").agg(
-        F.min("doc_id").alias("_first")
-    )
-    vs_batch = (
-        batch_h.join(first_in_batch, "_h")
-        .filter(F.col("doc_id") != F.col("_first"))
-        .select("doc_id")
-    )
-    exact_ids = (
-        vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=False)
-    )
+    exact_ids = _exact_dup_ids(batch_h, corpus_hashes)
 
     # NULL-text survivors skip the band probe (no shingle mass — see
     # corpus_index_bands); they reach "admitted" through the final

@@ -254,9 +254,10 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id) hex digits fall under the fractional threshold, so
     the mixture is reproducible across runs/partitionings/engines
     (same trick as ``deterministic_sample``, at 1/256 granularity).
-    Upsampling is a map-only 1→N ``explode(sequence(...))`` — no
-    shuffle until the final per-source summary; at 100 TB the
-    exploded frame streams straight into the shuffle-free sink."""
+    Upsampling is a map-only 1→N ``explode(sequence(...))``
+    (:func:`mix_docs`) — no shuffle, and at 100 TB the exploded frame
+    streams straight into the shuffle-free sink; this REPORT query
+    summarizes the same copy counts without paying the explode."""
     docs = load_table(spark, sf_dir, "documents")
     idx = F.substring("source", 4, 10).cast("int")
     w_int, w_hex = F.lit(None), F.lit(None)
@@ -272,14 +273,16 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (w_int + frac_take.cast("int")).alias("n_copies"),
     )
-    mixed = weighted.filter(F.col("n_copies") > 0).select(
-        "doc_id",
-        "source",
-        F.explode(F.expr("sequence(0, n_copies - 1)")).alias("copy_id"),
-    )
-    per_source_out = mixed.groupBy("source").agg(
-        F.count("*").cast("long").alias("rows_out"),
-        F.countDistinct("doc_id").alias("docs_kept"),
+    # the SUMMARY aggregates n_copies directly — exploding every doc
+    # 1→N only to count the rows again would multiply the upsampled
+    # stripe's row volume ~2.25× for identical output. The actual
+    # 1→N materialization (what a pipeline feeds its sink) is
+    # :func:`mix_docs`, which tests pin equal to these counts.
+    per_source_out = weighted.filter(F.col("n_copies") > 0).groupBy(
+        "source"
+    ).agg(
+        F.sum("n_copies").cast("long").alias("rows_out"),
+        F.count("*").cast("long").alias("docs_kept"),
     )
     docs_in = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("docs_in")
@@ -302,6 +305,33 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_docs(docs: DataFrame) -> DataFrame:
+    """The MATERIALIZATION half of the source mix: every doc emitted
+    ``n_copies`` times (map-only 1→N explode, zero shuffle) with a
+    ``copy_id`` — the frame a pretraining pipeline actually writes.
+    ``source_mix`` is the summary of exactly these counts
+    (equality pinned in tests/test_llm_prep.py)."""
+    idx = F.substring("source", 4, 10).cast("int")
+    w_int, w_hex = F.lit(None), F.lit(None)
+    for bound, whole, frac_hex in reversed(MIX_BANDS):
+        w_int = F.when(idx < bound, F.lit(whole)).otherwise(w_int)
+        w_hex = F.when(idx < bound, F.lit(frac_hex)).otherwise(w_hex)
+    frac_take = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < w_hex
+    )
+    return (
+        docs.withColumn(
+            "n_copies", (w_int + frac_take.cast("int"))
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            *docs.columns,
+            F.explode(F.expr("sequence(0, n_copies - 1)")).alias("copy_id"),
+        )
+    )
+
+
 _MIX_CASE_INT = (
     "CASE WHEN idx < 5 THEN 2 WHEN idx < 10 THEN 1 ELSE 0 END"
 )
@@ -316,6 +346,17 @@ _MIX_CASE_HEX = (
 # no similarity threshold, a single shared long n-gram convicts
 # (long n-grams are specific enough that one exact hit means leaked
 # eval text, not coincidence).
+#
+# Fixed-n contract, stated precisely: a benchmark doc SHORTER than n
+# tokens contributes one whole-doc gram, so a sub-n benchmark doc is
+# detected only when a training doc equals it outright — a longer
+# training doc CONTAINING it verbatim is not convicted (the training
+# side emits n-grams only; matching every sub-n benchmark length
+# would need per-length gram explosions keyed on the data, which a
+# static cross-engine oracle cannot express). This is the standard
+# fixed-n behavior of public decontamination tooling; size the
+# benchmark stripe's min doc length ≥ n when the stronger guarantee
+# matters.
 DECONTAM_NGRAM = 13
 
 

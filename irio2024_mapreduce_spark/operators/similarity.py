@@ -48,7 +48,14 @@ def _cosine(a: Column, b: Column) -> Column:
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 corpus neighbors for each query vector."""
+    """Exact cosine top-5 corpus neighbors for each query vector.
+
+    The rank-filter window is NOT a corpus-sized buffer: Spark
+    rewrites ``row_number ≤ k`` into Partial+Final ``WindowGroupLimit``
+    — every map task keeps only its local per-query top-k BEFORE the
+    shuffle, so the final window sees ≤ k × map-partitions rows (the
+    per-group analog of TakeOrderedAndProject; plan-pinned in
+    tests/test_plans.py)."""
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
@@ -464,13 +471,25 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         form shuffled k rows per vector every Lloyd round; this is
         embarrassingly parallel map work (at 100 TB, assignment cost
         is one corpus pass, no exchange)."""
+        # zero-norm guard mirrors _train_quantizer_numpy's
+        # np.maximum(norm, 1e-300): without it a zero centroid (an
+        # all-zero sample vector seeding a cell that never gains
+        # members) yields all-NaN units, NaN sims, and — because
+        # Spark orders NaN above every double — array_max would hand
+        # that dead cell EVERY corpus vector
         unit = F.transform(
-            "cv", lambda x: x / F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            "cv",
+            lambda x: x
+            / F.greatest(
+                F.sqrt(_dot(F.col("cv"), F.col("cv"))), F.lit(1e-300)
+            ),
         )
         cent_row = cents.select("cell", unit.alias("cu")).agg(
             F.collect_list(F.struct("cell", "cu")).alias("_cents")
         )
-        vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        # zero-vector guard mirrors numpy's x_norm[x_norm == 0] = 1.0
+        raw_vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        vnorm = F.when(raw_vnorm == 0.0, F.lit(1.0)).otherwise(raw_vnorm)
         return (
             frame.join(F.broadcast(cent_row))
             .select(

@@ -133,16 +133,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: length, punctuation density,
-    stopword ratio, mean token length, repetition (1 - TTR)."""
+    stopword ratio, mean token length, repetition (1 - TTR).
+
+    ``stopword_ratio`` counts stopword OCCURRENCES over tokens (the
+    quantity C4/Gopher-style filters threshold) — the pre-r8 form
+    counted distinct stopword TYPES, which caps the 'ratio' at
+    |stoplist|/n_tokens and punishes long documents regardless of
+    density. The presence-threshold form lives where presence is the
+    semantics: funnel_verdict's no_stopwords rule."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _ws_tokens()
     n_tokens = F.size(toks).cast("double")
     punct_cnt = F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), F.lit(0)))
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_cnt = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
-        )
+        F.filter(toks, lambda t: F.array_contains(stoplist, t))
     )
     return docs.select(
         "doc_id",
@@ -487,11 +492,16 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("content_md5"),
-        F.concat_ws(
-            ":",
-            F.element_at(toks, 1),
-            F.element_at(toks, -1),
-            F.size(toks).cast("string"),
+        # NULL text → NULL signature, matching the oracle's || chain
+        # (concat_ws would silently skip the NULL args and emit "",
+        # which the hash harness distinguishes from NULL)
+        F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+            F.concat_ws(
+                ":",
+                F.element_at(toks, 1),
+                F.element_at(toks, -1),
+                F.size(toks).cast("string"),
+            )
         ).alias("shape_sig"),
     )
 
@@ -562,8 +572,10 @@ ORACLE_SQL = {
                len(string_split(text, ' '))::BIGINT AS n_tokens,
                ROUND(len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
                      / n_chars, 6) AS punct_ratio,
-               ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),
-                         ['the','and','of','to','in','is','that','with','for','on']
+               ROUND(len(list_filter(string_split(text, ' '),
+                         x -> list_contains(
+                             ['the','and','of','to','in','is','that','with','for','on'],
+                             x)
                      ))::DOUBLE / len(string_split(text, ' ')), 6) AS stopword_ratio,
                ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
                      / len(string_split(text, ' ')), 6) AS avg_token_len,

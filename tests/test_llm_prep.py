@@ -231,3 +231,29 @@ def test_importance_resample_crafted_selection(spark, tmp_path):
     assert got["srcA"]["admit_rate_x10k"] == 10_000
     assert got["srcB"]["admit_rate_x10k"] == 0
     assert got["srcA"]["avg_score_x10k"] > got["srcB"]["avg_score_x10k"]
+
+
+def test_mix_docs_matches_source_mix_summary(spark, sf_dir):
+    """The materialization (mix_docs explode) and the report
+    (source_mix aggregate) must describe the same mixture exactly."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        mix_docs,
+        source_mix,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    mixed = mix_docs(load_table(spark, sf_dir, "documents"))
+    per_src = {
+        r["source"]: (r["rows"], r["docs"])
+        for r in mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .collect()
+    }
+    for r in source_mix(spark, sf_dir).collect():
+        got = per_src.get(r["source"], (0, 0))
+        assert got == (r["rows_out"], r["docs_kept"]), r["source"]

@@ -356,3 +356,18 @@ def test_bm25_corpus_body_never_shuffles(spark, sf_dir):
     # (row_number over ALL scored docs, filter rank ≤ k) funnels the
     # whole scored set through one WindowExec partition.
     assert "TakeOrderedAndProject" in simple, simple
+
+
+def test_rank_filter_windows_compile_to_window_group_limit(spark, sf_dir):
+    """row_number ≤ k windows must keep Spark's Partial+Final
+    WindowGroupLimit rewrite — each map task retains only its local
+    per-group top-k BEFORE the shuffle (the per-group analog of
+    TakeOrderedAndProject). Without it, a per-query window partition
+    buffers one full corpus of scored rows per query at 100 TB."""
+    from irio2024_mapreduce_spark.operators.similarity import (
+        similarity_topk,
+    )
+
+    plan = plan_of(similarity_topk(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
