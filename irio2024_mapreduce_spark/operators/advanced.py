@@ -154,13 +154,14 @@ def _exact_quantiles(lineitem: DataFrame) -> DataFrame:
     """Two-phase EXACT interpolated quantiles (quantile_cont) per
     return flag — no O(table) sort anywhere.
 
-    Phase 1: histogram — bucket every row by ``floor(price)`` and
-    count per (flag, bucket). Map-side partial agg; shuffle volume is
-    #distinct integer buckets (bounded by the value domain, ~10⁵ here),
-    never #rows. Group sizes (``n``) fall out of the same histogram,
-    and a cumulative-count window over the TINY histogram (one
-    partition per flag of #buckets rows) locates the bucket containing
-    each needed global rank.
+    Phase 1: histogram — bucket every row by
+    ``floor(price / QUANTILE_BUCKET_WIDTH)`` (width 64) and count per
+    (flag, bucket). Map-side partial agg; shuffle volume is #distinct
+    buckets (value domain / 64 — ~1.6k here), never #rows. Group
+    sizes (``n``) fall out of the same histogram, and a
+    cumulative-count window over the TINY histogram (one partition
+    per flag of #buckets rows) locates the bucket containing each
+    needed global rank.
 
     Phase 2: rescan only rows in those ≤4 candidate buckets (one
     broadcast join against the hit list), rank within each
@@ -169,9 +170,12 @@ def _exact_quantiles(lineitem: DataFrame) -> DataFrame:
     exact global rank, and interpolate the two bracketing values.
 
     At 100 TB the same plan holds: the full table is touched by
-    exactly two linear scans; the only sorts are #bucket-sized. If the
-    value domain were unbounded/ultra-skewed, swap ``floor(price)``
-    for a finer or adaptive bucketing — the plan shape is unchanged.
+    exactly two linear scans; the only sorts are #bucket-sized. If
+    the value domain were unbounded/ultra-skewed, tune
+    ``QUANTILE_BUCKET_WIDTH`` (finer/coarser) or swap in adaptive
+    bucketing — the plan shape is unchanged. Trade-off both ways:
+    width ↑ shrinks the histogram but grows each phase-2 rescan
+    bucket; width ↓ the reverse.
     """
     bucketed = lineitem.select(
         "l_returnflag",

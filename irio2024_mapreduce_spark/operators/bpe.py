@@ -218,10 +218,14 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe_from_corpus(spark, docs)
     per_doc = bpe_apply(docs, merges)
+    # NULL (not DIVIDE_BY_ZERO) for an all-empty-text source: ANSI
+    # mode is on in this session, so a bare `div 0` would throw and
+    # fail the whole report for one degenerate group
     x10k = (
         lambda num, den: F.expr(  # noqa: E731 — exact scaled ratio
+            f"CASE WHEN sum({den}) = 0 THEN NULL ELSE "
             f"10000 * (sum({num}) div sum({den})) + "
-            f"(10000 * (sum({num}) % sum({den}))) div sum({den})"
+            f"(10000 * (sum({num}) % sum({den}))) div sum({den}) END"
         )
     )
     return (

@@ -113,9 +113,15 @@ def event_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
+        # microsecond precision, NOT cast('long'): the second-floor
+        # form computes floor-second diffs, so a true gap in
+        # (GAP, GAP+1s) — e.g. 1800.5 s — would read as exactly GAP
+        # and merge sessions the native session_window (full-precision
+        # '> gap') splits, breaking the row-identical parity pin at
+        # the boundary band
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > SESSION_GAP_S,
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > SESSION_GAP_S * 1_000_000,
             1,
         )
         .otherwise(0)

@@ -23,6 +23,7 @@ evicting closed windows.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -40,8 +41,6 @@ def _stage_dir(path: str) -> str:
     single parquet file into a temp dir. In production the source is
     already a directory that files land in — this staging exists only
     because the fixtures are single files."""
-    import hashlib
-
     tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
     os.makedirs(d, exist_ok=True)
@@ -55,25 +54,35 @@ def _stage_dir_dup(path: str) -> str:
     """Stage the fixture file TWICE under different names, so the
     stream genuinely receives every row (at least) twice — the
     at-least-once-delivery condition :func:`streaming_dedup` exists
-    to repair. Fresh dir per call keeps reruns deterministic."""
-    d = tempfile.mkdtemp(prefix="stream_dup_")
+    to repair. Deterministic per-source dir (same scheme as
+    :func:`_stage_dir`) so repeated batteries reuse the copies
+    instead of leaking a fresh /tmp dir per call."""
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"stream_dup_{tag}")
+    os.makedirs(d, exist_ok=True)
     for i in (0, 1):
-        shutil.copy2(path, os.path.join(d, f"copy{i}_{os.path.basename(path)}"))
+        dst = os.path.join(d, f"copy{i}_{os.path.basename(path)}")
+        if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(
+            path
+        ):
+            shutil.copy2(path, dst)
     return d
 
 
 def _drain(writer, name: str) -> None:
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
         writer.queryName(name)
         .format("memory")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # per-call uuid names mean a checkpoint is never reused — remove
+    # it, or repeated test/bench/sweep batteries accumulate unbounded
+    # /tmp trees
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from irio2024_mapreduce_spark.session import ensure_session_confs
-from irio2024_mapreduce_spark.streaming.jobs import _drain, _stage_dir
+from irio2024_mapreduce_spark.streaming.jobs import (
+    _drain,
+    _normalize_event_ts,
+    _stage_dir,
+)
 
 GAP_MINUTES = 30
 
@@ -187,20 +191,19 @@ def run_sessionize_stream(
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(src_dir)
-    # ts → int64 microseconds, whatever physical shape the generator
-    # shipped: int64 nanos (nanosAsLong), TIMESTAMP_NTZ (parquet µs
-    # with isAdjustedToUTC=false — cast to session-zoned TIMESTAMP
-    # first, session tz is pinned UTC so values are unchanged), or
-    # plain TIMESTAMP
+    # ts → session TIMESTAMP via the ONE shared physical-shape
+    # dispatch (jobs._normalize_event_ts — a third inline copy here
+    # previously had to track the generator's nanos/ntz/timestamp
+    # variants by hand), then to int64 microseconds for the Python
+    # state machine
     from pyspark.sql import functions as F
 
-    ts_types = {f.name: f.dataType.simpleString() for f in raw_schema}
-    if ts_types.get("ts") == "bigint":  # int64 nanos (nanosAsLong)
-        ts_us = F.expr("ts div 1000")
-    else:
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prepared = stream.select("user_id", ts_us.alias("ts_us"), "value")
+    stream = _normalize_event_ts(reader.parquet(src_dir), raw_schema)
+    prepared = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
     if timeout == "event_time":
         # the timeout clock is the WATERMARK, which needs a timestamp
         # column on the pre-groupBy stream

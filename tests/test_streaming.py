@@ -798,3 +798,24 @@ def test_quality_funnel_runs_unchanged_as_a_stream(spark, sf_dir):
     streamed = sorted(map(tuple, spark.table(name).collect()))
     batch = sorted(map(tuple, quality_funnel(spark, sf_dir).collect()))
     assert streamed == batch and len(batch) > 0
+
+
+def test_sessionize_output_schema_matches_contract(spark, sf_dir):
+    """OUTPUT_SCHEMA documents the drained sessionizer's contract —
+    assert it so a projection drift can't silently strand the
+    constant."""
+    import os
+
+    from irio2024_mapreduce_spark.streaming.jobs import _stage_dir
+    from irio2024_mapreduce_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        run_sessionize_stream,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    out = run_sessionize_stream(spark, _stage_dir(path), raw_schema)
+    expected = spark.createDataFrame([], OUTPUT_SCHEMA).schema
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in expected
+    ]
