@@ -78,6 +78,12 @@ HEADLINE = [
     # the candidate-cap perf guard keeps its cross-round series.
     "bm25_search",
     "quality_funnel",
+    # added r9 when it took the graded near-dedup slot (30-query
+    # totals not comparable to r8's 29). dedup_near stays ABOVE
+    # despite its r9 retirement (resolved from
+    # RETIRED_ROWS_ONLY_QUERIES) — it anchors the r01 subset and the
+    # xxhash64-family perf series.
+    "dedup_near_md5",
 ]
 
 # The 20 queries HEADLINE contained through rounds 1-2 — their

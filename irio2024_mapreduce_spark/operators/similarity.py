@@ -21,6 +21,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -353,7 +355,20 @@ _LAST_IVF_ROUNDS = 0
 
 def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
     """Fit the coarse quantizer on the collected training sample and
-    return it as a (cell: int, cv: array<double>) DataFrame.
+    return it as a (cell: int, cv: array<double>) DataFrame — a thin
+    DataFrame wrapper over :func:`_train_rows`, which holds the ONE
+    shared Lloyd implementation (the oracle builder
+    :func:`ivf_centroids_for` calls the same function so the injected
+    centroid constants are the Spark-trained centroids by
+    construction, not by re-implementation)."""
+    return spark.createDataFrame(
+        _train_rows(sample_rows), "cell int, cv array<double>"
+    )
+
+
+def _train_rows(sample_rows) -> list[tuple[int, list[float]]]:
+    """The quantizer training core, engine-free: sample rows
+    ({"_k": hash, "v": vector}) → [(cell, centroid)].
 
     Vectorized Lloyd to the centroid fixpoint (capped at
     IVF_ITERATIONS): assignment = max cosine, ties to the smallest
@@ -409,10 +424,7 @@ def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
         if key == prev:
             break
         prev = key
-    return spark.createDataFrame(
-        [(c + 1, [float(x) for x in cents[c]]) for c in range(k)],
-        "cell int, cv array<double>",
-    )
+    return [(c + 1, [float(x) for x in cents[c]]) for c in range(k)]
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +560,201 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ oracle
+# Pure-Python XXH64 (public algorithm, Collet's reference layout) with
+# Spark's default seed 42 — needed ONLY at oracle-build time, to replay
+# the IVF training-sample selection (`orderBy(xxhash64(vec_id))`)
+# outside Spark so the trained centroids can be injected into DuckDB
+# SQL as constants. Verified bit-for-bit against `F.xxhash64` in
+# tests/test_similarity.py (empty/tail/4-byte/32-byte-lane cases).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` as a SIGNED 64-bit int — the exact value
+    Spark's ``xxhash64(col)`` returns for the same bytes (Spark
+    hashes the UTF-8 bytes of a string column with seed 42)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i <= n - 32:
+            k1 = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl64((v1 + k1 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl64((v2 + k2 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            k3 = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl64((v3 + k3 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            k4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl64((v4 + k4 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _U64
+        for v in (v1, v2, v3, v4):
+            h = (
+                (h ^ ((_rotl64((v * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64))
+                * _XXH_P1
+                + _XXH_P4
+            ) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = (
+            _rotl64(h ^ ((_rotl64((k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64), 27)
+            * _XXH_P1
+            + _XXH_P4
+        ) & _U64
+        i += 8
+    if i <= n - 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl64(h ^ ((k * _XXH_P1) & _U64), 23) * _XXH_P2 + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXH_P5) & _U64), 11) * _XXH_P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-fold double dot product — the same op order as the Spark
+    ``_dot`` (zip_with multiply, aggregate left-fold add), so the
+    IEEE result is bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def ivf_centroids_for(sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Replay `similarity_ivf`'s quantizer training OUTSIDE Spark:
+    read the embeddings parquet directly (pyarrow), select the same
+    deterministic sample (smallest signed-xxhash64(str(vec_id)),
+    first IVF_TRAIN_MAX), apply the same validity filter, and run the
+    IDENTICAL numpy Lloyd fixpoint. Because every step is
+    deterministic — the hash is replayed bit-exactly (see
+    :func:`xxh64`), float32→float64 casts are exact, and the numpy
+    loop is literally the same code — the returned centroids equal
+    the ones the Spark query trains, making them injectable into the
+    DuckDB oracle as constants (the r7 `similarity_ann` recipe, where
+    the injected constants were the splitmix64 hyperplanes)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    rows = [
+        {"_k": xxh64(str(vid).encode()), "v": emb}
+        for vid, emb in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+    ]
+    rows.sort(key=lambda r: r["_k"])
+    cents_df_rows = _train_rows(rows[:IVF_TRAIN_MAX])
+    return cents_df_rows
+
+
+def ivf_oracle_for(sf_dir: str) -> str:
+    """similarity_ivf's FULL pipeline in DuckDB SQL for the data at
+    ``sf_dir`` — train the quantizer via :func:`ivf_centroids_for`
+    (deterministic ⇒ equal to the Spark-side fixpoint), inject both
+    the RAW centroids (query probe ranking uses the full cosine
+    against them) and the UNIT centroids (corpus assignment divides
+    by the centroid norm exactly once, Spark-side in `nearest_cell`)
+    as list literals, then mirror the assignment argmax, the nprobe
+    window, and the rounded-cosine top-k term-for-term."""
+    cents = ivf_centroids_for(sf_dir)
+    ucents = []
+    for cell, cv in cents:
+        norm = _fold_dot(cv, cv) ** 0.5
+        denom = norm if norm > 1e-300 else 1e-300
+        ucents.append((cell, [x / denom for x in cv]))
+    cent_rows = ",\n            ".join(
+        "({c}, [{vals}]::DOUBLE[])".format(
+            c=c, vals=", ".join(repr(x) for x in cv)
+        )
+        for c, cv in cents
+    )
+    ucent_rows = ",\n            ".join(
+        "({c}, [{vals}]::DOUBLE[])".format(
+            c=c, vals=", ".join(repr(x) for x in cu)
+        )
+        for c, cu in ucents
+    )
+    return f"""
+        WITH cents(cell, cv) AS (VALUES
+            {cent_rows}
+        ), ucents(cell, cu) AS (VALUES
+            {ucent_rows}
+        ), emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), corpus_cells AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, u.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, u.cu)
+                                    / (CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0
+                                            THEN 1.0
+                                            ELSE sqrt(list_dot_product(e.v, e.v)) END)
+                                    DESC,
+                                    u.cell ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN ucents u
+                WHERE e.vec_id >= {N_QUERIES}
+            ) WHERE rn = 1
+        ), q_cells AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv)
+                                    / (sqrt(list_dot_product(e.v, e.v))
+                                       * sqrt(list_dot_product(c.cv, c.cv)))
+                                    DESC,
+                                    c.cell ASC
+                       ) AS r
+                FROM emb e CROSS JOIN cents c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE r <= {IVF_NPROBE}
+        ), scored AS (
+            SELECT q.query_id, cc.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.qv, cc.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(cc.v, cc.v))),
+                         6) AS cosine
+            FROM corpus_cells cc JOIN q_cells q USING (cell)
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 def _ann_oracle() -> str:
     """similarity_ann's FULL pipeline in DuckDB SQL. Possible because
     the 'random' hyperplanes are plain Python splitmix64 float
@@ -655,10 +862,23 @@ ORACLE_SQL = {
     # similarity_ann graduated to a FULL oracle row in r7: the
     # hyperplanes were never engine-bound hashes — they are Python
     # splitmix64 float constants, injectable into SQL verbatim (see
-    # _ann_oracle). similarity_ivf stays rows-only: its quantizer is
-    # an iterative driver-side Lloyd loop no SQL can replay.
+    # _ann_oracle). similarity_ivf followed in r9: no SQL replays the
+    # Lloyd loop, but none has to — the loop is DETERMINISTIC, so the
+    # trained centroids are constants of the (data, code) pair, and
+    # ivf_oracle_for replays the training outside Spark (bit-exact
+    # xxh64 sample selection + the same numpy fixpoint) and injects
+    # them.
     "similarity_ann": _ann_oracle(),
 }
+
+# The driver grades oracles at sf0.01 (driver contract); local
+# tooling (tools/check_oracle.py --sf ...) rebuilds DATA-DEPENDENT
+# oracles for whatever SF it checks via registry.oracle_sql_for.
+DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
+SF_DEPENDENT_ORACLES = {"similarity_ivf": ivf_oracle_for}
+
+if os.path.exists(os.path.join(DRIVER_ORACLE_SF, "embeddings.parquet")):
+    ORACLE_SQL["similarity_ivf"] = ivf_oracle_for(DRIVER_ORACLE_SF)
 
 QUERIES = {
     "similarity_topk": similarity_topk,

@@ -184,7 +184,16 @@ def prepare_corpus(
         )
 
         seed_index_from_prepared(
-            spark, decontaminated, cleaned, index_dir, family=near_family
+            spark,
+            decontaminated,
+            cleaned,
+            index_dir,
+            family=near_family,
+            # the held-out eval stripe's digest set rides along so the
+            # DAILY pipeline keeps the decontamination guarantee —
+            # without it, ingested batches could reintroduce eval-set
+            # 13-grams that stage 4 just removed (ADVICE r8)
+            benchmark=benchmark,
         )
 
     agg = packs.agg(

@@ -42,12 +42,18 @@ attribution for it.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_BUCKET_CAP,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    NGRAM_POSTING_CAP,
     _incremental_lsh_verdicts,
     _incremental_verdicts,
     corpus_index_bands,
@@ -56,8 +62,82 @@ from irio2024_mapreduce_spark.operators.dedup import (
     corpus_index_rep_shingles,
     near_dup_kill_ids,
 )
-from irio2024_mapreduce_spark.operators.llm_prep import scrub_text
+from irio2024_mapreduce_spark.operators.llm_prep import (
+    DECONTAM_NGRAM,
+    _decontam_grams,
+    scrub_text,
+)
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
+from irio2024_mapreduce_spark.sources.sinks import check_not_compacting
+
+# ----------------------------------------------------------- index manifest
+# The index is SELF-DESCRIBING (r8 verdict item 4): a small JSON
+# manifest persisted at build time records which near-dup family and
+# which constants built it; every subsequent open validates against it
+# instead of trusting the caller's `family` argument — a
+# build-ngram/probe-lsh confusion used to fail only via a
+# missing-path read error deep inside Spark.
+INDEX_MANIFEST_NAME = "_index_manifest.json"
+INDEX_FORMAT_VERSION = 1
+
+
+def _index_manifest(family: str, decontaminate: bool) -> dict:
+    return {
+        "version": INDEX_FORMAT_VERSION,
+        "family": family,
+        "minhash_perms": MINHASH_PERMS,
+        "lsh_rows": LSH_ROWS,
+        "lsh_bands": LSH_BANDS,
+        "lsh_bucket_cap": LSH_BUCKET_CAP,
+        "ngram_posting_cap": NGRAM_POSTING_CAP,
+        "decontam_ngram": DECONTAM_NGRAM,
+        "decontaminate": decontaminate,
+    }
+
+
+def _write_index_manifest(
+    index_dir: str, family: str, decontaminate: bool
+) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, INDEX_MANIFEST_NAME), "w") as f:
+        json.dump(_index_manifest(family, decontaminate), f, indent=1)
+
+
+def read_index_manifest(index_dir: str) -> dict:
+    """Load and structurally validate the index manifest. Raises a
+    clear error for a pre-manifest (or foreign) directory."""
+    path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{index_dir} has no {INDEX_MANIFEST_NAME}: not a corpus "
+            "index built by build_corpus_index/seed_index_from_prepared "
+            "(rebuild it, or write the manifest for a legacy index)"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def validate_index(index_dir: str, family: str) -> dict:
+    """Check the stored manifest against the caller's expectation and
+    the engine's CURRENT constants — a probe against an index built
+    with different banding/cap constants would silently change
+    admission semantics. Returns the manifest."""
+    m = read_index_manifest(index_dir)
+    expected = _index_manifest(family, m.get("decontaminate", False))
+    mismatches = {
+        k: (m.get(k), v) for k, v in expected.items() if m.get(k) != v
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: index has {a!r}, caller/engine expects {b!r}"
+            for k, (a, b) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            f"corpus index at {index_dir} does not match this probe "
+            f"({detail}) — pass the family the index was built with "
+            "and/or rebuild the index with the current engine constants"
+        )
+    return m
 
 
 def build_corpus_index(
@@ -65,15 +145,36 @@ def build_corpus_index(
     corpus: DataFrame,
     index_dir: str,
     family: str = "ngram",
+    benchmark: DataFrame | None = None,
 ) -> dict[str, int]:
     """One-time ingest-side index build over an existing corpus.
+
+    ``corpus`` must carry PRE-scrub text: ``ingest_batch`` appends
+    hashes/postings over the raw bytes tomorrow's duplicates will
+    carry, so seeding from scrubbed text (e.g. the shipped
+    ``clean_documents.parquet``) would mix conventions — future raw
+    duplicates of already-shipped docs would miss the exact-dup md5
+    probe and fall through to the weaker near-dup check. Callers
+    holding only the shipped artifact should seed via
+    ``prepare_corpus(index_dir=...)`` /
+    :func:`seed_index_from_prepared`, which receive the pre-scrub
+    survivors.
 
     ``family`` picks the near-dup half: ``"ngram"`` (3-gram posting
     rows — precise on token-level edits) or ``"lsh"`` (MinHash band
     rows + doc_id-keyed rep shingles for the true-Jaccard verify —
     survives edits that shift every 3-gram, the long/paraphrased-doc
-    complement). The exact-dup md5 half is shared. Returns per-part
-    row counts."""
+    complement). The exact-dup md5 half is shared.
+
+    ``benchmark`` (the held-out eval docs) stores the benchmark's
+    {DECONTAM_NGRAM}-gram digest set beside the index, so every
+    future ``ingest_batch`` decontaminates its admissions — without
+    it, batches appended after the one-shot build could reintroduce
+    eval-set contamination that ``prepare_corpus`` stage 4 removed
+    (ADVICE r8).
+
+    Writes a small JSON manifest recording family + constants; every
+    later open validates against it. Returns per-part row counts."""
     counts: dict[str, int] = {}
     parts: dict[str, DataFrame] = {
         "hashes": corpus_index_hashes(corpus)
@@ -85,11 +186,26 @@ def build_corpus_index(
         parts["rep_shingles"] = corpus_index_rep_shingles(corpus)
     else:
         raise ValueError(f"unknown index family: {family!r}")
+    if benchmark is not None:
+        parts["benchmark_ngrams"] = benchmark_ngram_digests(benchmark)
     for name, df in parts.items():
         path = os.path.join(index_dir, name)
         df.write.mode("overwrite").parquet(path)
         counts[f"{name}_rows"] = spark.read.parquet(path).count()
+    _write_index_manifest(index_dir, family, benchmark is not None)
     return counts
+
+
+def benchmark_ngram_digests(benchmark: DataFrame) -> DataFrame:
+    """The held-out benchmark as a distinct {DECONTAM_NGRAM}-gram md5
+    digest set — the stored decontamination half of the ingest index.
+    Benchmarks are eval-corpus-sized (thousands of docs), so the
+    stored set is tiny and every probe broadcasts it."""
+    return (
+        benchmark.filter(F.col("text").isNotNull())
+        .select(F.explode(_decontam_grams()).alias("g"))
+        .distinct()
+    )
 
 
 def ingest_batch(
@@ -98,12 +214,27 @@ def ingest_batch(
     index_dir: str,
     corpus_dir: str,
     family: str = "ngram",
+    batch_id: int | None = None,
 ) -> dict[str, int]:
     """Admit ``batch`` against the stored index, clean the admitted
     docs, append survivors to ``{corpus_dir}/clean_documents.parquet``
     and their index rows to ``index_dir``. ``family`` must match the
-    index build. Returns the batch manifest; every batch doc is
-    charged to exactly one outcome."""
+    index build — validated against the stored manifest, not trusted.
+    Returns the batch manifest; every batch doc is charged to exactly
+    one outcome.
+
+    ``batch_id`` (the Structured Streaming batch id, or any caller
+    sequence number) makes the recorded manifest EXACTLY-once: the
+    manifest row persisted under ``{index_dir}/manifests`` is keyed by
+    it, and a replayed id short-circuits the whole call (safe — the
+    manifest is written LAST, so its presence proves every earlier
+    append of that batch landed). Without it the call is at-least-once
+    with idempotent admission, as before."""
+    if batch_id is not None:
+        prior = read_recorded_manifest(spark, index_dir, batch_id)
+        if prior is not None:
+            return prior
+    manifest_meta = validate_index(index_dir, family)
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
 
     batch_in = batch.count()
@@ -157,14 +288,35 @@ def ingest_batch(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
+    survivors = tagged.filter(F.col("_verdict") == "pass").drop("_verdict")
+
+    # decontamination vs the STORED benchmark digest set (ADVICE r8:
+    # without this, batches appended after the one-shot build would
+    # silently reintroduce eval-set 13-gram contamination that
+    # prepare_corpus stage 4 removed). Same stage order as the
+    # one-shot pipeline — funnel first, decontaminate on raw text
+    # before the scrubber rewrites anything. The digest set is
+    # eval-corpus-sized, so the probe is a broadcast semi-join; the
+    # batch side never shuffles.
+    contaminated_removed = 0
+    if manifest_meta.get("decontaminate"):
+        bench_grams = spark.read.parquet(
+            os.path.join(index_dir, "benchmark_ngrams")
+        )
+        contam_ids = (
+            survivors.select("doc_id", F.explode(_decontam_grams()).alias("g"))
+            .join(F.broadcast(bench_grams), "g", "semi")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        contaminated_removed = contam_ids.count()
+        survivors = survivors.join(contam_ids, "doc_id", "anti")
+
     # survivors feeds the scrub (corpus write) AND the index builders
     # (raw text) — one batch-sized materialization, not 4-5 re-runs of
     # the admit-join + funnel subtree per consumer
-    survivors = (
-        tagged.filter(F.col("_verdict") == "pass")
-        .drop("_verdict")
-        .localCheckpoint(eager=False)
-    )
+    survivors = survivors.localCheckpoint(eager=False)
 
     # scrub (n_chars recomputed from the shipped bytes, same policy
     # as prepare_corpus); checkpointed once for its three consumers
@@ -210,12 +362,16 @@ def ingest_batch(
         )
 
     clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
+    # honor the compactor's advisory lock (ADVICE r8): an append that
+    # lands between compaction's snapshot read and its dir swap is
+    # DELETED with the old snapshot — fail loudly instead
+    check_not_compacting(clean_path)
     cleaned.write.mode("append").parquet(clean_path)
     appended = cleaned.count()
 
     _append_stats_row(cleaned, index_dir)
 
-    return {
+    manifest = {
         "batch_in": batch_in,
         "exact_dups": by_verdict.get("exact_dup", 0),
         "near_dups": by_verdict.get("near_dup", 0) + intra_near,
@@ -223,8 +379,65 @@ def ingest_batch(
         "killed_too_short": kills.get("too_short", 0),
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
+        "contaminated_removed": contaminated_removed,
         "appended": appended,
     }
+    if batch_id is not None:
+        # recorded LAST (after every data append): its presence is the
+        # commit marker a replay checks — see the write-order note
+        record_manifest(spark, index_dir, batch_id, manifest)
+    return manifest
+
+
+# per-batch manifest parquet schema — fixed so replay reads and
+# appends agree (a dict-inferred schema could reorder/retype columns)
+_MANIFEST_KEYS = [
+    "batch_in",
+    "exact_dups",
+    "near_dups",
+    "killed_null_text",
+    "killed_too_short",
+    "killed_too_repetitive",
+    "killed_no_stopwords",
+    "contaminated_removed",
+    "appended",
+]
+_MANIFEST_SCHEMA = "batch_id long, " + ", ".join(
+    f"{k} long" for k in _MANIFEST_KEYS
+)
+
+
+def record_manifest(
+    spark: SparkSession, index_dir: str, batch_id: int, manifest: dict
+) -> None:
+    """Persist one batch's manifest row keyed by ``batch_id`` —
+    the exactly-once commit marker for :func:`ingest_batch`."""
+    row = (int(batch_id), *[int(manifest[k]) for k in _MANIFEST_KEYS])
+    spark.createDataFrame([row], _MANIFEST_SCHEMA).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "manifests"))
+
+
+def read_recorded_manifest(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> dict | None:
+    """The recorded manifest for ``batch_id``, or None if the batch
+    never committed (crashed before its manifest write ⇒ replay
+    re-runs it; admission is idempotent so the corpus stays clean and
+    the re-run's manifest charges the docs to exact_dups)."""
+    path = os.path.join(index_dir, "manifests")
+    if not os.path.exists(path):
+        return None
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id") == int(batch_id))
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    r.pop("batch_id")
+    return {k: int(v) for k, v in r.items()}
 
 
 def _append_stats_row(
@@ -260,15 +473,19 @@ def seed_index_from_prepared(
     cleaned: DataFrame,
     index_dir: str,
     family: str = "ngram",
+    benchmark: DataFrame | None = None,
 ) -> None:
     """Bridge from the one-shot build to the daily pipeline: write
     the shipped corpus's ingest indexes (md5 hashes + the ``family``
     near-dup half over ``raw_survivors`` — the PRE-scrub text,
     ingest's dedup convention) and its stats row, so ``ingest_batch``
-    continues the corpus from day one. EVERY part is overwrite —
-    seeding is day-zero, so a re-run of the build replaces the index
-    wholesale (an appended stats row here would double-count
-    corpus_stats on every build retry)."""
+    continues the corpus from day one. ``benchmark`` (the held-out
+    eval stripe) additionally stores its n-gram digest set so every
+    future batch decontaminates — ``prepare_corpus`` passes it
+    automatically. EVERY part is overwrite — seeding is day-zero, so
+    a re-run of the build replaces the index wholesale (an appended
+    stats row here would double-count corpus_stats on every build
+    retry)."""
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")
     )
@@ -285,7 +502,12 @@ def seed_index_from_prepared(
         ).parquet(os.path.join(index_dir, "rep_shingles"))
     else:
         raise ValueError(f"unknown index family: {family!r}")
+    if benchmark is not None:
+        benchmark_ngram_digests(benchmark).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "benchmark_ngrams"))
     _append_stats_row(cleaned, index_dir, mode="overwrite")
+    _write_index_manifest(index_dir, family, benchmark is not None)
 
 
 def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:

@@ -97,6 +97,27 @@ def oracle_sql() -> dict[str, str]:
     return _build()[1]
 
 
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL with DATA-DEPENDENT entries rebuilt for ``sf_dir``.
+
+    The driver contract (`oracle_sql()`) bakes its one data-dependent
+    oracle — similarity_ivf's injected trained centroids — for the
+    driver's sf0.01 grading dir. Local tooling (tools/check_oracle.py,
+    tools/sweep_configs.py) checks other SFs too, so it rebuilds those
+    entries here; modules declare them via an `SF_DEPENDENT_ORACLES`
+    {name: sf_dir -> sql} attribute."""
+    oracles = dict(_build()[1])
+    for mod_name in ("similarity",):
+        mod = __import__(
+            f"irio2024_mapreduce_spark.operators.{mod_name}",
+            fromlist=["SF_DEPENDENT_ORACLES"],
+        )
+        for name, builder in getattr(mod, "SF_DEPENDENT_ORACLES", {}).items():
+            if name in oracles or name in _build()[0]:
+                oracles[name] = builder(sf_dir)
+    return oracles
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Driver smoke check: flagship wordcount at sf0.001."""
     return wordcount_query(spark, "/root/testdata/sf0.001")

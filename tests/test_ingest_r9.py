@@ -1,0 +1,223 @@
+"""Round-9 ingest hardening: the self-describing index manifest
+(family/constants validated instead of trusted), the stored
+decontamination half (ingested batches keep the one-shot pipeline's
+eval-set guarantee), exactly-once manifest recording keyed by
+batch_id, and the probe-time re-cap that restores the posting-cap
+invariant on an append-grown stored index."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.dedup import (
+    NGRAM_POSTING_CAP,
+    _incremental_verdicts,
+    corpus_index_hashes,
+    corpus_index_postings,
+)
+from irio2024_mapreduce_spark.plans.ingest import (
+    INDEX_MANIFEST_NAME,
+    build_corpus_index,
+    ingest_batch,
+    read_index_manifest,
+    read_recorded_manifest,
+    validate_index,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+T_CORPUS = (
+    "the ancient library kept thousands of scrolls catalogued by "
+    "patient scribes over centuries"
+)
+T_FRESH = (
+    "the mountain trail crossed seven wooden bridges before "
+    "reaching the snowy summit ridge"
+)
+
+
+# ------------------------------------------------------------- manifest
+def test_index_is_self_describing(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    m = read_index_manifest(idx)
+    assert m["family"] == "ngram"
+    assert m["ngram_posting_cap"] == NGRAM_POSTING_CAP
+    assert m["decontaminate"] is False
+    # matching open succeeds and returns the manifest
+    assert validate_index(idx, "ngram")["family"] == "ngram"
+
+
+def test_family_mismatch_raises_clearly(spark, tmp_path):
+    """A build-ngram / probe-lsh confusion used to surface only as a
+    missing-path read error deep inside Spark; now the manifest
+    convicts it at the door."""
+    idx = str(tmp_path / "idx")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    with pytest.raises(ValueError, match="family"):
+        ingest_batch(
+            spark,
+            _frame(spark, [(2, T_FRESH)]),
+            idx,
+            str(tmp_path / "corpus"),
+            family="lsh",
+        )
+
+
+def test_missing_manifest_raises_clearly(spark, tmp_path):
+    idx = str(tmp_path / "legacy")
+    corpus_index_hashes(_frame(spark, [(1, T_CORPUS)])).write.parquet(
+        f"{idx}/hashes"
+    )
+    with pytest.raises(ValueError, match=INDEX_MANIFEST_NAME):
+        validate_index(idx, "ngram")
+
+
+# ----------------------------------------------------- decontamination
+def test_ingest_decontaminates_against_stored_benchmark(spark, tmp_path):
+    """ADVICE r8: a batch appended after the one-shot build must not
+    reintroduce eval-set 13-grams. The benchmark digest set is stored
+    beside the index at build time and every batch probes it."""
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron"
+    )
+    # first 13 benchmark tokens verbatim, then a fresh tail with a
+    # stopword so the funnel passes — contaminated by construction
+    contaminated = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu under the winter moon"
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(
+        spark,
+        _frame(spark, [(1, T_CORPUS)]),
+        idx,
+        benchmark=_frame(spark, [(900, bench_text)]),
+    )
+    assert read_index_manifest(idx)["decontaminate"] is True
+
+    m = ingest_batch(
+        spark,
+        _frame(spark, [(10, contaminated), (11, T_FRESH)]),
+        idx,
+        out,
+    )
+    assert m["contaminated_removed"] == 1
+    assert m["appended"] == 1
+    shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped.collect()} == {11}
+
+
+def test_ingest_without_benchmark_skips_decontamination(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    m = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, str(tmp_path / "c")
+    )
+    assert m["contaminated_removed"] == 0 and m["appended"] == 1
+
+
+# ------------------------------------------------------- exactly-once
+def test_batch_id_makes_manifest_exactly_once(spark, tmp_path):
+    """A replayed batch_id (the at-least-once foreachBatch redelivery)
+    short-circuits: the recorded manifest comes back, and neither the
+    corpus, the stats rows, nor the manifests table gain rows."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+
+    m1 = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, out, batch_id=0
+    )
+    assert m1["appended"] == 1
+    corpus_rows = spark.read.parquet(f"{out}/clean_documents.parquet").count()
+    stats_rows = spark.read.parquet(f"{idx}/stats").count()
+
+    # replay the SAME batch id — the commit marker (manifest row,
+    # written last) proves every append landed, so nothing re-runs
+    m2 = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, out, batch_id=0
+    )
+    assert m2 == m1
+    assert (
+        spark.read.parquet(f"{out}/clean_documents.parquet").count()
+        == corpus_rows
+    )
+    assert spark.read.parquet(f"{idx}/stats").count() == stats_rows
+    manifests = spark.read.parquet(f"{idx}/manifests")
+    assert manifests.count() == 1
+    assert read_recorded_manifest(spark, idx, 0) == m1
+    # an unseen id is a real new batch
+    assert read_recorded_manifest(spark, idx, 1) is None
+
+
+def test_crash_before_manifest_replays_safely(spark, tmp_path):
+    """A crash AFTER the data appends but BEFORE the manifest write
+    (simulated by recording no manifest: batch_id=None) re-runs the
+    batch; the docs self-convict via the already-landed hashes, so
+    the corpus gains nothing and the re-run's manifest charges them
+    to exact_dups."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    batch = _frame(spark, [(10, T_FRESH)])
+    m1 = ingest_batch(spark, batch, idx, out)  # "crashed" pre-manifest
+    assert m1["appended"] == 1
+    m2 = ingest_batch(spark, batch, idx, out, batch_id=7)  # the replay
+    assert m2["exact_dups"] == 1 and m2["appended"] == 0
+    assert (
+        spark.read.parquet(f"{out}/clean_documents.parquet").count() == 1
+    )
+    assert read_recorded_manifest(spark, idx, 7) == m2
+
+
+# ------------------------------------------------- stored-index re-cap
+def test_append_grown_hot_bucket_is_recapped_at_probe(spark, tmp_path):
+    """ADVICE r8: per-append capping lets a hot (len_band, shingle)
+    bucket in the STORED posting index outgrow NGRAM_POSTING_CAP
+    across daily appends. The probe re-caps batch-touched buckets, so
+    an over-grown bucket stops generating candidates — exactly what a
+    fresh full rebuild would do."""
+
+    def half(start, n):
+        # n distinct 4-token docs all sharing the shingle "x y z"
+        return _frame(
+            spark, [(start + i, f"x y z u{start + i}") for i in range(n)]
+        )
+
+    over = NGRAM_POSTING_CAP // 2 + 10  # two appends → cap + 20
+    under = NGRAM_POSTING_CAP // 2 - 10  # two appends → cap - 20
+
+    for name, per_half, want in (
+        ("hot", over, "admitted"),
+        ("warm", under, "near_dup"),
+    ):
+        pp = str(tmp_path / name / "postings")
+        hp = str(tmp_path / name / "hashes")
+        h1, h2 = half(0, per_half), half(10_000, per_half)
+        for h in (h1, h2):
+            corpus_index_postings(h).write.mode("append").parquet(pp)
+            corpus_index_hashes(h).write.mode("append").parquet(hp)
+        # batch doc "x y z": one shingle, Jaccard 1/2 vs every corpus
+        # doc — a near-dup IFF the shared bucket is still admitted
+        batch = _frame(spark, [(50_000, "x y z")])
+        verdicts = {
+            r["doc_id"]: r["verdict"]
+            for r in _incremental_verdicts(
+                batch,
+                spark.read.parquet(hp),
+                spark.read.parquet(pp),
+            ).collect()
+        }
+        assert verdicts == {50_000: want}, name

@@ -1,0 +1,115 @@
+"""Versioned compaction (r8 verdict item 6): readers resolve a
+pointer file, compaction writes a NEW version dir and flips the
+pointer atomically — no rename gap, no missing-dataset window — plus
+the advisory compaction lock the ingest writer honors (ADVICE r8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from irio2024_mapreduce_spark.sources.sinks import (
+    acquire_compaction_lock,
+    check_not_compacting,
+    compact_parquet,
+    compact_parquet_versioned,
+    compaction_lock_path,
+    init_versioned,
+    read_current,
+    resolve_current,
+)
+
+
+def _grow(spark, path, appends=4, rows=50):
+    for i in range(appends):
+        spark.range(i * rows, (i + 1) * rows).selectExpr(
+            "id", "id * 2 AS val"
+        ).repartition(4).write.mode("append").parquet(path)
+
+
+def test_versioned_adopt_compact_and_read(spark, tmp_path):
+    root = str(tmp_path / "data")
+    _grow(spark, root)
+    before = spark.read.parquet(root).count()
+
+    cur = init_versioned(root)
+    assert resolve_current(root) == cur and cur.endswith("v1")
+    assert read_current(spark, root).count() == before
+    # idempotent adoption
+    assert init_versioned(root) == cur
+
+    old_version_dir = resolve_current(root)
+    stats = compact_parquet_versioned(spark, root, target_file_bytes=1 << 30)
+    assert stats["version"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    assert resolve_current(root).endswith("v2")
+    assert read_current(spark, root).count() == before
+    assert (
+        read_current(spark, root).selectExpr("sum(val)").collect()[0][0]
+        == spark.read.parquet(resolve_current(root))
+        .selectExpr("sum(val)")
+        .collect()[0][0]
+    )
+    # reader grace: a reader that resolved v1 just before the flip
+    # still has a complete dataset to finish its scan on
+    assert spark.read.parquet(old_version_dir).count() == before
+
+    # a second compaction GCs the grace version from the first
+    compact_parquet_versioned(spark, root, target_file_bytes=1 << 30)
+    assert resolve_current(root).endswith("v3")
+    assert not os.path.exists(os.path.join(root, "v1"))
+    assert os.path.exists(os.path.join(root, "v2"))  # new grace
+    assert read_current(spark, root).count() == before
+
+
+def test_versioned_crash_before_flip_recovers(spark, tmp_path):
+    """An unreferenced v{N+1} (crash after the rewrite, before the
+    pointer flip) never becomes visible and is replaced by the next
+    compaction run."""
+    root = str(tmp_path / "data")
+    _grow(spark, root, appends=2)
+    init_versioned(root)
+    before = read_current(spark, root).count()
+
+    # simulate the crash leftover: a partial v2 with garbage
+    os.makedirs(os.path.join(root, "v2"))
+    with open(os.path.join(root, "v2", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert resolve_current(root).endswith("v1")  # pointer untouched
+    assert read_current(spark, root).count() == before
+
+    stats = compact_parquet_versioned(spark, root, target_file_bytes=1 << 30)
+    assert stats["version"] == 2
+    assert read_current(spark, root).count() == before
+
+
+def test_compaction_lock_excludes_writers_and_compactors(spark, tmp_path):
+    root = str(tmp_path / "data")
+    _grow(spark, root, appends=1)
+
+    lock = acquire_compaction_lock(root)
+    try:
+        # the ingest driver's append-side check refuses
+        with pytest.raises(RuntimeError, match="compacted"):
+            check_not_compacting(root)
+        # a second compactor cannot start
+        with pytest.raises(FileExistsError):
+            compact_parquet(spark, root)
+    finally:
+        os.unlink(lock)
+    # released: both proceed
+    check_not_compacting(root)
+    stats = compact_parquet(spark, root, target_file_bytes=1 << 30)
+    assert stats["files_after"] >= 1
+    assert not os.path.exists(compaction_lock_path(root))
+
+
+def test_flat_compactor_still_recovers_and_compacts(spark, tmp_path):
+    """The flat path kept its semantics after the lock refactor."""
+    path = str(tmp_path / "flat")
+    _grow(spark, path)
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == before_rows

@@ -89,3 +89,50 @@ def test_stream_batches_dedup_in_file_order(spark, tmp_path):
 
     shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
     assert {r["doc_id"] for r in shipped.collect()} == {200, 302}
+
+    # ---------------- restart / exactly-once (r9) ----------------
+    # each processed batch committed exactly one manifest row, keyed
+    # by the streaming batch_id (the idempotence marker)
+    recorded = spark.read.parquet(f"{idx}/manifests")
+    assert recorded.count() == 2
+    assert {r["batch_id"] for r in recorded.collect()} == {0, 1}
+    stats_rows = spark.read.parquet(f"{idx}/stats").count()
+    index_hashes = spark.read.parquet(f"{idx}/hashes").count()
+
+    # rerunning over the same source resumes from the DETERMINISTIC
+    # default checkpoint (pre-r9 this re-delivered every file and
+    # bloated the index with duplicate hash/posting/stats rows):
+    # nothing re-delivers, nothing is appended anywhere
+    manifests2 = run_ingest_stream(
+        spark, str(src), schema, idx, out, files_per_trigger=1
+    )
+    assert manifests2 == []
+    assert spark.read.parquet(f"{idx}/manifests").count() == 2
+    assert spark.read.parquet(f"{idx}/stats").count() == stats_rows
+    assert spark.read.parquet(f"{idx}/hashes").count() == index_hashes
+    shipped2 = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped2.collect()} == {200, 302}
+
+    # a REPLAYED batch (fresh checkpoint simulates the crash-between-
+    # append-and-commit redelivery) short-circuits on its recorded
+    # manifest: identical manifests come back, zero new rows anywhere
+    manifests3 = run_ingest_stream(
+        spark,
+        str(src),
+        schema,
+        idx,
+        out,
+        files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+    )
+    assert [
+        {k: v for k, v in m.items() if k != "batch_id"}
+        for m in manifests3
+    ] == [
+        {k: v for k, v in m.items() if k != "batch_id"} for m in manifests
+    ]
+    assert spark.read.parquet(f"{idx}/manifests").count() == 2
+    assert spark.read.parquet(f"{idx}/stats").count() == stats_rows
+    assert spark.read.parquet(f"{idx}/hashes").count() == index_hashes
+    shipped3 = spark.read.parquet(f"{out}/clean_documents.parquet")
+    assert {r["doc_id"] for r in shipped3.collect()} == {200, 302}

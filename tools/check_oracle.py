@@ -70,7 +70,10 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     qs = registry.queries()
-    oracles = registry.oracle_sql()
+    # data-dependent oracles (similarity_ivf's injected centroids)
+    # rebuilt for THIS sf dir — the driver itself grades at sf0.01,
+    # where oracle_sql_for == oracle_sql
+    oracles = registry.oracle_sql_for(args.sf)
     names = args.names or list(qs)
 
     failures = 0

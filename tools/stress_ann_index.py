@@ -143,6 +143,97 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
     }
 
 
+def _clustered_corpus(spark, n_random: int = 5000):
+    """The LSH regime (each query has 5 planted near-copies, cosine
+    ≈ 0.999) at a corpus size where signature-bit growth matters —
+    the generator tests/test_similarity.py's clustered recall test
+    uses, scaled up. Returns (df, planted_pairs, truth_top5)."""
+    import random
+
+    rng = random.Random(42)
+    dim = 64
+    vecs: dict[int, list[float]] = {}
+    planted: set[tuple[int, int]] = set()
+    for q in range(10):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs[q] = base
+        for j in range(5):
+            nid = 10 + q * 5 + j
+            vecs[nid] = [x + rng.uniform(-0.05, 0.05) for x in base]
+            planted.add((q, nid))
+    for i in range(100, 100 + n_random):
+        vecs[i] = [rng.uniform(-1, 1) for _ in range(dim)]
+
+    # exact truth (numpy, driver-side — the corpus is tool-sized)
+    import numpy as np
+
+    ids = sorted(vecs)
+    X = np.asarray([vecs[i] for i in ids], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth: set[tuple[int, int]] = set()
+    corpus_ids = [i for i in ids if i >= N_QUERIES]
+    C = Xn[[ids.index(i) for i in corpus_ids]]
+    for q in range(10):
+        sims = C @ Xn[ids.index(q)]
+        top = sorted(
+            zip(sims, corpus_ids), key=lambda t: (-t[0], t[1])
+        )[:5]
+        truth |= {(q, nid) for _, nid in top}
+
+    df = spark.createDataFrame(sorted(vecs.items()), ["vec_id", "v"])
+    return df.localCheckpoint(eager=True), planted, truth
+
+
+def bits_curve(spark, bits_list=(8, 12, 16)) -> dict:
+    """The r8 verdict's selectivity curve: with bucket count frozen at
+    2^8 per table, bucket_touched_frac was pinned at ~0.6 regardless
+    of corpus size. Growing the signature bits drops the touched
+    fraction (probes are constant, buckets multiply) — this measures
+    touched/rows fractions AND recall per bits setting on clustered
+    data, holding ANN_TABLES/ANN_PROBE_BITS fixed."""
+    import irio2024_mapreduce_spark.operators.similarity as sim
+
+    df, planted, truth = _clustered_corpus(spark)
+    orig_planes = sim.ANN_PLANES
+    out: dict[str, dict] = {}
+    try:
+        for bits in bits_list:
+            sim.ANN_PLANES = bits
+            sigs = _ann_sigs(df)
+            corpus = _ann_corpus_rows(sigs).localCheckpoint(eager=True)
+            probes = _ann_query_probes(sigs).localCheckpoint(eager=True)
+            present = corpus.select("tbl", "cb").distinct()
+            probed = probes.select(
+                F.col("qtbl").alias("tbl"), F.col("probe").alias("cb")
+            ).distinct()
+            total_buckets = present.count()
+            touched = probed.join(present, ["tbl", "cb"], "semi").count()
+            index_rows = corpus.count()
+            rows_read = corpus.join(probed, ["tbl", "cb"], "semi").count()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in _ann_join_score(corpus, probes).collect()
+            }
+            out[str(bits)] = {
+                "total_buckets_present": total_buckets,
+                "buckets_probed_present": touched,
+                "bucket_touched_frac": round(touched / total_buckets, 4),
+                "index_rows": index_rows,
+                "rows_read": rows_read,
+                "rows_touched_frac": round(rows_read / index_rows, 4),
+                "recall_planted": round(
+                    len(got & planted) / len(planted), 3
+                ),
+                "recall_exact_top5": round(
+                    len(got & truth) / len(truth), 3
+                ),
+            }
+            drain_driver_backlog(spark)
+    finally:
+        sim.ANN_PLANES = orig_planes
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +246,7 @@ def main() -> None:
     out["probe_ratio"] = round(
         sn["index_probe_sec"] / max(s1["index_probe_sec"], 0.01), 1
     )
+    out["bits_curve"] = bits_curve(spark)
     print(json.dumps(out))
 
 
