@@ -16,7 +16,13 @@ Two paths:
   probe their own bucket plus multi-probe flips. Recall vs the exact
   path is asserted in tests. The IVF variant swaps the signature for
   a k-means assignment — same plan shape (bucket equi-join),
-  different bucketing function.
+  different bucketing function. Full oracle row since r9: the Lloyd
+  fixpoint is deterministic, so the trained centroids are constants
+  of (data, code) — ``ivf_centroids_for`` replays the training
+  outside Spark (bit-exact pure-Python xxh64 sample selection + the
+  same ``_train_rows`` numpy loop) and ``ivf_oracle_for`` injects
+  them into the DuckDB SQL, the same recipe that promoted
+  similarity_ann in r7.
 """
 
 from __future__ import annotations

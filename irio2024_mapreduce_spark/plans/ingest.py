@@ -366,7 +366,17 @@ def ingest_batch(
     # lands between compaction's snapshot read and its dir swap is
     # DELETED with the old snapshot — fail loudly instead
     check_not_compacting(clean_path)
-    cleaned.write.mode("append").parquet(clean_path)
+    # a corpus adopted into the versioned layout (sinks.init_versioned)
+    # takes appends in its CURRENT version dir; readers resolve the
+    # same pointer, so batch visibility semantics equal the flat layout
+    target = clean_path
+    if os.path.exists(os.path.join(clean_path, "_CURRENT")):
+        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+            resolve_current,
+        )
+
+        target = resolve_current(clean_path)
+    cleaned.write.mode("append").parquet(target)
     appended = cleaned.count()
 
     _append_stats_row(cleaned, index_dir)

@@ -256,8 +256,11 @@ _CURRENT_POINTER = "_CURRENT"
 
 def resolve_current(root: str) -> str:
     """Path of the current version dir — what every reader scans.
-    One tiny file read; the returned dir is immutable once pointed
-    at (compaction only ever creates NEW version dirs)."""
+    One tiny file read. Compaction never mutates a pointed-at dir
+    (it writes a NEW version and flips); appenders (the ingest
+    driver) may ADD files to the current dir, with the same
+    reader-visibility semantics as flat-layout appends — which is
+    why compaction and appends share the advisory lock."""
     import os as _os
 
     with open(_os.path.join(root, _CURRENT_POINTER)) as f:

@@ -250,3 +250,49 @@ def test_quantizer_trainer_rejects_all_malformed_sample(spark):
     ]
     with _pytest.raises(ValueError, match="no valid vectors"):
         _train_quantizer_numpy(spark, rows)
+
+
+def test_python_xxh64_matches_spark(spark):
+    """The IVF oracle builder replays Spark's training-sample
+    selection with a pure-Python XXH64 — it must agree with
+    `F.xxhash64` bit-for-bit (signed), across the algorithm's code
+    paths: empty input, single-byte tail, 4-byte chunk, and the
+    32-byte lane loop at/around its boundaries."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.similarity import xxh64
+
+    strs = [
+        "", "0", "1", "42", "12345", "-7", "a" * 3, "b" * 4, "c" * 7,
+        "d" * 8, "e" * 12, "f" * 31, "g" * 32, "h" * 33, "i" * 100,
+        "99999999999", "word boundary test string",
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert xxh64(r["s"].encode()) == r["h"], repr(r["s"])
+
+
+def test_ivf_oracle_centroids_equal_spark_training(spark, sf_dir):
+    """ivf_centroids_for's out-of-Spark training replay (pyarrow read
+    + python hash + shared numpy fixpoint) must produce EXACTLY the
+    centroids the Spark query trains — the injected oracle constants
+    are the Spark centroids by construction, not approximately."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators import similarity as sim
+    from irio2024_mapreduce_spark.sources.tables import (
+        load_table_parallel,
+    )
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", sim._as_double().alias("v")
+    )
+    sample = (
+        emb.select("v", F.xxhash64(F.col("vec_id").cast("string")).alias("_k"))
+        .orderBy("_k")
+        .limit(sim.IVF_TRAIN_MAX)
+        .collect()
+    )
+    spark_cents = sim._train_rows(sample)
+    oracle_cents = sim.ivf_centroids_for(sf_dir)
+    assert spark_cents == oracle_cents

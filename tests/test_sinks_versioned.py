@@ -105,6 +105,54 @@ def test_compaction_lock_excludes_writers_and_compactors(spark, tmp_path):
     assert not os.path.exists(compaction_lock_path(root))
 
 
+def test_ingest_appends_into_versioned_corpus(spark, tmp_path):
+    """A corpus adopted into the versioned layout keeps taking daily
+    ingest appends: ingest_batch targets the CURRENT version dir, and
+    read_current sees old + new docs across a compaction."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        build_corpus_index,
+        ingest_batch,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    t0 = (
+        "the ancient library kept thousands of scrolls catalogued by "
+        "patient scribes over centuries"
+    )
+    t1 = (
+        "the mountain trail crossed seven wooden bridges before "
+        "reaching the snowy summit ridge"
+    )
+    t2 = (
+        "the night train rattled past sleeping towns carrying mail "
+        "and quiet travellers north"
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    corpus_path = os.path.join(out, "clean_documents.parquet")
+    build_corpus_index(spark, frame([(1, t0)]), idx)
+
+    m1 = ingest_batch(spark, frame([(10, t1)]), idx, out)
+    assert m1["appended"] == 1
+    init_versioned(corpus_path)
+    m2 = ingest_batch(spark, frame([(20, t2)]), idx, out)
+    assert m2["appended"] == 1
+    assert {
+        r["doc_id"] for r in read_current(spark, corpus_path).collect()
+    } == {10, 20}
+
+    compact_parquet_versioned(spark, corpus_path, target_file_bytes=1 << 30)
+    assert {
+        r["doc_id"] for r in read_current(spark, corpus_path).collect()
+    } == {10, 20}
+
+
 def test_flat_compactor_still_recovers_and_compacts(spark, tmp_path):
     """The flat path kept its semantics after the lock refactor."""
     path = str(tmp_path / "flat")
