@@ -772,7 +772,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     return _incremental_verdicts(
-        batch, corpus_index_hashes(corpus), corpus_index_postings(corpus)
+        batch,
+        corpus_index_hashes(corpus),
+        corpus_index_postings(corpus),
+        # just built capped by corpus_index_postings — re-cap is a
+        # proven no-op (tests pin stored-path behavior separately)
+        recap_stored=False,
     )
 
 
@@ -940,11 +945,20 @@ def _incremental_verdicts(
     batch: DataFrame,
     corpus_hashes: DataFrame,
     corpus_postings: DataFrame,
+    recap_stored: bool = True,
 ) -> DataFrame:
     """Admission verdicts for a batch against a (possibly
     pre-materialized) corpus index — the shared core of
     :func:`dedup_incremental` (index derived on the fly) and the
-    index-backed probe path (index read from parquet)."""
+    index-backed probe path (index read from parquet).
+
+    ``recap_stored`` re-applies ``NGRAM_POSTING_CAP`` to the
+    batch-touched slice of ``corpus_postings`` before probing — the
+    guard against hot buckets that outgrew the per-append cap across
+    many daily appends (ADVICE r8). Callers that just BUILT the
+    posting side capped (the graded on-the-fly query) pass False: the
+    re-cap is provably a no-op there and skipping it saves a second
+    window pass over the postings."""
     batch_h = batch.select("doc_id", "text", F.md5("text").alias("_h"))
     exact_ids = _exact_dup_ids(batch_h, corpus_hashes)
 
@@ -964,21 +978,20 @@ def _incremental_verdicts(
         "sh",
         F.col("n_sh").alias("n_c"),
     )
-    # The STORED index is capped per append only — across many daily
-    # appends a hot (len_band, sh) bucket grows past NGRAM_POSTING_CAP
-    # (ADVICE r8). Restore the invariant at probe time WITHOUT a
-    # corpus-sized pass: prune the stored side to the buckets this
-    # batch touches (the broadcast semi-join keeps whole buckets, so
-    # bucket counts equal their corpus-wide counts), then re-apply the
-    # cap. On the derive-on-the-fly path the side is already capped,
-    # making this a no-op (idempotent) — the graded oracle is
-    # unchanged.
-    bkeys = bp.select("len_band", "sh").distinct()
-    cp = _cap_buckets(
-        cp.join(F.broadcast(bkeys), ["len_band", "sh"], "semi"),
-        ["len_band", "sh"],
-        NGRAM_POSTING_CAP,
-    )
+    if recap_stored:
+        # The STORED index is capped per append only — across many
+        # daily appends a hot (len_band, sh) bucket grows past
+        # NGRAM_POSTING_CAP (ADVICE r8). Restore the invariant at
+        # probe time WITHOUT a corpus-sized pass: prune the stored
+        # side to the buckets this batch touches (the broadcast
+        # semi-join keeps whole buckets, so bucket counts equal their
+        # corpus-wide counts), then re-apply the cap.
+        bkeys = bp.select("len_band", "sh").distinct()
+        cp = _cap_buckets(
+            cp.join(F.broadcast(bkeys), ["len_band", "sh"], "semi"),
+            ["len_band", "sh"],
+            NGRAM_POSTING_CAP,
+        )
     near_ids = (
         bp.join(cp, ["len_band", "sh"])
         .groupBy("b_id", "c_id", "n_b", "n_c")
@@ -1056,6 +1069,7 @@ def _incremental_lsh_verdicts(
     corpus_hashes: DataFrame,
     corpus_bands: DataFrame,
     corpus_shingles: DataFrame,
+    recap_stored: bool = True,
 ) -> DataFrame:
     """LSH-family admission verdicts for a batch against a (possibly
     pre-materialized) corpus band index — the MinHash sibling of
@@ -1088,20 +1102,22 @@ def _incremental_lsh_verdicts(
     bb = _band_rows(survivors).select(
         F.col("doc_id").alias("b_id"), "band", "band_hash"
     )
-    # same stored-index re-cap as the n-gram path (ADVICE r8): a hot
-    # (band, band_hash) bucket in the appended band index can outgrow
-    # LSH_BUCKET_CAP; prune to batch-touched buckets (whole buckets
-    # survive ⇒ counts equal corpus-wide counts) and re-cap,
-    # batch-keyed. Idempotent on a freshly-built (already-capped)
-    # index.
-    cbkeys = bb.select("band", "band_hash").distinct()
-    cb = _cap_buckets(
-        corpus_bands.select(
-            F.col("doc_id").alias("c_id"), "band", "band_hash"
-        ).join(F.broadcast(cbkeys), ["band", "band_hash"], "semi"),
-        ["band", "band_hash"],
-        LSH_BUCKET_CAP,
+    cb = corpus_bands.select(
+        F.col("doc_id").alias("c_id"), "band", "band_hash"
     )
+    if recap_stored:
+        # same stored-index re-cap as the n-gram path (ADVICE r8): a
+        # hot (band, band_hash) bucket in the appended band index can
+        # outgrow LSH_BUCKET_CAP; prune to batch-touched buckets
+        # (whole buckets survive ⇒ counts equal corpus-wide counts)
+        # and re-cap, batch-keyed. Skipped by callers that just built
+        # the band side capped (provable no-op).
+        cbkeys = bb.select("band", "band_hash").distinct()
+        cb = _cap_buckets(
+            cb.join(F.broadcast(cbkeys), ["band", "band_hash"], "semi"),
+            ["band", "band_hash"],
+            LSH_BUCKET_CAP,
+        )
     candidates = (
         bb.join(cb, ["band", "band_hash"])
         .select("b_id", "c_id")
@@ -1159,6 +1175,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_index_hashes(corpus),
         corpus_index_bands(corpus),
         corpus_index_rep_shingles(corpus),
+        recap_stored=False,
     )
 
 
