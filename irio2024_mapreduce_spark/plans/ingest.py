@@ -54,6 +54,7 @@ from irio2024_mapreduce_spark.operators.dedup import (
     LSH_ROWS,
     MINHASH_PERMS,
     NGRAM_POSTING_CAP,
+    _cap_buckets,
     _incremental_lsh_verdicts,
     _incremental_verdicts,
     corpus_index_bands,
@@ -235,6 +236,10 @@ def ingest_batch(
         if prior is not None:
             return prior
     manifest_meta = validate_index(index_dir, family)
+    # honor the index compactor's advisory lock (same hazard as the
+    # corpus one below: index rows appended between the compactor's
+    # snapshot read and its dir swap are deleted with the snapshot)
+    check_not_compacting(index_dir)
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
 
     batch_in = batch.count()
@@ -543,3 +548,111 @@ def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:
         "approx_distinct_texts": int(row["approx_distinct_texts"] or 0),
         "approx_distinct_tokens": int(row["approx_distinct_tokens"] or 0),
     }
+
+
+def compact_corpus_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict[str, int]]:
+    """Periodic maintenance over an append-grown ingest index — the
+    amortized complement to the probes' ``recap_stored`` guard.
+
+    A year of daily appends leaves the index with (a) one small file
+    set per batch per part, (b) md5/posting rows duplicated by
+    crash-replayed batches (the admission path is idempotent, the
+    index appends are at-least-once — module docstring), and (c) hot
+    (len_band, sh) / (band, band_hash) buckets grown past their cap
+    ACROSS appends (each append only caps its own contribution). The
+    probe-time re-cap keeps admission correct regardless, at a
+    per-batch cost; this pass pays once instead:
+
+    * ``hashes`` / ``benchmark_ngrams`` → ``distinct`` (replay dups);
+    * ``postings`` → full-row dedupe, then the SAME corpus-wide
+      ``_cap_buckets`` drop a fresh ``build_corpus_index`` would
+      apply — an over-cap bucket is physically removed, exactly the
+      rebuild semantics the probe-time guard emulates;
+    * ``bands`` → full-row dedupe + ``LSH_BUCKET_CAP`` re-cap;
+      ``rep_shingles`` → dedupe by doc_id;
+    * ``stats`` / ``manifests`` → rows preserved verbatim (they are
+      the mergeable counters / the exactly-once audit trail), files
+      collapsed to the byte target.
+
+    Buckets regrow from post-compaction appends (their count restarts,
+    as it would after any rebuild), so ``recap_stored`` stays the
+    default for stored-index probes; compaction bounds how much work
+    that guard does. Swap per part is the flat compactor's
+    tmp/old double-rename with the same crash signatures and
+    recovery; the advisory lock is taken on ``index_dir`` and
+    ``ingest_batch`` honors it, so a scheduled compaction and a
+    late-running ingest fail loudly instead of losing appends.
+    Returns per-part {rows_before, rows_after, files_before,
+    files_after}."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_compaction_lock,
+    )
+
+    meta = read_index_manifest(index_dir)
+    transforms = {
+        "hashes": lambda df: df.distinct(),
+        "benchmark_ngrams": lambda df: df.distinct(),
+        "postings": lambda df: _cap_buckets(
+            df.dropDuplicates(), ["len_band", "sh"], NGRAM_POSTING_CAP
+        ),
+        "bands": lambda df: _cap_buckets(
+            df.dropDuplicates(), ["band", "band_hash"], LSH_BUCKET_CAP
+        ),
+        "rep_shingles": lambda df: df.dropDuplicates(["doc_id"]),
+        "stats": lambda df: df,
+        "manifests": lambda df: df,
+    }
+    assert meta["family"] in ("ngram", "lsh")
+
+    def _files(path: str) -> list[str]:
+        return [
+            f
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.isfile(f)
+        ]
+
+    report: dict[str, dict[str, int]] = {}
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        for name, transform in transforms.items():
+            path = os.path.join(index_dir, name)
+            tmp, old = path + "._compact_tmp", path + "._compact_old"
+            # crash recovery — same signatures as sinks._compact_flat:
+            # stale tmp is a failed write; stale old with no live dir
+            # is pre-swap data (restore); with a live dir, post-swap
+            # garbage
+            if os.path.exists(tmp):
+                _shutil.rmtree(tmp)
+            if os.path.exists(old):
+                if os.path.exists(path):
+                    _shutil.rmtree(old)
+                else:
+                    os.rename(old, path)
+            if not os.path.exists(path):
+                continue
+            before_files = _files(path)
+            total_bytes = sum(os.path.getsize(f) for f in before_files)
+            n_out = max(1, -(-total_bytes // target_file_bytes))
+            df = spark.read.parquet(path)
+            rows_before = df.count()
+            out = transform(df)
+            out.repartition(n_out).write.mode("overwrite").parquet(tmp)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            _shutil.rmtree(old)
+            report[name] = {
+                "rows_before": rows_before,
+                "rows_after": spark.read.parquet(path).count(),
+                "files_before": len(before_files),
+                "files_after": len(_files(path)),
+            }
+    finally:
+        os.unlink(lock)
+    return report

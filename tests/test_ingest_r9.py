@@ -221,3 +221,115 @@ def test_append_grown_hot_bucket_is_recapped_at_probe(spark, tmp_path):
             ).collect()
         }
         assert verdicts == {50_000: want}, name
+
+
+# --------------------------------------------------- index compaction
+def test_compact_index_rebuild_semantics_and_dedupe(spark, tmp_path):
+    """compact_corpus_index physically applies what the probe-time
+    re-cap emulates: after compaction an append-grown hot bucket is
+    GONE (a probe with recap_stored=False returns the recapped
+    verdicts), crash-replay duplicate hash/posting rows collapse, and
+    per-batch file sets collapse toward the byte target."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        _incremental_verdicts as verdicts_fn,
+    )
+    from irio2024_mapreduce_spark.plans.ingest import compact_corpus_index
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    over = NGRAM_POSTING_CAP // 2 + 10
+
+    def half(start):
+        return _frame(
+            spark, [(start + i, f"x y z u{start + i}") for i in range(over)]
+        )
+
+    build_corpus_index(spark, half(0), idx)
+    # a real batch so the manifests/stats parts exist
+    ingest_batch(spark, _frame(spark, [(5_000, T_FRESH)]), idx, out,
+                 batch_id=1)
+    # grow the (len_band, "x y z") bucket past the cap across appends,
+    # the second a crash-replay (same index rows land twice)
+    for _ in range(2):
+        corpus_index_hashes(half(10_000)).write.mode("append").parquet(
+            f"{idx}/hashes"
+        )
+        corpus_index_postings(half(10_000)).write.mode("append").parquet(
+            f"{idx}/postings"
+        )
+
+    probe = _frame(spark, [(50_000, "x y z")])
+
+    def run(recap):
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in verdicts_fn(
+                probe,
+                spark.read.parquet(f"{idx}/hashes"),
+                spark.read.parquet(f"{idx}/postings"),
+                recap_stored=recap,
+            ).collect()
+        }
+
+    assert run(True) == {50_000: "admitted"}  # guard sees the hot bucket
+    rep = compact_corpus_index(spark, idx)
+    # physical rebuild semantics: no guard needed post-compaction
+    assert run(False) == {50_000: "admitted"}
+    # replay dups collapsed; the hot bucket physically removed
+    h = rep["hashes"]
+    assert h["rows_after"] < h["rows_before"]
+    p = rep["postings"]
+    assert p["rows_after"] < p["rows_before"]
+    hot = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("sh") == "x y z")
+        .count()
+    )
+    assert hot == 0
+    assert rep["manifests"]["rows_after"] == rep["manifests"]["rows_before"]
+    assert rep["stats"]["rows_after"] == rep["stats"]["rows_before"]
+    assert all(
+        r["files_after"] <= r["files_before"] for r in rep.values()
+    )
+    # the index still admits tomorrow's batch (end-to-end still works)
+    m = ingest_batch(
+        spark,
+        _frame(
+            spark,
+            [(60_000, "the quiet harbor sheltered a dozen fishing "
+                      "boats from the advancing winter storm")],
+        ),
+        idx,
+        out,
+    )
+    assert m["appended"] == 1
+
+
+def test_compact_index_excludes_ingest_and_recovers(spark, tmp_path):
+    """The advisory lock makes a concurrent ingest fail loudly, and a
+    crash between compaction's two renames (old exists, live dir
+    missing) is restored on the next pass."""
+    import os
+
+    from irio2024_mapreduce_spark.plans.ingest import compact_corpus_index
+    from irio2024_mapreduce_spark.sources.sinks import (
+        acquire_compaction_lock,
+        compaction_lock_path,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+
+    lock = acquire_compaction_lock(idx)
+    with pytest.raises(RuntimeError, match="compact"):
+        ingest_batch(spark, _frame(spark, [(10, T_FRESH)]), idx, out)
+    os.unlink(lock)
+    assert not os.path.exists(compaction_lock_path(idx))
+
+    # crash signature: hashes renamed away, swap never completed
+    os.rename(f"{idx}/hashes", f"{idx}/hashes._compact_old")
+    rep = compact_corpus_index(spark, idx)
+    assert rep["hashes"]["rows_after"] == 1
+    m = ingest_batch(spark, _frame(spark, [(10, T_CORPUS)]), idx, out)
+    assert m["exact_dups"] == 1  # recovered hashes still convict
