@@ -523,6 +523,121 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified train/val/test holdout. Content-addressed like
+# source_mix: a doc's split is a pure function of md5(doc_id), so the
+# assignment is reproducible across runs, partitionings, and engines,
+# and — critically for a growing corpus — STABLE under appends (a doc
+# ingested tomorrow lands in the same split it would have landed in
+# today; a row_number()-based "exact" split re-shuffles every prior
+# assignment whenever the corpus grows, silently leaking yesterday's
+# train docs into today's test set). Stratification is per-lang
+# threshold control, not per-stratum ranking: en is abundant so holds
+# out ~2% per eval split; every other lang holds out ~5% so low-
+# resource eval sets stay usable. Thresholds compare the first 4 hex
+# digits of the md5 (granularity 1/65536) as fixed-width lowercase
+# hex strings — lexicographic == numeric for fixed width, identical
+# in Spark and DuckDB.
+SPLIT_TEST_HEX_EN = "0500"  # 1280/65536 ≈ 1.95 % of en docs
+SPLIT_VAL_HEX_EN = "0a00"  # next 1280/65536 ≈ 1.95 %
+SPLIT_TEST_HEX = "0d00"  # 3328/65536 ≈ 5.08 % of non-en docs
+SPLIT_VAL_HEX = "1a00"  # next 3328/65536 ≈ 5.08 %
+
+
+def _split_col() -> Column:
+    key = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    t_hex = (
+        F.when(F.col("lang") == "en", F.lit(SPLIT_TEST_HEX_EN))
+        .otherwise(F.lit(SPLIT_TEST_HEX))
+    )
+    v_hex = (
+        F.when(F.col("lang") == "en", F.lit(SPLIT_VAL_HEX_EN))
+        .otherwise(F.lit(SPLIT_VAL_HEX))
+    )
+    return (
+        F.when(key < t_hex, F.lit("test"))
+        .when(key < v_hex, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def split_docs(docs: DataFrame) -> DataFrame:
+    """The MATERIALIZATION half of the stratified split: every doc
+    tagged with its ``split`` ('train'/'val'/'test') — map-only, zero
+    shuffle, so at 100 TB the three splits are written by one pass
+    with ``partitionBy("split")`` and never pay a sort or exchange.
+    ``corpus_split`` is the summary of exactly these assignments
+    (equality pinned in tests/test_llm_prep.py)."""
+    return docs.withColumn("split", _split_col())
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) census of the stratified holdout: doc count,
+    char volume, and the realized per-lang share ×10⁴ in exact
+    integer arithmetic (the repo-wide rounding policy). Plan shape:
+    one map-side-combined agg over the map-only split tag, plus a
+    broadcast join against the ≤|langs|-row per-lang totals — the
+    only shuffle moves one row per (lang, split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        split_docs(docs)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+    totals = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_docs")
+    )
+    return (
+        per.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "split",
+            "docs",
+            "chars",
+            F.expr(
+                "10000 * (docs div lang_docs) + "
+                "(10000 * (docs % lang_docs)) div lang_docs"
+            ).alias("share_x10k"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+CORPUS_SPLIT_ORACLE = f"""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE
+                   WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+                        (CASE WHEN lang = 'en' THEN '{SPLIT_TEST_HEX_EN}'
+                              ELSE '{SPLIT_TEST_HEX}' END) THEN 'test'
+                   WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+                        (CASE WHEN lang = 'en' THEN '{SPLIT_VAL_HEX_EN}'
+                              ELSE '{SPLIT_VAL_HEX}' END) THEN 'val'
+                   ELSE 'train'
+               END AS split
+        FROM documents
+    ), per AS (
+        SELECT lang, split,
+               COUNT(*)::BIGINT AS docs,
+               SUM(n_chars)::BIGINT AS chars
+        FROM tagged GROUP BY lang, split
+    ), totals AS (
+        SELECT lang, COUNT(*)::BIGINT AS lang_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT p.lang, p.split, p.docs, p.chars,
+           CAST(10000 * (p.docs // t.lang_docs)
+                + (10000 * (p.docs % t.lang_docs)) // t.lang_docs
+             AS BIGINT) AS share_x10k
+    FROM per p JOIN totals t USING (lang)
+    ORDER BY p.lang, p.split
+"""
+
+
 # Registered driver surface (r7): decontaminate is the flagship
 # train-test hygiene operator — it took the window slot freed by
 # retiring fingerprint (a near-twin of dedup_exact's digest grouping;
@@ -567,6 +682,7 @@ RETIRED_TWIN_QUERIES = {
     "pack_sequences": pack_sequences,
     "source_mix": source_mix,
     "importance_resample": importance_resample,
+    "corpus_split": corpus_split,
 }
 
 IMPORTANCE_RESAMPLE_ORACLE = """
@@ -608,6 +724,7 @@ IMPORTANCE_RESAMPLE_ORACLE = """
 
 RETIRED_TWIN_ORACLES = {
     "importance_resample": IMPORTANCE_RESAMPLE_ORACLE,
+    "corpus_split": CORPUS_SPLIT_ORACLE,
     "pii_scrub": f"""
         WITH s AS (
             SELECT doc_id, text,

@@ -12,10 +12,16 @@ import io
 
 from irio2024_mapreduce_spark.operators.llm_prep import (
     PACK_MAX_TOKENS,
+    SPLIT_TEST_HEX,
+    SPLIT_TEST_HEX_EN,
+    SPLIT_VAL_HEX,
+    SPLIT_VAL_HEX_EN,
+    corpus_split,
     pack_sequences,
     pack_sequences_naive,
     pii_scrub,
     scrub_text,
+    split_docs,
 )
 
 
@@ -257,3 +263,77 @@ def test_mix_docs_matches_source_mix_summary(spark, sf_dir):
     for r in source_mix(spark, sf_dir).collect():
         got = per_src.get(r["source"], (0, 0))
         assert got == (r["rows_out"], r["docs_kept"]), r["source"]
+
+
+def _expected_split(doc_id, lang):
+    import hashlib
+
+    key = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+    t = SPLIT_TEST_HEX_EN if lang == "en" else SPLIT_TEST_HEX
+    v = SPLIT_VAL_HEX_EN if lang == "en" else SPLIT_VAL_HEX
+    return "test" if key < t else ("val" if key < v else "train")
+
+
+def test_split_docs_is_content_addressed_and_map_only(spark, sf_dir):
+    """Every doc's split must equal the pure md5(doc_id) function —
+    determinism across runs/partitionings/engines follows — and the
+    tagging itself must add zero shuffles."""
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan_of(split_docs(docs))
+    tagged = split_docs(docs.repartition(7)).select(
+        "doc_id", "lang", "split"
+    )
+    rows = tagged.collect()
+    assert rows
+    for r in rows:
+        assert r["split"] == _expected_split(r["doc_id"], r["lang"]), r
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split must not depend on what else is in the corpus:
+    splitting a subset assigns exactly what splitting the full corpus
+    assigns (the append-stability property a rank-based split lacks)."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in split_docs(docs).select("doc_id", "split").collect()
+    }
+    subset = split_docs(docs.filter(F.col("doc_id") % 3 == 0))
+    for r in subset.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_corpus_split_matches_materialization(spark, sf_dir):
+    """The report (corpus_split) and the materialization (split_docs)
+    must describe the same assignment, and splits must partition the
+    corpus (disjoint + exhaustive by construction of the CASE)."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = split_docs(docs)
+    assert tagged.count() == docs.count()
+    mat = {
+        (r["lang"], r["split"]): (r["docs"], r["chars"])
+        for r in tagged.groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .collect()
+    }
+    rep = corpus_split(spark, sf_dir).collect()
+    assert {(r["lang"], r["split"]): (r["docs"], r["chars"]) for r in rep} == mat
+    # per-lang shares sum to exactly 10000 ± the integer-floor slack
+    by_lang = {}
+    for r in rep:
+        by_lang.setdefault(r["lang"], []).append(r["share_x10k"])
+    for lang, shares in by_lang.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, (lang, shares)

@@ -125,6 +125,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         "tfidf_topk_terms",
         # r7: DSIR-style hashed-ngram importance resampling
         "importance_resample",
+        # r9: stratified content-addressed train/val/test holdout
+        # (append-stable split; window full)
+        "corpus_split",
         # r7: md5-hash-family SimHash twin (dedup_near_md5 graduated
         # from this set to the graded driver window in r9 — it now
         # carries the near-dedup hash-check in the driver artifact)
