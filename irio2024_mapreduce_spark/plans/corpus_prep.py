@@ -59,6 +59,7 @@ from irio2024_mapreduce_spark.operators.llm_prep import (
     pack_docs,
     pack_docs_bpe,
     scrub_text,
+    split_docs,
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
 from irio2024_mapreduce_spark.sources.tables import load_table
@@ -75,6 +76,7 @@ def prepare_corpus(
     tokenizer_merges=None,
     index_dir: str | None = None,
     near_family: str = "ngram",
+    holdout_split: bool = False,
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
@@ -91,6 +93,17 @@ def prepare_corpus(
     graded ``dedup_near`` MinHash pipeline — robust to edits that
     shift every 3-gram; S-curve recall, so the DuckDB census only
     covers the default).
+
+    ``holdout_split`` adds the train/val/test stage after the scrub:
+    every shipped doc is tagged by ``llm_prep.split_docs`` (content-
+    addressed md5(doc_id) with per-lang thresholds — append-stable,
+    so tomorrow's ingested docs land in the same split they'd get
+    today), ``clean_documents.parquet`` is written
+    ``partitionBy("split")`` so a trainer's reader prunes the eval
+    splits at the directory level, and stage 6 packs ONLY the train
+    split (packing an eval doc into a training pack would leak it
+    into the token stream). Off by default: the artifact layout and
+    manifest are byte-identical to prior rounds unless requested.
 
     ``index_dir`` seeds the DAILY pipeline: the shipped corpus's
     ingest indexes (md5 hashes + capped postings over the PRE-scrub
@@ -161,15 +174,29 @@ def prepare_corpus(
         ],
     )
     clean_path = os.path.join(out_dir, "clean_documents.parquet")
-    cleaned.write.mode("overwrite").parquet(clean_path)
+    if holdout_split:
+        # stage 5.5: append-stable train/val/test tag; the partitioned
+        # layout lets a trainer's scan prune val/test without reading
+        # a row of them
+        split_docs(cleaned).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(clean_path)
+    else:
+        cleaned.write.mode("overwrite").parquet(clean_path)
     cleaned = spark.read.parquet(clean_path)  # packing reads the artifact
 
     # stage 6: pack the cleaned corpus (by tokenizer output when a
-    # merge table is supplied)
+    # merge table is supplied). Under holdout_split only the train
+    # split is packed — eval docs must never enter the token stream.
+    pack_input = (
+        cleaned.filter(F.col("split") == "train")
+        if holdout_split
+        else cleaned
+    )
     if tokenizer_merges is not None:
-        packs = pack_docs_bpe(spark, cleaned, tokenizer_merges)
+        packs = pack_docs_bpe(spark, pack_input, tokenizer_merges)
     else:
-        packs = pack_docs(spark, cleaned)
+        packs = pack_docs(spark, pack_input)
     packs_path = os.path.join(out_dir, "packs.parquet")
     packs.write.mode("overwrite").parquet(packs_path)
     packs = spark.read.parquet(packs_path)
@@ -205,7 +232,26 @@ def prepare_corpus(
         F.sum("n_redactions").alias("s")
     ).collect()[0]["s"]
 
+    split_counts: dict[str, int] = {}
+    if holdout_split:
+        split_counts = {
+            f"{r['split']}_docs": r["cnt"]
+            for r in cleaned.groupBy("split")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # docs_out stays "shipped clean docs" (all splits); the packs
+        # aggregate below covers the train split only
+        docs_out = sum(split_counts.values())
+    else:
+        docs_out = int(agg["docs"])
+
     return {
+        **{
+            k: int(split_counts.get(k, 0))
+            for k in ("train_docs", "val_docs", "test_docs")
+            if holdout_split
+        },
         "docs_in": docs_in,
         "benchmark_held_out": docs_in - pool_n,
         "exact_dups_removed": pool_n - after_dedup,
@@ -215,7 +261,7 @@ def prepare_corpus(
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
         "contaminated_removed": after_funnel - after_decontam,
-        "docs_out": int(agg["docs"]),
+        "docs_out": int(docs_out),
         "pii_redactions": int(n_redactions or 0),
         "total_tokens": int(agg["tokens"]),
         "n_packs": int(agg["n_packs"]),

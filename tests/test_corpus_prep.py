@@ -398,3 +398,64 @@ def test_prepare_corpus_lsh_near_family(spark, tmp_path):
     assert m["benchmark_held_out"] == 1
     assert m["near_dups_removed"] == 1  # doc 11 via the band pipeline
     assert m["docs_out"] == 3  # docs 0, 1, 2
+
+
+def test_prepare_corpus_holdout_split(spark, sf_dir, tmp_path):
+    """holdout_split mode: shipped docs carry an append-stable split
+    tag (hive-partitioned so trainers prune eval splits at the
+    directory level), packs cover EXACTLY the train split, and the
+    manifest still tiles docs_in with the split counts summing to
+    docs_out."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.llm_prep import split_docs
+
+    out = str(tmp_path / "prepared_split")
+    m = prepare_corpus(spark, sf_dir, out, holdout_split=True)
+
+    assert m["docs_out"] == (
+        m["train_docs"] + m["val_docs"] + m["test_docs"]
+    )
+    assert m["docs_in"] == (
+        m["benchmark_held_out"]
+        + m["exact_dups_removed"]
+        + m["near_dups_removed"]
+        + m["killed_null_text"]
+        + m["killed_too_short"]
+        + m["killed_too_repetitive"]
+        + m["killed_no_stopwords"]
+        + m["contaminated_removed"]
+        + m["docs_out"]
+    )
+    assert m["train_docs"] > m["val_docs"] + m["test_docs"]
+
+    clean_path = os.path.join(out, "clean_documents.parquet")
+    # hive layout: split is a directory key, not a data column
+    assert any(
+        d.startswith("split=") for d in os.listdir(clean_path)
+    )
+    cleaned = spark.read.parquet(clean_path)
+
+    # the tag must equal the content-addressed assignment — the same
+    # function applied to the artifact reproduces it bit-for-bit
+    retagged = split_docs(cleaned.drop("split")).select(
+        "doc_id", F.col("split").alias("expected")
+    )
+    mismatches = (
+        cleaned.select("doc_id", "split")
+        .join(retagged, "doc_id")
+        .filter(F.col("split") != F.col("expected"))
+        .count()
+    )
+    assert mismatches == 0
+
+    # packs tile exactly the train split's docs, nothing else
+    packs = spark.read.parquet(os.path.join(out, "packs.parquet"))
+    pack_ids = {r["doc_id"] for r in packs.select("doc_id").collect()}
+    train_ids = {
+        r["doc_id"]
+        for r in cleaned.filter(F.col("split") == "train")
+        .select("doc_id")
+        .collect()
+    }
+    assert pack_ids == train_ids
