@@ -846,6 +846,153 @@ def _ann_oracle() -> str:
     """
 
 
+# --- int8 embedding quantization -----------------------------------
+#
+# The 4× memory lever for the 100 TB ANN path: per-vector symmetric
+# int8 quantization (code_i = round(127·x_i / max|x|), scale =
+# max|x|/127 rides along as one double). At scale this is what lets a
+# 100 TB fp32 embedding corpus fit a 25 TB ANN working set — the
+# stored-index probe path (similarity_ann) reads 1 byte/dim instead
+# of 4, and reconstruction x̂ = code·scale bounds the per-element
+# error by scale/2, so cosine ranking degrades by a provable hair
+# (pinned in tests/test_similarity.py). Everything is map-only —
+# zero shuffle; the report is one agg.
+#
+# Cross-engine exactness: code computation is floor((127·x)/m + 0.5)
+# on IEEE doubles — multiplication, correctly-rounded division, add,
+# floor are bit-identical in Spark and DuckDB (the established
+# discipline of the similarity/dedup_embedding oracles), and every
+# reported stat is integer arithmetic after that.
+
+QUANT_LEVELS = 127  # symmetric int8: codes span [-127, 127]
+
+
+def quantize_vectors(emb: DataFrame) -> DataFrame:
+    """MATERIALIZATION: vec_id, label, per-vector ``scale`` (double)
+    and int ``codes`` (each value fits int8 by construction —
+    ``(127·m)/m`` is exactly 127.0 in IEEE, so no clamp is needed; a
+    production writer packs the codes column to BinaryType, 1
+    byte/dim — the array<int> here keeps the values oracle-readable).
+    All-zero vectors quantize to all-zero codes (scale 0)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_m = emb.withColumn("_v", v).withColumn(
+        "_m", F.array_max(F.transform(F.col("_v"), F.abs))
+    )
+    code = F.transform(
+        F.col("_v"),
+        lambda x: F.when(
+            F.col("_m") > 0,
+            F.floor(
+                (F.lit(float(QUANT_LEVELS)) * x) / F.col("_m") + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return with_m.select(
+        "vec_id",
+        "label",
+        (F.col("_m") / QUANT_LEVELS).alias("scale"),
+        code.alias("codes"),
+    )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPORT: per-label census of the quantized corpus — code
+    volume, saturation (|code| = 127: exactly the max-magnitude
+    element(s) of each vector), dead zeros, mean |code| ×100, and the
+    fp32-vs-int8 byte footprint (int8 pays 1 byte/dim + one 8-byte
+    scale per vector). Integer-exact after the deterministic code
+    computation, so the DuckDB twin hash-matches."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    q = quantize_vectors(emb)
+    per_vec = q.select(
+        "label",
+        F.size("codes").alias("dim"),
+        F.size(
+            F.filter("codes", lambda c: F.abs(c) == QUANT_LEVELS)
+        ).alias("sat"),
+        F.size(F.filter("codes", lambda c: c == 0)).alias("zeros"),
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.abs(c).cast("long"),
+        ).alias("sum_abs"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("dim").cast("long").alias("n_codes"),
+            F.sum("sat").cast("long").alias("sat_codes"),
+            F.sum("zeros").cast("long").alias("zero_codes"),
+            F.sum("sum_abs").cast("long").alias("sum_abs_codes"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_codes",
+            "sat_codes",
+            "zero_codes",
+            F.expr("(100 * sum_abs_codes) div n_codes").alias(
+                "avg_abs_code_x100"
+            ),
+            (F.col("n_codes") * 4).cast("long").alias("bytes_fp32"),
+            (F.col("n_codes") + F.col("n_vecs") * 8)
+            .cast("long")
+            .alias("bytes_int8"),
+        )
+        .orderBy("label")
+    )
+
+
+QUANTIZE_ORACLE = f"""
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), m AS (
+        SELECT label, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ), c AS (
+        SELECT label,
+               list_transform(v, x -> CASE WHEN mx > 0
+                   THEN CAST(floor(({QUANT_LEVELS} * x) / mx + 0.5) AS INT)
+                   ELSE 0 END) AS codes
+        FROM m
+    ), pv AS (
+        SELECT label,
+               len(codes) AS dim,
+               len(list_filter(codes, c -> abs(c) = {QUANT_LEVELS})) AS sat,
+               len(list_filter(codes, c -> c = 0)) AS zeros,
+               list_sum(list_transform(codes, c -> abs(c))) AS sum_abs
+        FROM c
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_vecs,
+           SUM(dim)::BIGINT AS n_codes,
+           SUM(sat)::BIGINT AS sat_codes,
+           SUM(zeros)::BIGINT AS zero_codes,
+           CAST((100 * SUM(sum_abs)) // SUM(dim) AS BIGINT)
+               AS avg_abs_code_x100,
+           (SUM(dim) * 4)::BIGINT AS bytes_fp32,
+           (SUM(dim) + COUNT(*) * 8)::BIGINT AS bytes_int8
+    FROM pv GROUP BY label ORDER BY label
+"""
+
+# Never-registered local-oracle queries (driver window is full at
+# 50): verified every test run by tests/test_retired_twins.py.
+RETIRED_TWIN_QUERIES = {
+    "quantize_embeddings": quantize_embeddings,
+}
+RETIRED_TWIN_ORACLES = {
+    "quantize_embeddings": QUANTIZE_ORACLE,
+}
+
+
 ORACLE_SQL = {
     "similarity_topk": f"""
         SELECT query_id, neighbor_id, cosine, rank FROM (

@@ -20,6 +20,7 @@ from irio2024_mapreduce_spark.operators import (
     llm_prep,
     misc,
     multimodal,
+    similarity,
     text_analysis,
 )
 from irio2024_mapreduce_spark.sources.tables import TABLE_NAMES
@@ -71,6 +72,13 @@ RETIRED = {
             chunking.RETIRED_TWIN_ORACLES[name],
         )
         for name in chunking.RETIRED_TWIN_QUERIES
+    },
+    **{
+        name: (
+            similarity.RETIRED_TWIN_QUERIES[name],
+            similarity.RETIRED_TWIN_ORACLES[name],
+        )
+        for name in similarity.RETIRED_TWIN_QUERIES
     },
     **{
         name: (
@@ -128,6 +136,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r9: stratified content-addressed train/val/test holdout
         # (append-stable split; window full)
         "corpus_split",
+        # r9: per-vector symmetric int8 embedding quantization — the
+        # 4x memory lever for the 100 TB ANN path (window full)
+        "quantize_embeddings",
         # r7: md5-hash-family SimHash twin (dedup_near_md5 graduated
         # from this set to the graded driver window in r9 — it now
         # carries the near-dedup hash-check in the driver artifact)

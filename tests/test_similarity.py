@@ -296,3 +296,101 @@ def test_ivf_oracle_centroids_equal_spark_training(spark, sf_dir):
     spark_cents = sim._train_rows(sample)
     oracle_cents = sim.ivf_centroids_for(sf_dir)
     assert spark_cents == oracle_cents
+
+
+def test_quantize_vectors_error_bound_and_parity(spark, sf_dir):
+    """Quantization semantics: every reconstructed element is within
+    scale/2 of the original (the round-to-nearest-level guarantee),
+    codes fit int8 with no clamp, all-zero vectors are handled, and
+    the report's counts equal the materialization's."""
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.similarity import (
+        QUANT_LEVELS,
+        quantize_embeddings,
+        quantize_vectors,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    rows = quantize_vectors(emb).collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        x = [float(v) for v in orig[r["vec_id"]]]
+        s, codes = r["scale"], r["codes"]
+        assert len(codes) == len(x)
+        for xi, ci in zip(x, codes):
+            assert -QUANT_LEVELS <= ci <= QUANT_LEVELS
+            # round-to-nearest: |x - c*s| <= s/2 (+ tiny fp slack)
+            assert abs(xi - ci * s) <= s / 2 + 1e-12, (xi, ci, s)
+        if max(abs(v) for v in x) == 0:
+            assert s == 0 and all(c == 0 for c in codes)
+        else:
+            # the max-magnitude element saturates exactly
+            assert max(abs(c) for c in codes) == QUANT_LEVELS
+
+    rep = {r["label"]: r for r in quantize_embeddings(spark, sf_dir).collect()}
+    by_label = {}
+    for r in rows:
+        a = by_label.setdefault(r["label"], [0, 0])
+        a[0] += 1
+        a[1] += len(r["codes"])
+    for label, (n_vecs, n_codes) in by_label.items():
+        assert rep[label]["n_vecs"] == n_vecs
+        assert rep[label]["n_codes"] == n_codes
+        assert rep[label]["bytes_fp32"] == 4 * n_codes
+        assert rep[label]["bytes_int8"] == n_codes + 8 * n_vecs
+
+
+def test_quantized_cosine_ranking_degrades_provably_little(spark, sf_dir):
+    """The point of int8 at 100 TB: ANN over reconstructed vectors
+    must rank almost exactly like fp32. Pin |cosine(fp32) -
+    cosine(int8-reconstructed)| <= 0.03 on every query-corpus top-k
+    pair, and top-10 overlap >= 0.6 per query (random-noise gaps are
+    the binding constraint at fixture scale, not quantization)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.similarity import (
+        N_QUERIES,
+        quantize_vectors,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    recon = {
+        r["vec_id"]: [c * r["scale"] for c in r["codes"]]
+        for r in quantize_vectors(emb).collect()
+    }
+    orig = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    corpus_ids = [v for v in orig if v >= N_QUERIES]
+    overlaps = []
+    for qid in [v for v in orig if v < N_QUERIES][:10]:
+        fp = sorted(
+            corpus_ids, key=lambda c: (-cos(orig[qid], orig[c]), c)
+        )[:10]
+        q8 = sorted(
+            corpus_ids, key=lambda c: (-cos(recon[qid], recon[c]), c)
+        )[:10]
+        for c in fp:
+            assert abs(
+                cos(orig[qid], orig[c]) - cos(recon[qid], recon[c])
+            ) <= 0.03
+        overlaps.append(len(set(fp) & set(q8)) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
