@@ -31,6 +31,10 @@ from irio2024_mapreduce_spark.operators.similarity import (
     N_QUERIES,
     QUANT_LEVELS,
     TOP_K,
+    _ann_corpus_rows,
+    _ann_join_score,
+    _ann_query_probes,
+    _ann_sigs,
     _as_double,
     _cosine,
 )
@@ -149,6 +153,157 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
     }
 
 
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def run_quantized_index(spark, sf_dir: str) -> dict:
+    """The deployment composition: the stored ANN index carries int8
+    CODES instead of vectors; a probe reconstructs to score, keeps a
+    2k candidate pool per query, then re-ranks that pool with fp32
+    fetched by id — and the final answers must EQUAL the fp32
+    on-the-fly ANN path. The fp32 comparison index stores
+    array<float> (what a real fp32 index holds — comparing against
+    array<double> would double the baseline and flatter the codes);
+    codes are array<tinyint>.
+
+    Byte accounting is done TWO ways because each alone misleads at
+    fixture scale: the partitioned index spreads 8 000 rows over
+    ~4 000 bucket dirs, so parquet footers dominate BOTH variants
+    (the partitioned ratio is near 1 and means nothing about
+    payload); the flat single-file ratio on the UNIQUE 1x vectors is
+    the honest payload number (~3.45x here; the Nx explode can't be
+    used for bytes at all — its duplicate pages compress away under
+    either type). At production scale buckets hold MBs, so the flat
+    ratio is the one that transfers.
+    """
+    import tempfile
+
+    emb = scaled_emb(spark, sf_dir, 1).localCheckpoint(eager=True)
+    sigs = _ann_sigs(emb)
+    corpus = _ann_corpus_rows(sigs)  # neighbor_id, cv, tbl, cb
+    queries = _ann_query_probes(sigs)
+
+    fly = sorted(
+        tuple(r) for r in _ann_join_score(corpus, queries).collect()
+    )
+
+    fp32_dir = tempfile.mkdtemp(prefix="ann_fp32_")
+    corpus.select(
+        "neighbor_id",
+        "tbl",
+        "cb",
+        F.transform("cv", lambda x: x.cast("float")).alias("cv"),
+    ).write.mode("overwrite").partitionBy("tbl", "cb").parquet(fp32_dir)
+
+    int8_dir = tempfile.mkdtemp(prefix="ann_int8_")
+    m = F.array_max(F.transform(F.col("cv"), F.abs))
+    qcorpus = corpus.withColumn("_m", m).select(
+        "neighbor_id",
+        "tbl",
+        "cb",
+        (F.col("_m") / QUANT_LEVELS).alias("scale"),
+        F.transform(
+            F.col("cv"),
+            lambda x: F.when(
+                F.col("_m") > 0,
+                F.floor(
+                    (F.lit(float(QUANT_LEVELS)) * x) / F.col("_m")
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("byte"),
+        ).alias("codes"),
+    )
+    qcorpus.write.mode("overwrite").partitionBy("tbl", "cb").parquet(
+        int8_dir
+    )
+
+    # flat single-file payload comparison on the unique vectors
+    flat32, flat8 = (
+        tempfile.mkdtemp(prefix="flat32_"),
+        tempfile.mkdtemp(prefix="flat8_"),
+    )
+    corpus.select(
+        "neighbor_id",
+        F.transform("cv", lambda x: x.cast("float")).alias("cv"),
+    ).dropDuplicates(["neighbor_id"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(flat32)
+    qcorpus.select("neighbor_id", "scale", "codes").dropDuplicates(
+        ["neighbor_id"]
+    ).coalesce(1).write.mode("overwrite").parquet(flat8)
+
+    # probe the quantized index: reconstruct -> approx-score -> keep a
+    # 2k pool per query -> fp32 re-rank by id
+    stored = spark.read.parquet(int8_dir).select(
+        "neighbor_id",
+        F.col("tbl").cast("int").alias("tbl"),
+        F.col("cb").cast("long").alias("cb"),
+        F.transform(
+            "codes", lambda c: c.cast("double") * F.col("scale")
+        ).alias("rv"),
+    )
+    cand = (
+        stored.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("cb") == F.col("probe")),
+        )
+        .select("query_id", "neighbor_id", "qv", "rv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("acos"), F.asc("neighbor_id")
+    )
+    pool = (
+        cand.withColumn(
+            "acos", F.round(_cosine(F.col("qv"), F.col("rv")), 6)
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2 * TOP_K)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    fp32_vec = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv32")
+    )
+    rerank = pool.join(fp32_vec, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv32")), 6).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    final = sorted(
+        tuple(r)
+        for r in rerank.withColumn(
+            "rank", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .collect()
+    )
+    assert final == fly, "quantized-index + fp32 re-rank diverges from fp32 ANN"
+    b32, b8 = _du(fp32_dir), _du(int8_dir)
+    f32, f8 = _du(flat32), _du(flat8)
+    return {
+        "partitioned_index_bytes_fp32": b32,
+        "partitioned_index_bytes_int8": b8,
+        "partitioned_ratio_metadata_dominated": round(b32 / b8, 3),
+        "flat_payload_bytes_fp32": f32,
+        "flat_payload_bytes_int8": f8,
+        "flat_payload_ratio": round(f32 / f8, 3),
+        "answers_equal_fp32_ann": True,
+        "rerank_pool_per_query": 2 * TOP_K,
+    }
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,6 +312,7 @@ def main() -> None:
         "probe": "stress_quantize",
         "sf": sf_dir,
         "scales": [run_scale(spark, sf_dir, 1), run_scale(spark, sf_dir, n)],
+        "quantized_stored_index": run_quantized_index(spark, sf_dir),
     }
     print(json.dumps(out))
 
