@@ -381,7 +381,25 @@ def ingest_batch(
         )
 
         target = resolve_current(clean_path)
-    cleaned.write.mode("append").parquet(target)
+    # a corpus built with prepare_corpus(holdout_split=True) is
+    # hive-partitioned by split — a flat append here would mix
+    # layouts and break partition discovery for every future reader.
+    # The split tag is content-addressed (llm_prep.split_docs), so
+    # appended docs land in the SAME split they'd have gotten in the
+    # one-shot build — the append-stability the split was chosen for.
+    is_split_layout = os.path.isdir(target) and any(
+        d.startswith("split=") for d in os.listdir(target)
+    )
+    if is_split_layout:
+        from irio2024_mapreduce_spark.operators.llm_prep import (  # noqa: PLC0415
+            split_docs,
+        )
+
+        split_docs(cleaned).write.mode("append").partitionBy(
+            "split"
+        ).parquet(target)
+    else:
+        cleaned.write.mode("append").parquet(target)
     appended = cleaned.count()
 
     _append_stats_row(cleaned, index_dir)

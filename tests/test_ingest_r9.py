@@ -333,3 +333,48 @@ def test_compact_index_excludes_ingest_and_recovers(spark, tmp_path):
     assert rep["hashes"]["rows_after"] == 1
     m = ingest_batch(spark, _frame(spark, [(10, T_CORPUS)]), idx, out)
     assert m["exact_dups"] == 1  # recovered hashes still convict
+
+
+def test_ingest_appends_into_split_partitioned_corpus(spark, tmp_path):
+    """A corpus built with prepare_corpus(holdout_split=True) is
+    hive-partitioned by split; a batch appended later must land
+    PARTITIONED (a flat append would break partition discovery for
+    every future reader) and in the same content-addressed split the
+    one-shot build would have assigned."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.llm_prep import split_docs
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    clean = os.path.join(out, "clean_documents.parquet")
+
+    # seed: a split-partitioned corpus (what holdout_split writes)
+    os.makedirs(out)
+    split_docs(_frame(spark, [(1, T_CORPUS)])).write.partitionBy(
+        "split"
+    ).parquet(clean)
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+
+    m = ingest_batch(spark, _frame(spark, [(10, T_FRESH)]), idx, out)
+    assert m["appended"] == 1
+
+    # mixed-layout would make this read raise; it must succeed and
+    # carry both docs with their content-addressed split tags
+    shipped = spark.read.parquet(clean)
+    rows = {r["doc_id"]: r["split"] for r in shipped.collect()}
+    assert set(rows) == {1, 10}
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in split_docs(
+            _frame(spark, [(1, T_CORPUS), (10, T_FRESH)])
+        ).collect()
+    }
+    assert rows == expected
+    # no flat files at the corpus root — only split= dirs + markers
+    stray = [
+        f
+        for f in os.listdir(clean)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(clean, f))
+    ]
+    assert stray == []
