@@ -151,3 +151,94 @@ def test_pack_assignment_matches_python_reference(spark, token_counts):
         )
         assert got[i] == expect, (i, got[i], expect)
         off += n
+
+
+# ---- r9: quantization + split properties ------------------------------
+
+FINITE_FLOATS = st.floats(
+    min_value=-3.3999999521443642e38,
+    max_value=3.3999999521443642e38,
+    allow_nan=False,
+    allow_infinity=False,
+    width=32,  # the embedding column is float32
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(FINITE_FLOATS, min_size=1, max_size=16))
+def test_quantize_bound_holds_on_arbitrary_vectors(spark, vec):
+    """For ANY finite float32 vector: codes stay in [-127, 127] with
+    no clamp, and every reconstructed element is within scale/2 of
+    the original (+ tiny fp slack for the division round-trip)."""
+    from irio2024_mapreduce_spark.operators.similarity import (
+        QUANT_LEVELS,
+        quantize_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(0, vec, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    r = quantize_vectors(df).collect()[0]
+    s, codes = r["scale"], r["codes"]
+    # float32 storage rounds the inputs — compare against what Spark read
+    stored = [float(v) for v in df.collect()[0]["embedding"]]
+    assert len(codes) == len(stored)
+    for xi, ci in zip(stored, codes):
+        assert -QUANT_LEVELS <= ci <= QUANT_LEVELS
+        assert abs(xi - ci * s) <= s / 2 + 1e-9 * max(1.0, abs(xi))
+    if max(abs(v) for v in stored) == 0:
+        assert s == 0 and all(c == 0 for c in codes)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(
+                alphabet=st.sampled_from(list("enfrdezh") + ["é", "東"]),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_split_matches_python_spec_on_arbitrary_ids(spark, rows):
+    """The split tag is a pure function of (doc_id, lang) — for ANY
+    int64 id (negative included) and ANY unicode lang string, Spark
+    must agree with the pure-Python md5 spec."""
+    import hashlib
+
+    from irio2024_mapreduce_spark.operators.llm_prep import (
+        SPLIT_TEST_HEX,
+        SPLIT_TEST_HEX_EN,
+        SPLIT_VAL_HEX,
+        SPLIT_VAL_HEX_EN,
+        split_docs,
+    )
+
+    def expect(doc_id, lang):
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        t = SPLIT_TEST_HEX_EN if lang == "en" else SPLIT_TEST_HEX
+        v = SPLIT_VAL_HEX_EN if lang == "en" else SPLIT_VAL_HEX
+        return "test" if key < t else ("val" if key < v else "train")
+
+    df = spark.createDataFrame(
+        [(i, lang) for i, lang in rows], "doc_id long, lang string"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_docs(df).select("doc_id", "split").collect()
+    }
+    assert got == {i: expect(i, lang) for i, lang in rows}
