@@ -607,6 +607,171 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_PAIRS = ("test|train", "test|val", "train|val")
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a split assignment for train↔eval duplicate leakage —
+    the hygiene failure a random split silently commits: an eval doc
+    with a (near-)duplicate in train is a memorization freebie, not a
+    generalization measurement.
+
+    Two detection families, one row per (kind, split-pair):
+
+    * ``exact`` — documents with identical bytes on both sides of a
+      split boundary. Counted WITHOUT a self-join: per-digest split
+      counts (one groupBy on md5) multiply into cross-pair counts
+      (``n_a·n_b``), so a text duplicated k times costs k rows, never
+      k² join rows — the dedup_exact discipline applied to auditing.
+    * ``near`` — 3-gram-Jaccard ≥ 0.5 pairs from the oracle-checked
+      ``dedup_ngram_jaccard`` machinery (banded, double-capped; exact
+      dups are collapsed to reps there, so the two families don't
+      double-count), tagged by each side's split.
+
+    The row set is FIXED (3 pairs × 2 kinds, zeros included) so the
+    report's shape doesn't depend on what leaked. All counting is
+    integer-exact; the DuckDB twin hash-matches at all SFs."""
+    from irio2024_mapreduce_spark.operators.dedup import (  # noqa: PLC0415
+        dedup_ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tagged = split_docs(docs)
+
+    wide = (
+        tagged.groupBy(
+            F.md5(F.col("text").cast("binary")).alias("h"), "split"
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("h")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("split") == s, F.col("c")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        )
+    )
+    exact_tot = wide.agg(
+        F.coalesce(
+            F.sum(F.col("n_test") * F.col("n_train")), F.lit(0)
+        ).cast("long").alias("tt"),
+        F.coalesce(
+            F.sum(F.col("n_test") * F.col("n_val")), F.lit(0)
+        ).cast("long").alias("tv"),
+        F.coalesce(
+            F.sum(F.col("n_train") * F.col("n_val")), F.lit(0)
+        ).cast("long").alias("trv"),
+    )
+    exact_rows = exact_tot.select(
+        F.lit("exact").alias("kind"),
+        F.expr(
+            "stack(3, 'test|train', tt, 'test|val', tv, "
+            "'train|val', trv) as (split_pair, n_pairs)"
+        ),
+    ).select("kind", "split_pair", "n_pairs")
+
+    ts = tagged.select("doc_id", "split")
+    near_tagged = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(
+            ts.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            ts.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.concat(
+                F.least("sa", "sb"), F.lit("|"), F.greatest("sa", "sb")
+            ).alias("split_pair")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    template = spark.createDataFrame(
+        [("near", p) for p in _SPLIT_PAIRS], "kind string, split_pair string"
+    )
+    near_rows = template.join(
+        F.broadcast(near_tagged), "split_pair", "left"
+    ).select(
+        "kind",
+        "split_pair",
+        F.coalesce("c", F.lit(0)).cast("long").alias("n_pairs"),
+    )
+    return exact_rows.unionByName(near_rows).orderBy("kind", "split_pair")
+
+
+def _split_leakage_oracle() -> str:
+    from irio2024_mapreduce_spark.operators import dedup  # noqa: PLC0415
+
+    ngram_pairs_sql = dedup.ORACLE_SQL["dedup_ngram_jaccard"]
+    pairs_values = ", ".join(f"('{p}')" for p in _SPLIT_PAIRS)
+    return f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               CASE
+                   WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+                        (CASE WHEN lang = 'en' THEN '{SPLIT_TEST_HEX_EN}'
+                              ELSE '{SPLIT_TEST_HEX}' END) THEN 'test'
+                   WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+                        (CASE WHEN lang = 'en' THEN '{SPLIT_VAL_HEX_EN}'
+                              ELSE '{SPLIT_VAL_HEX}' END) THEN 'val'
+                   ELSE 'train'
+               END AS split
+        FROM documents WHERE text IS NOT NULL
+    ), cnt AS (
+        SELECT md5(text) AS h, split, COUNT(*)::BIGINT AS c
+        FROM tagged GROUP BY 1, 2
+    ), wide AS (
+        SELECT h,
+               SUM(CASE WHEN split = 'train' THEN c ELSE 0 END) AS n_train,
+               SUM(CASE WHEN split = 'val' THEN c ELSE 0 END) AS n_val,
+               SUM(CASE WHEN split = 'test' THEN c ELSE 0 END) AS n_test
+        FROM cnt GROUP BY h
+    ), exact AS (
+        SELECT 'exact' AS kind, t.split_pair,
+               COALESCE(SUM(CASE t.split_pair
+                   WHEN 'test|train' THEN n_test * n_train
+                   WHEN 'test|val' THEN n_test * n_val
+                   ELSE n_train * n_val END), 0)::BIGINT AS n_pairs
+        FROM (VALUES {pairs_values}) t(split_pair)
+        LEFT JOIN wide ON TRUE
+        GROUP BY t.split_pair
+    ), near_pairs AS (
+        {ngram_pairs_sql}
+    ), near_tag AS (
+        SELECT least(a.split, b.split) || '|' || greatest(a.split, b.split)
+                   AS split_pair
+        FROM near_pairs p
+        JOIN tagged a ON p.doc_a = a.doc_id
+        JOIN tagged b ON p.doc_b = b.doc_id
+        WHERE a.split != b.split
+    ), near AS (
+        SELECT 'near' AS kind, t.split_pair,
+               COUNT(n.split_pair)::BIGINT AS n_pairs
+        FROM (VALUES {pairs_values}) t(split_pair)
+        LEFT JOIN near_tag n USING (split_pair)
+        GROUP BY t.split_pair
+    )
+    SELECT kind, split_pair, n_pairs FROM exact
+    UNION ALL
+    SELECT kind, split_pair, n_pairs FROM near
+    ORDER BY kind, split_pair
+    """
+
+
 CORPUS_SPLIT_ORACLE = f"""
     WITH tagged AS (
         SELECT lang, n_chars,
@@ -683,6 +848,7 @@ RETIRED_TWIN_QUERIES = {
     "source_mix": source_mix,
     "importance_resample": importance_resample,
     "corpus_split": corpus_split,
+    "split_leakage": split_leakage,
 }
 
 IMPORTANCE_RESAMPLE_ORACLE = """
@@ -725,6 +891,7 @@ IMPORTANCE_RESAMPLE_ORACLE = """
 RETIRED_TWIN_ORACLES = {
     "importance_resample": IMPORTANCE_RESAMPLE_ORACLE,
     "corpus_split": CORPUS_SPLIT_ORACLE,
+    "split_leakage": _split_leakage_oracle(),
     "pii_scrub": f"""
         WITH s AS (
             SELECT doc_id, text,

@@ -337,3 +337,52 @@ def test_corpus_split_matches_materialization(spark, sf_dir):
         by_lang.setdefault(r["lang"], []).append(r["share_x10k"])
     for lang, shares in by_lang.items():
         assert 10000 - len(shares) < sum(shares) <= 10000, (lang, shares)
+
+
+def test_split_leakage_crafted_roles(spark, tmp_path):
+    """Engineered corpus: an identical text planted on both sides of
+    the test|train boundary must show as ONE exact cross pair; a
+    high-Jaccard (but not identical) pair straddling train|val must
+    show as ONE near cross pair; every other cell stays zero."""
+    import os
+
+    from irio2024_mapreduce_spark.operators.llm_prep import split_leakage
+
+    def pick(split, start=0):
+        i = start
+        while _expected_split(i, "xx") != split:
+            i += 1
+        return i
+
+    id_train_a = pick("train")
+    id_test = pick("test")
+    id_train_b = pick("train", id_train_a + 1)
+    id_val = pick("val")
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    base = [f"w{i}" for i in range(40)]
+    near_a = " ".join(base)
+    near_b = " ".join(base[:36] + ["z1", "z2", "z3", "z4"])
+    rows = [
+        (id_train_a, same),
+        (id_test, same),
+        (id_train_b, near_a),
+        (id_val, near_b),
+    ]
+    sf = str(tmp_path / "leak_sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "xx", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {
+        (r["kind"], r["split_pair"]): r["n_pairs"]
+        for r in split_leakage(spark, sf).collect()
+    }
+    assert len(got) == 6
+    assert got[("exact", "test|train")] == 1
+    assert got[("near", "train|val")] == 1
+    for k, v in got.items():
+        if k not in {("exact", "test|train"), ("near", "train|val")}:
+            assert v == 0, (k, v)

@@ -136,6 +136,9 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r9: stratified content-addressed train/val/test holdout
         # (append-stable split; window full)
         "corpus_split",
+        # r9: train<->eval duplicate-leakage audit over the split
+        # (exact digests agg-only + the capped ngram-jaccard pairs)
+        "split_leakage",
         # r9: per-vector symmetric int8 embedding quantization — the
         # 4x memory lever for the 100 TB ANN path (window full)
         "quantize_embeddings",
