@@ -371,3 +371,49 @@ def test_rank_filter_windows_compile_to_window_group_limit(spark, sf_dir):
     plan = plan_of(similarity_topk(spark, sf_dir), mode="simple")
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_corpus_split_report_shape(spark, sf_dir):
+    """The split tag adds no exchange; the report's only shuffles are
+    the per-(lang, split) aggregate and its per-lang totals, joined
+    BROADCAST (a |langs|-row build side must never shuffle-join a
+    corpus-sized probe)."""
+    from irio2024_mapreduce_spark.operators.llm_prep import corpus_split
+
+    plan = plan_of(corpus_split(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # map-side partial aggregation present on the corpus-sized agg
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_quantize_embeddings_is_one_agg_over_a_map_only_tag(spark, sf_dir):
+    """Quantization itself must be map-only (zero shuffle); the
+    report pays exactly the per-label aggregate plus its ordered
+    presentation — no join, no Python."""
+    from irio2024_mapreduce_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_vectors,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    # plain loader: the fixture-parallelism repartition in
+    # load_table_parallel is the ONLY exchange the tagged frame may
+    # carry — the tag itself adds none
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert "Exchange" not in plan_of(quantize_vectors(emb))
+    plan = plan_of(quantize_embeddings(spark, sf_dir))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_split_leakage_exact_family_never_self_joins(spark, sf_dir):
+    """The exact family must stay agg-only — digest counts multiply
+    into pair counts; the ONLY joins in the whole plan are the near
+    family's capped posting join plus the tag/template lookups. No
+    cartesian product anywhere."""
+    from irio2024_mapreduce_spark.operators.llm_prep import split_leakage
+
+    plan = plan_of(split_leakage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
