@@ -576,9 +576,12 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, split) census of the stratified holdout: doc count,
     char volume, and the realized per-lang share ×10⁴ in exact
     integer arithmetic (the repo-wide rounding policy). Plan shape:
-    one map-side-combined agg over the map-only split tag, plus a
-    broadcast join against the ≤|langs|-row per-lang totals — the
-    only shuffle moves one row per (lang, split)."""
+    ONE corpus scan — one map-side-combined agg over the map-only
+    split tag; the per-lang totals are a window over the already
+    aggregated ≤|langs|·3-row frame, so the corpus is never read or
+    shuffled a second time."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents")
     per = (
         split_docs(docs)
@@ -588,11 +591,9 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars"),
         )
     )
-    totals = docs.groupBy("lang").agg(
-        F.count("*").cast("long").alias("lang_docs")
-    )
+    lang_total = F.sum("docs").over(Window.partitionBy("lang"))
     return (
-        per.join(F.broadcast(totals), "lang")
+        per.withColumn("lang_docs", lang_total)
         .select(
             "lang",
             "split",
@@ -624,9 +625,17 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``n_a·n_b``), so a text duplicated k times costs k rows, never
       k² join rows — the dedup_exact discipline applied to auditing.
     * ``near`` — 3-gram-Jaccard ≥ 0.5 pairs from the oracle-checked
-      ``dedup_ngram_jaccard`` machinery (banded, double-capped; exact
-      dups are collapsed to reps there, so the two families don't
-      double-count), tagged by each side's split.
+      ``dedup_ngram_jaccard`` machinery (banded, double-capped).
+      Those pairs connect exact-dup REPRESENTATIVES, and a rep's
+      members can sit in several splits — so each pair is expanded to
+      MEMBER-level cross counts arithmetically (per-rep split counts
+      multiply: ``a_s1·b_s2 + a_s2·b_s1``), never by materializing
+      member×member rows. Without this, an eval doc exact-collapsed
+      into a train-side rep would hide its near-duplicates entirely
+      (the rep pair would read train|train and be dropped). Exact
+      pairs within one digest group stay the ``exact`` family's —
+      identical bytes are not "near" — so the two families never
+      double-count.
 
     The row set is FIXED (3 pairs × 2 kinds, zeros included) so the
     report's shape doesn't depend on what leaked. All counting is
@@ -676,40 +685,66 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("kind", "split_pair", "n_pairs")
 
-    ts = tagged.select("doc_id", "split")
-    near_tagged = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .join(
-            ts.select(
-                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            ts.select(
-                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
-            ),
-            "doc_b",
-        )
-        .filter(F.col("sa") != F.col("sb"))
-        .groupBy(
-            F.concat(
-                F.least("sa", "sb"), F.lit("|"), F.greatest("sa", "sb")
-            ).alias("split_pair")
-        )
-        .agg(F.count("*").cast("long").alias("c"))
+    # per-digest-group split counts, keyed by the group's REP id (the
+    # node id the ngram pair machinery emits — min doc_id per text)
+    rep_counts = tagged.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(
+        F.min("doc_id").alias("rep"),
+        *[
+            F.sum(
+                F.when(F.col("split") == s, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
     )
-    template = spark.createDataFrame(
-        [("near", p) for p in _SPLIT_PAIRS], "kind string, split_pair string"
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a = rep_counts.select(
+        F.col("rep").alias("doc_a"),
+        F.col("n_train").alias("a_train"),
+        F.col("n_val").alias("a_val"),
+        F.col("n_test").alias("a_test"),
     )
-    near_rows = template.join(
-        F.broadcast(near_tagged), "split_pair", "left"
-    ).select(
-        "kind",
-        "split_pair",
-        F.coalesce("c", F.lit(0)).cast("long").alias("n_pairs"),
+    b = rep_counts.select(
+        F.col("rep").alias("doc_b"),
+        F.col("n_train").alias("b_train"),
+        F.col("n_val").alias("b_val"),
+        F.col("n_test").alias("b_test"),
     )
+    near_tot = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("a_test") * F.col("b_train")
+                    + F.col("a_train") * F.col("b_test")
+                ),
+                F.lit(0),
+            ).cast("long").alias("tt"),
+            F.coalesce(
+                F.sum(
+                    F.col("a_test") * F.col("b_val")
+                    + F.col("a_val") * F.col("b_test")
+                ),
+                F.lit(0),
+            ).cast("long").alias("tv"),
+            F.coalesce(
+                F.sum(
+                    F.col("a_train") * F.col("b_val")
+                    + F.col("a_val") * F.col("b_train")
+                ),
+                F.lit(0),
+            ).cast("long").alias("trv"),
+        )
+    )
+    near_rows = near_tot.select(
+        F.lit("near").alias("kind"),
+        F.expr(
+            "stack(3, 'test|train', tt, 'test|val', tv, "
+            "'train|val', trv) as (split_pair, n_pairs)"
+        ),
+    ).select("kind", "split_pair", "n_pairs")
     return exact_rows.unionByName(near_rows).orderBy("kind", "split_pair")
 
 
@@ -751,19 +786,31 @@ def _split_leakage_oracle() -> str:
         GROUP BY t.split_pair
     ), near_pairs AS (
         {ngram_pairs_sql}
-    ), near_tag AS (
-        SELECT least(a.split, b.split) || '|' || greatest(a.split, b.split)
-                   AS split_pair
+    ), rc AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS rep,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        FROM tagged GROUP BY md5(text)
+    ), near_tot AS (
+        SELECT
+            COALESCE(SUM(a.n_test * b.n_train + a.n_train * b.n_test),
+                     0)::BIGINT AS tt,
+            COALESCE(SUM(a.n_test * b.n_val + a.n_val * b.n_test),
+                     0)::BIGINT AS tv,
+            COALESCE(SUM(a.n_train * b.n_val + a.n_val * b.n_train),
+                     0)::BIGINT AS trv
         FROM near_pairs p
-        JOIN tagged a ON p.doc_a = a.doc_id
-        JOIN tagged b ON p.doc_b = b.doc_id
-        WHERE a.split != b.split
+        JOIN rc a ON p.doc_a = a.rep
+        JOIN rc b ON p.doc_b = b.rep
     ), near AS (
         SELECT 'near' AS kind, t.split_pair,
-               COUNT(n.split_pair)::BIGINT AS n_pairs
+               CASE t.split_pair
+                   WHEN 'test|train' THEN tt
+                   WHEN 'test|val' THEN tv
+                   ELSE trv END AS n_pairs
         FROM (VALUES {pairs_values}) t(split_pair)
-        LEFT JOIN near_tag n USING (split_pair)
-        GROUP BY t.split_pair
+        LEFT JOIN near_tot ON TRUE
     )
     SELECT kind, split_pair, n_pairs FROM exact
     UNION ALL

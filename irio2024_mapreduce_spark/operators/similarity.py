@@ -867,33 +867,60 @@ def _ann_oracle() -> str:
 QUANT_LEVELS = 127  # symmetric int8: codes span [-127, 127]
 
 
-def quantize_vectors(emb: DataFrame) -> DataFrame:
-    """MATERIALIZATION: vec_id, label, per-vector ``scale`` (double)
-    and int ``codes`` (each value fits int8 by construction —
-    ``(127·m)/m`` is exactly 127.0 in IEEE, so no clamp is needed; a
-    production writer packs the codes column to BinaryType, 1
-    byte/dim — the array<int> here keeps the values oracle-readable).
-    All-zero vectors quantize to all-zero codes (scale 0)."""
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    with_m = emb.withColumn("_v", v).withColumn(
-        "_m", F.array_max(F.transform(F.col("_v"), F.abs))
-    )
-    code = F.transform(
-        F.col("_v"),
+def quant_abs_max(vec: Column) -> Column:
+    """Per-vector max |x| — the quantizer's denominator."""
+    return F.array_max(F.transform(vec, F.abs))
+
+
+def quant_code_col(vec: Column, m: Column, cast_to: str = "int") -> Column:
+    """The exactness-critical code expression, defined ONCE and
+    reused by the operator and every stress site (three drifting
+    copies of this arithmetic would silently desynchronize the
+    cross-engine bit-identity discipline): floor((127·x)/m + 0.5) on
+    IEEE doubles — multiplication, correctly-rounded division, add,
+    floor are bit-identical in Spark and DuckDB. ``(127·m)/m`` is
+    exactly 127.0 in IEEE, so no clamp is needed; all-zero vectors
+    (m = 0) quantize to all-zero codes."""
+    return F.transform(
+        vec,
         lambda x: F.when(
-            F.col("_m") > 0,
-            F.floor(
-                (F.lit(float(QUANT_LEVELS)) * x) / F.col("_m") + F.lit(0.5)
-            ),
+            m > 0,
+            F.floor((F.lit(float(QUANT_LEVELS)) * x) / m + F.lit(0.5)),
         )
         .otherwise(F.lit(0))
-        .cast("int"),
+        .cast(cast_to),
+    )
+
+
+def _is_finite_vector(vec: Column) -> Column:
+    """No NaN / ±inf element. NaN poisons the quantizer silently
+    (Spark's array_max ranks NaN largest ⇒ scale = NaN, every code
+    floor(NaN)→0) and DuckDB errors on the same cast — so non-finite
+    vectors are EXCLUDED by contract on both engines instead of
+    shipping garbage codes."""
+    inf = F.lit(float("inf"))
+    return ~F.exists(vec, lambda x: F.isnan(x) | (F.abs(x) == inf))
+
+
+def quantize_vectors(emb: DataFrame) -> DataFrame:
+    """MATERIALIZATION: vec_id, label, per-vector ``scale`` (double)
+    and int ``codes`` (each value fits int8 by construction — see
+    :func:`quant_code_col`; a production writer packs the codes
+    column to BinaryType, 1 byte/dim — the array<int> here keeps the
+    values oracle-readable). Vectors containing NaN/±inf are dropped
+    (:func:`_is_finite_vector`): explicit absence beats silent
+    all-zero codes with a NaN scale."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_m = (
+        emb.withColumn("_v", v)
+        .filter(_is_finite_vector(F.col("_v")))
+        .withColumn("_m", quant_abs_max(F.col("_v")))
     )
     return with_m.select(
         "vec_id",
         "label",
         (F.col("_m") / QUANT_LEVELS).alias("scale"),
-        code.alias("codes"),
+        quant_code_col(F.col("_v"), F.col("_m")).alias("codes"),
     )
 
 
@@ -953,6 +980,8 @@ QUANTIZE_ORACLE = f"""
         SELECT label, embedding::DOUBLE[] AS v
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) > 0
+          AND len(list_filter(embedding::DOUBLE[],
+                              x -> isnan(x) OR isinf(x))) = 0
     ), m AS (
         SELECT label, v,
                list_max(list_transform(v, x -> abs(x))) AS mx

@@ -244,7 +244,7 @@ def prepare_corpus(
         # aggregate below covers the train split only
         docs_out = sum(split_counts.values())
     else:
-        docs_out = int(agg["docs"])
+        docs_out = int(agg["docs"] or 0)
 
     return {
         **{
@@ -261,8 +261,12 @@ def prepare_corpus(
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
         "contaminated_removed": after_funnel - after_decontam,
+        # `or 0`: the packs aggregate is NULL-valued when the packed
+        # frame is empty — reachable under holdout_split when every
+        # shipped doc hashed into val/test (tiny corpora), previously
+        # only with an empty corpus
         "docs_out": int(docs_out),
         "pii_redactions": int(n_redactions or 0),
-        "total_tokens": int(agg["tokens"]),
-        "n_packs": int(agg["n_packs"]),
+        "total_tokens": int(agg["tokens"] or 0),
+        "n_packs": int(agg["n_packs"] or 0),
     }

@@ -340,10 +340,18 @@ def test_corpus_split_matches_materialization(spark, sf_dir):
 
 
 def test_split_leakage_crafted_roles(spark, tmp_path):
-    """Engineered corpus: an identical text planted on both sides of
-    the test|train boundary must show as ONE exact cross pair; a
-    high-Jaccard (but not identical) pair straddling train|val must
-    show as ONE near cross pair; every other cell stays zero."""
+    """Engineered corpus, three planted leaks:
+
+    * an identical text on both sides of test|train → ONE exact pair;
+    * a high-Jaccard (not identical) pair straddling train|val → ONE
+      near pair;
+    * the collapsed-rep trap: eval doc A and train doc B share bytes
+      (one digest group, rep = B on the train side), and train doc C
+      is a near-dup of that text — the rep-level pair is train|train,
+      but the MEMBER-level expansion must still surface A↔C as ONE
+      near test|train pair (plus A↔B as a second exact test|train).
+
+    Every other cell stays zero."""
     import os
 
     from irio2024_mapreduce_spark.operators.llm_prep import split_leakage
@@ -358,17 +366,32 @@ def test_split_leakage_crafted_roles(spark, tmp_path):
     id_test = pick("test")
     id_train_b = pick("train", id_train_a + 1)
     id_val = pick("val")
+    id_train_c = pick("train", id_train_b + 1)
+    # picked AFTER id_train_c with a higher floor, so the digest
+    # group's rep (min id) is guaranteed to be the train doc
+    id_test2 = pick("test", max(id_test, id_train_c) + 1)
+    id_train_d = pick("train", id_train_c + 1)
 
     same = "the quick brown fox jumps over the lazy dog again and again"
     base = [f"w{i}" for i in range(40)]
     near_a = " ".join(base)
     near_b = " ".join(base[:36] + ["z1", "z2", "z3", "z4"])
+    # collapsed-rep trio: disjoint vocab from base so no accidental
+    # cross-pairs (same 40-token len band, all-pairs compared there)
+    trio = [f"q{i}" for i in range(40)]
+    same_x = " ".join(trio)
+    near_c = " ".join(trio[:36] + ["y1", "y2", "y3", "y4"])
     rows = [
         (id_train_a, same),
         (id_test, same),
         (id_train_b, near_a),
         (id_val, near_b),
+        # trap: rep(min id) of the same_x group is the TRAIN doc
+        (id_train_c, same_x),
+        (id_test2, same_x),
+        (id_train_d, near_c),
     ]
+    assert id_train_c < id_test2  # the rep must sit train-side
     sf = str(tmp_path / "leak_sf")
     os.makedirs(sf)
     spark.createDataFrame(
@@ -381,8 +404,13 @@ def test_split_leakage_crafted_roles(spark, tmp_path):
         for r in split_leakage(spark, sf).collect()
     }
     assert len(got) == 6
-    assert got[("exact", "test|train")] == 1
+    assert got[("exact", "test|train")] == 2
     assert got[("near", "train|val")] == 1
+    assert got[("near", "test|train")] == 1
     for k, v in got.items():
-        if k not in {("exact", "test|train"), ("near", "train|val")}:
+        if k not in {
+            ("exact", "test|train"),
+            ("near", "train|val"),
+            ("near", "test|train"),
+        }:
             assert v == 0, (k, v)

@@ -374,15 +374,19 @@ def test_rank_filter_windows_compile_to_window_group_limit(spark, sf_dir):
 
 
 def test_corpus_split_report_shape(spark, sf_dir):
-    """The split tag adds no exchange; the report's only shuffles are
-    the per-(lang, split) aggregate and its per-lang totals, joined
-    BROADCAST (a |langs|-row build side must never shuffle-join a
-    corpus-sized probe)."""
+    """The split tag adds no exchange, the corpus is scanned ONCE
+    (the per-lang totals come from a window over the already
+    aggregated frame — a second corpus-wide aggregate would double
+    scan I/O at 100 TB), and the whole report is join-free."""
     from irio2024_mapreduce_spark.operators.llm_prep import corpus_split
 
     plan = plan_of(corpus_split(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    # simple mode prints each node once (formatted repeats nodes in
+    # the details section)
+    assert plan_of(corpus_split(spark, sf_dir), "simple").count(
+        "Scan parquet"
+    ) == 1
     # map-side partial aggregation present on the corpus-sized agg
     assert "partial_count" in plan or "HashAggregate" in plan
 

@@ -394,3 +394,26 @@ def test_quantized_cosine_ranking_degrades_provably_little(spark, sf_dir):
             ) <= 0.03
         overlaps.append(len(set(fp) & set(q8)) / 10)
     assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+
+
+def test_quantize_excludes_nonfinite_vectors(spark):
+    """A NaN element would silently poison the quantizer (Spark's
+    array_max ranks NaN largest => scale NaN, every code 0) and DuckDB
+    errors on the same cast — so vectors containing NaN/±inf are
+    excluded by contract, finite vectors alongside them survive."""
+    from irio2024_mapreduce_spark.operators.similarity import (
+        quantize_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, float("nan"), 2.0], 0),
+            (2, [float("inf"), 1.0], 0),
+            (3, [-float("inf")], 0),
+            (4, [0.5, -2.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
+    assert set(rows) == {4}
+    assert rows[4]["codes"] == [32, -127]

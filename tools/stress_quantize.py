@@ -37,47 +37,61 @@ from irio2024_mapreduce_spark.operators.similarity import (
     _ann_sigs,
     _as_double,
     _cosine,
+    quant_abs_max,
+    quant_code_col,
 )
 from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 from irio2024_mapreduce_spark.sources.tables import load_table_parallel
 
 
 def scaled_emb(spark, sf_dir: str, n: int):
-    """Nx corpus: original vectors plus n-1 shifted-id copies (the
-    stress_ann_index convention — queries stay only in the original
-    stripe)."""
+    """Nx corpus: queries (vec_id < N_QUERIES) stay EXACTLY 1x; the
+    corpus stripe is exploded n-1 extra times with a small
+    deterministic per-(copy, dim) multiplicative perturbation
+    (±1.2 %) so every copy is a UNIQUE vector. Two prior hazards this
+    kills: exploding queries floods the corpus with cosine-1.0 copies
+    of every query, making recall trivially perfect; and exact
+    unperturbed copies make the fp32-vs-int8 ranking comparison
+    degenerate (both sides rank identical values identically). With
+    unique copies the Nx recall row is a real measurement — the
+    quantization noise (≤ scale/2 per element) competes with genuine
+    ~1 % cosine gaps."""
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
     if n == 1:
         return emb
-    return emb.withColumn(
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    copies = corpus.withColumn(
         "k", F.explode(F.expr(f"sequence(0, {n - 1})"))
     ).select(
         (F.col("vec_id") + F.col("k").cast("long") * 100_000_000).alias(
             "vec_id"
         ),
-        "v",
+        F.when(F.col("k") == 0, F.col("v"))
+        .otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.004)
+                    * ((F.col("k") * 31 + i) % 7 - F.lit(3)).cast("double")
+                ),
+            )
+        )
+        .alias("v"),
     )
+    return queries.unionByName(copies)
 
 
 def quantized(emb):
-    """vec_id, reconstructed vector, and the per-row byte payload —
-    the same arithmetic as operators.similarity.quantize_vectors,
-    applied to the (vec_id, v) probe frame."""
-    m = F.array_max(F.transform(F.col("v"), F.abs))
-    with_m = emb.withColumn("_m", m)
-    code = F.transform(
-        F.col("v"),
-        lambda x: F.when(
-            F.col("_m") > 0,
-            F.floor(
-                (F.lit(float(QUANT_LEVELS)) * x) / F.col("_m") + F.lit(0.5)
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
-    )
+    """vec_id, reconstructed vector, and the per-row dim — built from
+    the operator's OWN code expression (quant_code_col), so the probe
+    can never drift from what quantize_vectors ships."""
+    with_m = emb.withColumn("_m", quant_abs_max(F.col("v")))
+    code = quant_code_col(F.col("v"), F.col("_m"))
     scale = F.col("_m") / QUANT_LEVELS
     return with_m.select(
         "vec_id",
@@ -132,8 +146,34 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
     for r in topk(q.select("vec_id", "v")).collect():
         rq.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine"]
 
+    # recall@k is ILL-CONDITIONED when candidates tie within the
+    # quantization noise (at Nx the top slots are ±1.2%-perturbed
+    # variants separated by <1e-3 cosine) — so also measure REGRET:
+    # how much TRUE (fp32) cosine a user loses by taking int8's picks
+    # instead of fp32's. Near-zero regret with low recall means the
+    # picks differ in identity, not in quality.
+    need = set()
+    for qid in fp:
+        need.update(fp[qid])
+        need.update(rq.get(qid, {}))
+        need.add(qid)
+    vecs = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(list(need))).collect()
+    }
+
+    def true_cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        num = da = db = 0.0
+        for x, y in zip(va, vb):
+            num += x * y
+            da += x * x
+            db += y * y
+        return num / (da**0.5 * db**0.5) if da > 0 and db > 0 else 0.0
+
     hits = total = 0
     max_cos_diff = 0.0
+    regret_sum = 0.0
     for qid, neigh in fp.items():
         got = set(rq.get(qid, {}))
         hits += len(set(neigh) & got)
@@ -141,6 +181,9 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
         for nid, c in neigh.items():
             if nid in rq.get(qid, {}):
                 max_cos_diff = max(max_cos_diff, abs(c - rq[qid][nid]))
+        fp_gain = sum(true_cos(qid, nid) for nid in neigh)
+        q8_gain = sum(true_cos(qid, nid) for nid in got)
+        regret_sum += max(0.0, fp_gain - q8_gain) / max(len(neigh), 1)
     return {
         "n": n,
         "vectors": n_vecs,
@@ -150,6 +193,9 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
         "compression": round(bytes_fp32 / bytes_int8, 3),
         "recall_at_k_vs_fp32": round(hits / total, 4) if total else None,
         "max_cos_diff_on_fp32_winners": round(max_cos_diff, 6),
+        "mean_true_cos_regret_per_slot": round(
+            regret_sum / max(len(fp), 1), 6
+        ),
     }
 
 
@@ -201,24 +247,14 @@ def run_quantized_index(spark, sf_dir: str) -> dict:
     ).write.mode("overwrite").partitionBy("tbl", "cb").parquet(fp32_dir)
 
     int8_dir = tempfile.mkdtemp(prefix="ann_int8_")
-    m = F.array_max(F.transform(F.col("cv"), F.abs))
-    qcorpus = corpus.withColumn("_m", m).select(
+    qcorpus = corpus.withColumn(
+        "_m", quant_abs_max(F.col("cv"))
+    ).select(
         "neighbor_id",
         "tbl",
         "cb",
         (F.col("_m") / QUANT_LEVELS).alias("scale"),
-        F.transform(
-            F.col("cv"),
-            lambda x: F.when(
-                F.col("_m") > 0,
-                F.floor(
-                    (F.lit(float(QUANT_LEVELS)) * x) / F.col("_m")
-                    + F.lit(0.5)
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("byte"),
-        ).alias("codes"),
+        quant_code_col(F.col("cv"), F.col("_m"), "byte").alias("codes"),
     )
     qcorpus.write.mode("overwrite").partitionBy("tbl", "cb").parquet(
         int8_dir
