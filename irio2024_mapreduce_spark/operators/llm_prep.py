@@ -649,24 +649,23 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = split_docs(docs)
 
-    wide = (
-        tagged.groupBy(
-            F.md5(F.col("text").cast("binary")).alias("h"), "split"
-        )
-        .agg(F.count("*").cast("long").alias("c"))
-        .groupBy("h")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("split") == s, F.col("c")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias(f"n_{s}")
-                for s in ("train", "val", "test")
-            ]
-        )
-    )
-    exact_tot = wide.agg(
+    # ONE digest-keyed aggregation serves both families: per-group
+    # split counts (the exact family's cross products) plus the
+    # group's REP id (the node id the ngram pair machinery emits —
+    # min doc_id per text). A second groupBy(md5) would double the
+    # corpus scan and the text-keyed shuffle for nothing.
+    rep_counts = tagged.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(
+        F.min("doc_id").alias("rep"),
+        *[
+            F.sum(
+                F.when(F.col("split") == s, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
+    ).localCheckpoint(eager=False)
+    exact_tot = rep_counts.agg(
         F.coalesce(
             F.sum(F.col("n_test") * F.col("n_train")), F.lit(0)
         ).cast("long").alias("tt"),
@@ -685,19 +684,6 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("kind", "split_pair", "n_pairs")
 
-    # per-digest-group split counts, keyed by the group's REP id (the
-    # node id the ngram pair machinery emits — min doc_id per text)
-    rep_counts = tagged.groupBy(
-        F.md5(F.col("text").cast("binary")).alias("h")
-    ).agg(
-        F.min("doc_id").alias("rep"),
-        *[
-            F.sum(
-                F.when(F.col("split") == s, F.lit(1)).otherwise(F.lit(0))
-            ).cast("long").alias(f"n_{s}")
-            for s in ("train", "val", "test")
-        ],
-    )
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     a = rep_counts.select(
         F.col("rep").alias("doc_a"),
@@ -766,15 +752,12 @@ def _split_leakage_oracle() -> str:
                    ELSE 'train'
                END AS split
         FROM documents WHERE text IS NOT NULL
-    ), cnt AS (
-        SELECT md5(text) AS h, split, COUNT(*)::BIGINT AS c
-        FROM tagged GROUP BY 1, 2
-    ), wide AS (
-        SELECT h,
-               SUM(CASE WHEN split = 'train' THEN c ELSE 0 END) AS n_train,
-               SUM(CASE WHEN split = 'val' THEN c ELSE 0 END) AS n_val,
-               SUM(CASE WHEN split = 'test' THEN c ELSE 0 END) AS n_test
-        FROM cnt GROUP BY h
+    ), rc AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS rep,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        FROM tagged GROUP BY md5(text)
     ), exact AS (
         SELECT 'exact' AS kind, t.split_pair,
                COALESCE(SUM(CASE t.split_pair
@@ -782,16 +765,10 @@ def _split_leakage_oracle() -> str:
                    WHEN 'test|val' THEN n_test * n_val
                    ELSE n_train * n_val END), 0)::BIGINT AS n_pairs
         FROM (VALUES {pairs_values}) t(split_pair)
-        LEFT JOIN wide ON TRUE
+        LEFT JOIN rc ON TRUE
         GROUP BY t.split_pair
     ), near_pairs AS (
         {ngram_pairs_sql}
-    ), rc AS (
-        SELECT md5(text) AS h, MIN(doc_id) AS rep,
-               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
-        FROM tagged GROUP BY md5(text)
     ), near_tot AS (
         SELECT
             COALESCE(SUM(a.n_test * b.n_train + a.n_train * b.n_test),

@@ -893,13 +893,17 @@ def quant_code_col(vec: Column, m: Column, cast_to: str = "int") -> Column:
 
 
 def _is_finite_vector(vec: Column) -> Column:
-    """No NaN / ±inf element. NaN poisons the quantizer silently
-    (Spark's array_max ranks NaN largest ⇒ scale = NaN, every code
-    floor(NaN)→0) and DuckDB errors on the same cast — so non-finite
-    vectors are EXCLUDED by contract on both engines instead of
-    shipping garbage codes."""
+    """No NULL / NaN / ±inf element. NaN poisons the quantizer
+    silently (Spark's array_max ranks NaN largest ⇒ scale = NaN,
+    every code floor(NaN)→0), DuckDB errors on the same cast, and a
+    NULL element makes the two engines DISAGREE (Spark's three-valued
+    exists drops the row, DuckDB's list_filter skips NULLs and keeps
+    it) — so non-finite and NULL-holed vectors are EXCLUDED by an
+    explicit contract both engines implement identically."""
     inf = F.lit(float("inf"))
-    return ~F.exists(vec, lambda x: F.isnan(x) | (F.abs(x) == inf))
+    return ~F.exists(
+        vec, lambda x: F.isnull(x) | F.isnan(x) | (F.abs(x) == inf)
+    )
 
 
 def quantize_vectors(emb: DataFrame) -> DataFrame:
@@ -981,7 +985,7 @@ QUANTIZE_ORACLE = f"""
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) > 0
           AND len(list_filter(embedding::DOUBLE[],
-                              x -> isnan(x) OR isinf(x))) = 0
+                              x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), m AS (
         SELECT label, v,
                list_max(list_transform(v, x -> abs(x))) AS mx

@@ -261,10 +261,10 @@ def prepare_corpus(
         "killed_too_repetitive": kills.get("too_repetitive", 0),
         "killed_no_stopwords": kills.get("no_stopwords", 0),
         "contaminated_removed": after_funnel - after_decontam,
-        # `or 0`: the packs aggregate is NULL-valued when the packed
-        # frame is empty — reachable under holdout_split when every
-        # shipped doc hashed into val/test (tiny corpora), previously
-        # only with an empty corpus
+        # `or 0` on tokens below: F.sum is NULL over an empty packed
+        # frame (count/countDistinct return 0) — reachable under
+        # holdout_split when every shipped doc hashed into val/test
+        # (tiny corpora), previously only with an empty corpus
         "docs_out": int(docs_out),
         "pii_redactions": int(n_redactions or 0),
         "total_tokens": int(agg["tokens"] or 0),

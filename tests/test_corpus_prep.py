@@ -459,3 +459,48 @@ def test_prepare_corpus_holdout_split(spark, sf_dir, tmp_path):
         .collect()
     }
     assert pack_ids == train_ids
+
+
+def test_prepare_corpus_holdout_split_empty_train(spark, tmp_path):
+    """Tiny-corpus edge: every shipped doc hashes into val/test, so
+    the packed (train-only) frame is EMPTY — the manifest must come
+    back with zero tokens/packs instead of crashing on the NULL sum."""
+    import hashlib
+    import os
+
+    def split_of(doc_id):  # non-en thresholds (lang 'xx')
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        return "test" if key < "0d00" else ("val" if key < "1a00" else "train")
+
+    # ids whose split is val/test, off the benchmark stripe (%10 != 8)
+    ids = [
+        i
+        for i in range(10_000)
+        if split_of(i) in ("val", "test") and i % 10 != 8
+    ][:2]
+    assert len(ids) == 2
+    # funnel-passing texts with DISJOINT content words (shared
+    # vocabulary would make them near-dups of each other and stage 2
+    # would kill one)
+    texts = [
+        "the journey went over the hills and into the valley where "
+        "a quiet river kept turning smooth stones all summer long",
+        "a storm was heard near the harbor and the sailors kept "
+        "their lanterns lit while waves broke against the old pier",
+    ]
+    sf = str(tmp_path / "empty_train_sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [
+            (i, t, "xx", "src0", len(t))
+            for i, t in zip(ids, texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    m = prepare_corpus(
+        spark, sf, str(tmp_path / "out_empty_train"), holdout_split=True
+    )
+    assert m["train_docs"] == 0
+    assert m["docs_out"] == m["val_docs"] + m["test_docs"] == 2
+    assert m["total_tokens"] == 0 and m["n_packs"] == 0

@@ -69,6 +69,11 @@ def scaled_emb(spark, sf_dir: str, n: int):
         (F.col("vec_id") + F.col("k").cast("long") * 100_000_000).alias(
             "vec_id"
         ),
+        # modulus 101 > any default n: (k*37 + i*17) mod 101 never
+        # repeats across copies k of one base vector (37 is coprime
+        # to 101), so every copy really IS unique — a small modulus
+        # (an earlier 7) made copies k and k+7 bit-identical and
+        # quietly re-introduced the exact-duplicate degeneracy
         F.when(F.col("k") == 0, F.col("v"))
         .otherwise(
             F.transform(
@@ -76,8 +81,10 @@ def scaled_emb(spark, sf_dir: str, n: int):
                 lambda x, i: x
                 * (
                     F.lit(1.0)
-                    + F.lit(0.004)
-                    * ((F.col("k") * 31 + i) % 7 - F.lit(3)).cast("double")
+                    + F.lit(0.00024)
+                    * (
+                        (F.col("k") * 37 + i * 17) % 101 - F.lit(50)
+                    ).cast("double")
                 ),
             )
         )
