@@ -981,11 +981,19 @@ def _incremental_verdicts(
     if recap_stored:
         # The STORED index is capped per append only — across many
         # daily appends a hot (len_band, sh) bucket grows past
-        # NGRAM_POSTING_CAP (ADVICE r8). Restore the invariant at
-        # probe time WITHOUT a corpus-sized pass: prune the stored
-        # side to the buckets this batch touches (the broadcast
-        # semi-join keeps whole buckets, so bucket counts equal their
-        # corpus-wide counts), then re-apply the cap.
+        # NGRAM_POSTING_CAP (ADVICE r8). Restore the cap at probe
+        # time WITHOUT a corpus-sized pass: prune the stored side to
+        # the buckets this batch touches (the broadcast semi-join
+        # keeps whole STORED buckets), then re-apply the cap. Honest
+        # limit: the stored bucket reflects what per-append capping
+        # RETAINED — an append whose own contribution exceeded the
+        # cap was dropped wholesale at append time, so a stored
+        # bucket can under-count the raw corpus and survive a re-cap
+        # a from-raw rebuild would drop. The error is one-sided in
+        # the cap's own direction (hot stop-word buckets lose MORE
+        # rows, never gain), so fan-out stays bounded; it is not
+        # bit-equal to a fresh rebuild when any single append
+        # overflowed the cap.
         bkeys = bp.select("len_band", "sh").distinct()
         cp = _cap_buckets(
             cp.join(F.broadcast(bkeys), ["len_band", "sh"], "semi"),

@@ -1063,8 +1063,25 @@ ORACLE_SQL = {
 DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
 SF_DEPENDENT_ORACLES = {"similarity_ivf": ivf_oracle_for}
 
-if os.path.exists(os.path.join(DRIVER_ORACLE_SF, "embeddings.parquet")):
-    ORACLE_SQL["similarity_ivf"] = ivf_oracle_for(DRIVER_ORACLE_SF)
+_LAZY_DRIVER_ORACLES: dict[str, str] = {}
+
+
+def lazy_driver_oracles() -> dict[str, str]:
+    """similarity_ivf's oracle is DATA-DEPENDENT (the trained
+    centroids are injected as SQL constants), so building it reads
+    the driver-SF embeddings and replays the full Lloyd fixpoint.
+    Built on the FIRST ``registry.oracle_sql()`` call and cached —
+    doing it at module import made every process that touches the
+    operators package (each pytest run, each tool, every
+    ``registry.queries()`` caller) pay the training cost whether or
+    not it ever looks at an oracle."""
+    if not _LAZY_DRIVER_ORACLES and os.path.exists(
+        os.path.join(DRIVER_ORACLE_SF, "embeddings.parquet")
+    ):
+        _LAZY_DRIVER_ORACLES["similarity_ivf"] = ivf_oracle_for(
+            DRIVER_ORACLE_SF
+        )
+    return dict(_LAZY_DRIVER_ORACLES)
 
 QUERIES = {
     "similarity_topk": similarity_topk,

@@ -42,6 +42,7 @@ attribution for it.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -141,6 +142,23 @@ def validate_index(index_dir: str, family: str) -> dict:
     return m
 
 
+def _clear_prior_life(index_dir: str) -> None:
+    """A (re)build replaces the index WHOLESALE — including the parts
+    the data writers don't overwrite: stale ``manifests`` rows +
+    commit markers would short-circuit the new life's first batches
+    (Structured Streaming numbers batches from 0 per checkpoint), and
+    a stale ``_stream_checkpoint`` would skip redelivering source
+    files the new index has never seen. Without this the docstring's
+    'replaces the index wholesale' invariant was not actually
+    established."""
+    import shutil  # noqa: PLC0415
+
+    for part in ("manifests", "_stream_checkpoint"):
+        p = os.path.join(index_dir, part)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+
 def build_corpus_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -176,6 +194,7 @@ def build_corpus_index(
 
     Writes a small JSON manifest recording family + constants; every
     later open validates against it. Returns per-part row counts."""
+    _clear_prior_life(index_dir)
     counts: dict[str, int] = {}
     parts: dict[str, DataFrame] = {
         "hashes": corpus_index_hashes(corpus)
@@ -216,6 +235,7 @@ def ingest_batch(
     corpus_dir: str,
     family: str = "ngram",
     batch_id: int | None = None,
+    stream: str = "",
 ) -> dict[str, int]:
     """Admit ``batch`` against the stored index, clean the admitted
     docs, append survivors to ``{corpus_dir}/clean_documents.parquet``
@@ -227,19 +247,33 @@ def ingest_batch(
     ``batch_id`` (the Structured Streaming batch id, or any caller
     sequence number) makes the recorded manifest EXACTLY-once: the
     manifest row persisted under ``{index_dir}/manifests`` is keyed by
-    it, and a replayed id short-circuits the whole call (safe — the
-    manifest is written LAST, so its presence proves every earlier
-    append of that batch landed). Without it the call is at-least-once
-    with idempotent admission, as before."""
+    (``stream``, ``batch_id``), and a replayed key short-circuits the
+    whole call (safe — the manifest is written LAST, so its presence
+    proves every earlier append of that batch landed). ``stream``
+    namespaces the id: Structured Streaming numbers batches from 0
+    PER CHECKPOINT, so a bare id is only unique within one stream —
+    a second source dir (fresh checkpoint, ids from 0 again) would
+    short-circuit against the first stream's manifests and silently
+    drop its batches. ``run_ingest_stream`` passes its checkpoint key;
+    direct callers with their own sequence may leave it "". Without
+    ``batch_id`` the call is at-least-once with idempotent admission,
+    as before."""
     if batch_id is not None:
-        prior = read_recorded_manifest(spark, index_dir, batch_id)
+        prior = read_recorded_manifest(
+            spark, index_dir, batch_id, stream=stream
+        )
         if prior is not None:
             return prior
     manifest_meta = validate_index(index_dir, family)
-    # honor the index compactor's advisory lock (same hazard as the
-    # corpus one below: index rows appended between the compactor's
-    # snapshot read and its dir swap are deleted with the snapshot)
+    # honor the compactors' advisory locks UP FRONT — index AND
+    # corpus, before any append: a corpus-lock failure discovered
+    # only after the index appends (the old placement) left the
+    # batch's hashes in the index, so the stream's redelivery
+    # self-convicted every doc as exact_dup and the docs were
+    # silently lost. Checking both before the first write turns a
+    # collision with maintenance into a clean, lossless abort.
     check_not_compacting(index_dir)
+    check_not_compacting(os.path.join(corpus_dir, "clean_documents.parquet"))
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
 
     batch_in = batch.count()
@@ -367,10 +401,8 @@ def ingest_batch(
         )
 
     clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
-    # honor the compactor's advisory lock (ADVICE r8): an append that
-    # lands between compaction's snapshot read and its dir swap is
-    # DELETED with the old snapshot — fail loudly instead
-    check_not_compacting(clean_path)
+    # (the corpus compaction lock was already checked at entry,
+    # before any index append — see the entry-check note)
     # a corpus adopted into the versioned layout (sinks.init_versioned)
     # takes appends in its CURRENT version dir; readers resolve the
     # same pointer, so batch visibility semantics equal the flat layout
@@ -418,7 +450,7 @@ def ingest_batch(
     if batch_id is not None:
         # recorded LAST (after every data append): its presence is the
         # commit marker a replay checks — see the write-order note
-        record_manifest(spark, index_dir, batch_id, manifest)
+        record_manifest(spark, index_dir, batch_id, manifest, stream=stream)
     return manifest
 
 
@@ -435,41 +467,74 @@ _MANIFEST_KEYS = [
     "contaminated_removed",
     "appended",
 ]
-_MANIFEST_SCHEMA = "batch_id long, " + ", ".join(
+_MANIFEST_SCHEMA = "stream string, batch_id long, " + ", ".join(
     f"{k} long" for k in _MANIFEST_KEYS
 )
 
 
+def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
+    """O(1) existence check for a committed (stream, batch_id): a
+    marker FILE beside the manifest rows. Without it every batch —
+    including the common non-replay case — paid a full scan of the
+    ever-growing manifests parquet before doing any work."""
+    tag = hashlib.md5(stream.encode()).hexdigest()[:10]
+    return os.path.join(
+        index_dir, "manifests", f"_committed_{tag}_{int(batch_id)}"
+    )
+
+
 def record_manifest(
-    spark: SparkSession, index_dir: str, batch_id: int, manifest: dict
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    manifest: dict,
+    stream: str = "",
 ) -> None:
-    """Persist one batch's manifest row keyed by ``batch_id`` —
-    the exactly-once commit marker for :func:`ingest_batch`."""
-    row = (int(batch_id), *[int(manifest[k]) for k in _MANIFEST_KEYS])
+    """Persist one batch's manifest row keyed by (``stream``,
+    ``batch_id``) — the exactly-once commit record for
+    :func:`ingest_batch` — then touch the O(1) commit marker. A crash
+    between the row append and the marker touch means the replay
+    reprocesses the batch (admission is idempotent; the duplicate
+    manifest row is audit noise, not corpus corruption)."""
+    row = (
+        stream,
+        int(batch_id),
+        *[int(manifest[k]) for k in _MANIFEST_KEYS],
+    )
     spark.createDataFrame([row], _MANIFEST_SCHEMA).write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "manifests"))
+    with open(_commit_marker(index_dir, batch_id, stream), "w") as f:
+        f.write("committed\n")
 
 
 def read_recorded_manifest(
-    spark: SparkSession, index_dir: str, batch_id: int
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    stream: str = "",
 ) -> dict | None:
-    """The recorded manifest for ``batch_id``, or None if the batch
-    never committed (crashed before its manifest write ⇒ replay
-    re-runs it; admission is idempotent so the corpus stays clean and
-    the re-run's manifest charges the docs to exact_dups)."""
-    path = os.path.join(index_dir, "manifests")
-    if not os.path.exists(path):
+    """The recorded manifest for (``stream``, ``batch_id``), or None
+    if the batch never committed (crashed before its manifest write ⇒
+    replay re-runs it; admission is idempotent so the corpus stays
+    clean and the re-run's manifest charges the docs to exact_dups).
+    The marker file makes the no-replay fast path O(1); the parquet
+    rows are read only when the marker says a prior commit exists."""
+    if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
         return None
     rows = (
-        spark.read.parquet(path)
-        .filter(F.col("batch_id") == int(batch_id))
+        spark.read.parquet(os.path.join(index_dir, "manifests"))
+        .filter(
+            (F.col("batch_id") == int(batch_id))
+            & (F.col("stream") == stream)
+        )
         .collect()
     )
     if not rows:
         return None
     r = rows[0].asDict()
     r.pop("batch_id")
+    r.pop("stream")
     return {k: int(v) for k, v in r.items()}
 
 
@@ -518,7 +583,10 @@ def seed_index_from_prepared(
     automatically. EVERY part is overwrite — seeding is day-zero, so
     a re-run of the build replaces the index wholesale (an appended
     stats row here would double-count corpus_stats on every build
-    retry)."""
+    retry) — including the exactly-once manifests and the stream
+    checkpoint, which belong to the replaced life
+    (:func:`_clear_prior_life`)."""
+    _clear_prior_life(index_dir)
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")
     )
@@ -586,10 +654,15 @@ def compact_corpus_index(
     per-batch cost; this pass pays once instead:
 
     * ``hashes`` / ``benchmark_ngrams`` → ``distinct`` (replay dups);
-    * ``postings`` → full-row dedupe, then the SAME corpus-wide
-      ``_cap_buckets`` drop a fresh ``build_corpus_index`` would
-      apply — an over-cap bucket is physically removed, exactly the
-      rebuild semantics the probe-time guard emulates;
+    * ``postings`` → full-row dedupe, then a corpus-wide
+      ``_cap_buckets`` drop over the RETAINED rows — an over-cap
+      bucket is physically removed. Honest limit (same as the
+      probe-time guard): per-append capping already dropped any
+      single append's over-cap contribution wholesale, so this equals
+      a fresh-from-raw rebuild only when no individual append
+      overflowed the cap; otherwise the stored bucket under-counts
+      and the divergence is one-sided in the cap's own direction
+      (hot buckets lose more rows, never gain);
     * ``bands`` → full-row dedupe + ``LSH_BUCKET_CAP`` re-cap;
       ``rep_shingles`` → dedupe by doc_id;
     * ``stats`` / ``manifests`` → rows preserved verbatim (they are

@@ -94,7 +94,18 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _build()[1]
+    oracles = dict(_build()[1])
+    # data-dependent oracles (similarity_ivf's injected centroids)
+    # are built lazily on the first oracle_sql() call — at import
+    # they cost a full quantizer training for every process that
+    # merely registers queries (bench, tests, tools)
+    for mod_name in ("similarity",):
+        mod = __import__(
+            f"irio2024_mapreduce_spark.operators.{mod_name}",
+            fromlist=["lazy_driver_oracles"],
+        )
+        oracles.update(getattr(mod, "lazy_driver_oracles", dict)())
+    return oracles
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:

@@ -79,11 +79,15 @@ def zorder_key(
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # ONE multi-column approxQuantile pass places every column's
+    # cutoffs — the per-column form scanned the dataset D times just
+    # to site bucket boundaries (D-1 avoidable corpus passes per
+    # maintenance rewrite at 100 TB)
+    all_cuts = df.approxQuantile(cols, probs, 1e-3)
     key = F.lit(0).cast("long")
     for d, col in enumerate(cols):
-        cuts = df.approxQuantile(col, probs, 1e-3)
         # dedupe degenerate cutoffs (constant/low-cardinality cols)
-        cuts = sorted(set(cuts))
+        cuts = sorted(set(all_cuts[d]))
         b = _bucket_expr(col, cuts)
         for i in range(bits):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1))

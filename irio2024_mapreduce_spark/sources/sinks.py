@@ -290,18 +290,37 @@ def init_versioned(root: str) -> str:
     becomes ``root/v1`` (one rename — do this in the same maintenance
     window as a compaction, it has the flat layout's swap caveat) and
     the pointer is written; an already-versioned root is a no-op.
-    Returns the current version dir."""
+    Returns the current version dir.
+
+    Crash-recoverable like the compactors' swaps: the staging dir IS
+    the signature. A crash can land (a) after the root→staging rename
+    (root missing), (b) after the empty-root mkdir, or (c) after the
+    staging→v1 rename but before the pointer write — a re-run detects
+    each state and resumes the adoption instead of raising on the
+    first rename."""
     import os as _os
 
     pointer = _os.path.join(root, _CURRENT_POINTER)
     if _os.path.exists(pointer):
         return resolve_current(root)
     staging = root.rstrip("/") + "._v1_staging"
+    v1 = _os.path.join(root, "v1")
+    if _os.path.exists(staging):
+        # crashed mid-adoption at (a) or (b): resume from the staging
+        _os.makedirs(root, exist_ok=True)
+        _os.rename(staging, v1)
+        _flip_pointer(root, 1)
+        return v1
+    if _os.path.isdir(v1):
+        # crashed at (c): data already in place, only the pointer is
+        # missing
+        _flip_pointer(root, 1)
+        return v1
     _os.rename(root, staging)
     _os.makedirs(root)
-    _os.rename(staging, _os.path.join(root, "v1"))
+    _os.rename(staging, v1)
     _flip_pointer(root, 1)
-    return _os.path.join(root, "v1")
+    return v1
 
 
 def compact_parquet_versioned(

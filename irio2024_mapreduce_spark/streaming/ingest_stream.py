@@ -22,8 +22,11 @@ the checkpoint AFTER the handler returns, so a crash between
 ``ingest_batch``'s appends and the commit re-delivers that batch on
 restart) but EXACTLY-once at the RECORD level from r9: the handler
 passes the Structured Streaming ``batch_id`` through to
-``ingest_batch``, which persists each batch's manifest row keyed by it
-as the LAST write — a replayed id whose manifest already exists
+``ingest_batch`` together with the checkpoint path as the stream
+identity, and each batch's manifest row is persisted keyed by
+(stream, batch_id) as the LAST write — batch ids are only unique per
+checkpoint, so the bare id would collide across source dirs. A
+replayed key whose manifest already exists
 short-circuits the whole batch (the manifest's presence proves every
 earlier append landed), so neither the corpus, the index, the stats
 rows, nor the manifest gain duplicate rows across a kill-and-restart.
@@ -78,6 +81,12 @@ def run_ingest_stream(
     manifests in processing order (replayed batches return their
     recorded manifest)."""
     manifests: list[dict] = []
+    ckpt = checkpoint_dir or default_checkpoint_dir(index_dir, source_dir)
+    # Structured Streaming numbers batches from 0 PER CHECKPOINT —
+    # the exactly-once manifest key must carry the stream identity,
+    # or a second source dir's batch 0 would short-circuit against
+    # the first stream's recorded batch 0 and be silently dropped
+    stream_key = os.path.abspath(ckpt)
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -89,6 +98,7 @@ def run_ingest_stream(
             corpus_dir,
             family=family,
             batch_id=int(batch_id),
+            stream=stream_key,
         )
         m["batch_id"] = int(batch_id)
         manifests.append(m)
@@ -98,10 +108,7 @@ def run_ingest_stream(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(source_dir)
         .writeStream.foreachBatch(handle)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or default_checkpoint_dir(index_dir, source_dir),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

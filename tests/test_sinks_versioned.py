@@ -161,3 +161,34 @@ def test_flat_compactor_still_recovers_and_compacts(spark, tmp_path):
     stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert stats["files_after"] < stats["files_before"]
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_init_versioned_crash_recovery(spark, tmp_path):
+    """Every crash point of the three-step adoption must be resumable
+    by re-running init_versioned — the staging dir is the signature
+    (the pre-fix code raised FileNotFoundError on the first rename
+    and left no dataset at root)."""
+    # crash (a): after rename(root, staging) — root missing entirely
+    root = str(tmp_path / "a")
+    _grow(spark, root, appends=1)
+    n = spark.read.parquet(root).count()
+    os.rename(root, root + "._v1_staging")
+    cur = init_versioned(root)
+    assert cur.endswith("v1") and read_current(spark, root).count() == n
+
+    # crash (b): after the empty-root mkdir
+    root = str(tmp_path / "b")
+    _grow(spark, root, appends=1)
+    os.rename(root, root + "._v1_staging")
+    os.makedirs(root)
+    cur = init_versioned(root)
+    assert cur.endswith("v1") and read_current(spark, root).count() == n
+
+    # crash (c): data renamed into v1 but the pointer never written
+    root = str(tmp_path / "c")
+    _grow(spark, root, appends=1)
+    os.rename(root, root + "._v1_staging")
+    os.makedirs(root)
+    os.rename(root + "._v1_staging", os.path.join(root, "v1"))
+    cur = init_versioned(root)
+    assert cur.endswith("v1") and read_current(spark, root).count() == n

@@ -6,6 +6,8 @@ through a Structured Streaming file source."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from irio2024_mapreduce_spark.plans.ingest import build_corpus_index
@@ -113,9 +115,35 @@ def test_stream_batches_dedup_in_file_order(spark, tmp_path):
     shipped2 = spark.read.parquet(f"{out}/clean_documents.parquet")
     assert {r["doc_id"] for r in shipped2.collect()} == {200, 302}
 
-    # a REPLAYED batch (fresh checkpoint simulates the crash-between-
-    # append-and-commit redelivery) short-circuits on its recorded
-    # manifest: identical manifests come back, zero new rows anywhere
+    # TRUE crash-replay (crash between ingest_batch's appends and the
+    # checkpoint commit redelivers the SAME batch id on the SAME
+    # stream): simulate by re-invoking the handler's call directly —
+    # the recorded (stream, batch_id) manifest short-circuits with
+    # zero new rows anywhere
+    from irio2024_mapreduce_spark.plans.ingest import ingest_batch
+    from irio2024_mapreduce_spark.streaming.ingest_stream import (
+        default_checkpoint_dir,
+    )
+
+    stream_key = os.path.abspath(default_checkpoint_dir(idx, str(src)))
+    day1_df = spark.read.parquet(str(src / "day1.parquet"))
+    replay = ingest_batch(
+        spark, day1_df, idx, out, batch_id=0, stream=stream_key
+    )
+    assert replay == {
+        k: v for k, v in manifests[0].items() if k != "batch_id"
+    }
+    assert spark.read.parquet(f"{idx}/manifests").count() == 2
+    assert spark.read.parquet(f"{idx}/stats").count() == stats_rows
+    assert spark.read.parquet(f"{idx}/hashes").count() == index_hashes
+
+    # a FRESH checkpoint is a NEW stream, not a replay: batch ids are
+    # only unique per checkpoint, so its batch 0 must NOT
+    # short-circuit against the old stream's recorded batch 0 (that
+    # was the silent-drop hazard). The redelivered docs are
+    # reprocessed and self-convict against the index — corpus
+    # unchanged, nothing admitted — and the new stream records its
+    # own manifest rows.
     manifests3 = run_ingest_stream(
         spark,
         str(src),
@@ -125,14 +153,11 @@ def test_stream_batches_dedup_in_file_order(spark, tmp_path):
         files_per_trigger=1,
         checkpoint_dir=str(tmp_path / "fresh_ckpt"),
     )
-    assert [
-        {k: v for k, v in m.items() if k != "batch_id"}
-        for m in manifests3
-    ] == [
-        {k: v for k, v in m.items() if k != "batch_id"} for m in manifests
-    ]
-    assert spark.read.parquet(f"{idx}/manifests").count() == 2
-    assert spark.read.parquet(f"{idx}/stats").count() == stats_rows
+    assert [m["batch_in"] for m in manifests3] == [3, 3]
+    assert all(m["appended"] == 0 for m in manifests3)
+    # every previously-shipped doc self-convicts as an exact dup
+    assert manifests3[0]["exact_dups"] == 2  # 200's copy + 201
+    assert spark.read.parquet(f"{idx}/manifests").count() == 4
     assert spark.read.parquet(f"{idx}/hashes").count() == index_hashes
     shipped3 = spark.read.parquet(f"{out}/clean_documents.parquet")
     assert {r["doc_id"] for r in shipped3.collect()} == {200, 302}
