@@ -145,15 +145,18 @@ def validate_index(index_dir: str, family: str) -> dict:
 def _clear_prior_life(index_dir: str) -> None:
     """A (re)build replaces the index WHOLESALE — including the parts
     the data writers don't overwrite: stale ``manifests`` rows +
-    commit markers would short-circuit the new life's first batches
-    (Structured Streaming numbers batches from 0 per checkpoint), and
-    a stale ``_stream_checkpoint`` would skip redelivering source
-    files the new index has never seen. Without this the docstring's
-    'replaces the index wholesale' invariant was not actually
-    established."""
+    ``_commit_markers`` would short-circuit the new life's first
+    batches (Structured Streaming numbers batches from 0 per
+    checkpoint), a stale ``_stream_checkpoint`` would skip
+    redelivering source files the new index has never seen, and stale
+    ``stats`` rows would be merged into ``corpus_stats`` for docs the
+    new corpus never ingested. Without this the docstring's 'replaces
+    the index wholesale' invariant was not actually established.
+    Callers must validate their arguments FIRST — this is the
+    destructive half of a rebuild."""
     import shutil  # noqa: PLC0415
 
-    for part in ("manifests", "_stream_checkpoint"):
+    for part in ("manifests", "_commit_markers", "_stream_checkpoint", "stats"):
         p = os.path.join(index_dir, part)
         if os.path.exists(p):
             shutil.rmtree(p)
@@ -194,7 +197,6 @@ def build_corpus_index(
 
     Writes a small JSON manifest recording family + constants; every
     later open validates against it. Returns per-part row counts."""
-    _clear_prior_life(index_dir)
     counts: dict[str, int] = {}
     parts: dict[str, DataFrame] = {
         "hashes": corpus_index_hashes(corpus)
@@ -208,6 +210,10 @@ def build_corpus_index(
         raise ValueError(f"unknown index family: {family!r}")
     if benchmark is not None:
         parts["benchmark_ngrams"] = benchmark_ngram_digests(benchmark)
+    # destructive clear only AFTER the arguments validated above — a
+    # typo'd family must not wipe the live index's exactly-once state
+    # while leaving its data in place
+    _clear_prior_life(index_dir)
     for name, df in parts.items():
         path = os.path.join(index_dir, name)
         df.write.mode("overwrite").parquet(path)
@@ -258,13 +264,17 @@ def ingest_batch(
     direct callers with their own sequence may leave it "". Without
     ``batch_id`` the call is at-least-once with idempotent admission,
     as before."""
+    # validate BEFORE the replay short-circuit: a replayed call with
+    # the wrong family must fail as loudly as a fresh one — masking
+    # the misconfiguration exactly on the crash-restart path (where
+    # operators re-run things by hand) would be the worst place
+    manifest_meta = validate_index(index_dir, family)
     if batch_id is not None:
         prior = read_recorded_manifest(
             spark, index_dir, batch_id, stream=stream
         )
         if prior is not None:
             return prior
-    manifest_meta = validate_index(index_dir, family)
     # honor the compactors' advisory locks UP FRONT — index AND
     # corpus, before any append: a corpus-lock failure discovered
     # only after the index appends (the old placement) left the
@@ -401,8 +411,17 @@ def ingest_batch(
         )
 
     clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
-    # (the corpus compaction lock was already checked at entry,
-    # before any index append — see the entry-check note)
+    # second, last-moment lock check: the entry check gives a clean
+    # lossless abort when maintenance was already running; this one
+    # catches a compaction that STARTED during the batch's
+    # (potentially long) processing, whose swap would silently delete
+    # an append landing in its pre-swap snapshot. A failure HERE is
+    # loud but lossy — the index appends above already landed, so a
+    # redelivery self-convicts these docs and the batch needs manual
+    # reconciliation (index rows without corpus rows). Advisory
+    # locking can't close this window without a transactional table
+    # format; schedule compaction off the ingest window.
+    check_not_compacting(clean_path)
     # a corpus adopted into the versioned layout (sinks.init_versioned)
     # takes appends in its CURRENT version dir; readers resolve the
     # same pointer, so batch visibility semantics equal the flat layout
@@ -474,13 +493,58 @@ _MANIFEST_SCHEMA = "stream string, batch_id long, " + ", ".join(
 
 def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     """O(1) existence check for a committed (stream, batch_id): a
-    marker FILE beside the manifest rows. Without it every batch —
-    including the common non-replay case — paid a full scan of the
-    ever-growing manifests parquet before doing any work."""
+    marker FILE under ``_commit_markers`` — deliberately OUTSIDE the
+    ``manifests`` parquet dir, which ``compact_corpus_index`` swaps
+    wholesale (markers living inside it would be deleted with the old
+    dir, silently reverting every batch to 'never committed').
+    Without the marker every batch — including the common non-replay
+    case — paid a full scan of the ever-growing manifests parquet
+    before doing any work."""
     tag = hashlib.md5(stream.encode()).hexdigest()[:10]
     return os.path.join(
-        index_dir, "manifests", f"_committed_{tag}_{int(batch_id)}"
+        index_dir, "_commit_markers", f"{tag}_{int(batch_id)}"
     )
+
+
+def _read_manifest_rows(spark: SparkSession, index_dir: str):
+    """The manifests parquet, schema-normalized: rows written before
+    the stream column existed read as ``stream = ''`` (their implied
+    key) instead of poisoning the dir with a mixed schema that
+    resolves nondeterministically by file footer."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(index_dir, "manifests")
+    )
+    if "stream" not in df.columns:
+        df = df.withColumn("stream", F.lit(""))
+    return df.select(
+        F.coalesce(F.col("stream"), F.lit("")).alias("stream"),
+        "batch_id",
+        *_MANIFEST_KEYS,
+    )
+
+
+def regenerate_commit_markers(spark: SparkSession, index_dir: str) -> int:
+    """Rebuild the O(1) marker set from the manifest ROWS (the rows
+    are the durable record; markers are a cache). Called after
+    compaction's manifests swap, and usable as a one-shot backfill
+    for indexes whose batches committed before markers existed.
+    Returns the number of markers present afterwards."""
+    path = os.path.join(index_dir, "manifests")
+    if not os.path.exists(path):
+        return 0
+    keys = (
+        _read_manifest_rows(spark, index_dir)
+        .select("stream", "batch_id")
+        .distinct()
+        .collect()
+    )
+    os.makedirs(os.path.join(index_dir, "_commit_markers"), exist_ok=True)
+    for r in keys:
+        with open(
+            _commit_marker(index_dir, r["batch_id"], r["stream"]), "w"
+        ) as f:
+            f.write("committed\n")
+    return len(keys)
 
 
 def record_manifest(
@@ -504,7 +568,9 @@ def record_manifest(
     spark.createDataFrame([row], _MANIFEST_SCHEMA).write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "manifests"))
-    with open(_commit_marker(index_dir, batch_id, stream), "w") as f:
+    marker = _commit_marker(index_dir, batch_id, stream)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
         f.write("committed\n")
 
 
@@ -523,7 +589,7 @@ def read_recorded_manifest(
     if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
         return None
     rows = (
-        spark.read.parquet(os.path.join(index_dir, "manifests"))
+        _read_manifest_rows(spark, index_dir)
         .filter(
             (F.col("batch_id") == int(batch_id))
             & (F.col("stream") == stream)
@@ -586,6 +652,10 @@ def seed_index_from_prepared(
     retry) — including the exactly-once manifests and the stream
     checkpoint, which belong to the replaced life
     (:func:`_clear_prior_life`)."""
+    if family not in ("ngram", "lsh"):
+        # validate BEFORE the destructive clear — a typo'd family must
+        # not wipe the live index's exactly-once state
+        raise ValueError(f"unknown index family: {family!r}")
     _clear_prior_life(index_dir)
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")
@@ -665,9 +735,13 @@ def compact_corpus_index(
       (hot buckets lose more rows, never gain);
     * ``bands`` → full-row dedupe + ``LSH_BUCKET_CAP`` re-cap;
       ``rep_shingles`` → dedupe by doc_id;
-    * ``stats`` / ``manifests`` → rows preserved verbatim (they are
-      the mergeable counters / the exactly-once audit trail), files
-      collapsed to the byte target.
+    * ``stats`` → rows preserved verbatim (the mergeable counters);
+      ``manifests`` → rows preserved with the schema normalized
+      (pre-stream-column rows gain ``stream = ''``), then the O(1)
+      commit markers are REGENERATED from the retained rows — they
+      live outside the swapped dir, and rebuilding them here also
+      backfills markers for batches committed before markers existed.
+      Files collapsed to the byte target in both.
 
     Buckets regrow from post-compaction appends (their count restarts,
     as it would after any rebuild), so ``recap_stored`` stays the
@@ -698,7 +772,9 @@ def compact_corpus_index(
         ),
         "rep_shingles": lambda df: df.dropDuplicates(["doc_id"]),
         "stats": lambda df: df,
-        "manifests": lambda df: df,
+        # schema-normalized (pre-stream-column rows gain stream='')
+        # so the rewrite leaves ONE schema behind, not a mixed dir
+        "manifests": lambda _df: _read_manifest_rows(spark, index_dir),
     }
     assert meta["family"] in ("ngram", "lsh")
 
@@ -744,6 +820,10 @@ def compact_corpus_index(
                 "files_before": len(before_files),
                 "files_after": len(_files(path)),
             }
+        # markers are a CACHE of the manifest rows — regenerate them
+        # after the manifests swap (this also backfills markers for
+        # rows committed before markers existed)
+        regenerate_commit_markers(spark, index_dir)
     finally:
         os.unlink(lock)
     return report

@@ -307,17 +307,25 @@ def init_versioned(root: str) -> str:
     v1 = _os.path.join(root, "v1")
     if _os.path.exists(staging):
         # crashed mid-adoption at (a) or (b): resume from the staging
-        _os.makedirs(root, exist_ok=True)
-        _os.rename(staging, v1)
-        _flip_pointer(root, 1)
-        return v1
-    if _os.path.isdir(v1):
+        # — but REFUSE if someone re-materialized data at root in the
+        # meantime (adopting the stale staging over it would point
+        # readers at pre-crash data and orphan the fresh files)
+        if _os.path.isdir(root) and _os.listdir(root):
+            raise RuntimeError(
+                f"crashed adoption staging {staging!r} exists but "
+                f"{root!r} is non-empty — resolve which dataset is "
+                "current before re-running init_versioned"
+            )
+    elif _os.path.isdir(v1):
         # crashed at (c): data already in place, only the pointer is
         # missing
         _flip_pointer(root, 1)
         return v1
-    _os.rename(root, staging)
-    _os.makedirs(root)
+    else:
+        # fresh adoption: the first two steps; the shared tail below
+        # finishes, so every crash point resumes the SAME code path
+        _os.rename(root, staging)
+    _os.makedirs(root, exist_ok=True)
     _os.rename(staging, v1)
     _flip_pointer(root, 1)
     return v1

@@ -378,3 +378,55 @@ def test_ingest_appends_into_split_partitioned_corpus(spark, tmp_path):
         if f.endswith(".parquet") and os.path.isfile(os.path.join(clean, f))
     ]
     assert stray == []
+
+
+def test_compaction_preserves_exactly_once_markers(spark, tmp_path):
+    """compact_corpus_index swaps the manifests dir wholesale — the
+    O(1) commit markers live OUTSIDE it and are regenerated from the
+    retained rows, so a crash-redelivered (stream, batch_id) still
+    short-circuits after maintenance (markers inside the swapped dir
+    would have been deleted, reverting every batch to 'never
+    committed' and duplicating its manifest/stats rows on replay)."""
+    import os
+    import shutil
+
+    from irio2024_mapreduce_spark.plans.ingest import (
+        compact_corpus_index,
+        read_recorded_manifest,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    m = ingest_batch(
+        spark,
+        _frame(spark, [(10, T_FRESH)]),
+        idx,
+        out,
+        batch_id=0,
+        stream="s1",
+    )
+    assert m["appended"] == 1
+
+    compact_corpus_index(spark, idx)
+    # marker survived (regenerated) and replay short-circuits
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") == m
+    hashes = spark.read.parquet(f"{idx}/hashes").count()
+    manifests = spark.read.parquet(f"{idx}/manifests").count()
+    replay = ingest_batch(
+        spark,
+        _frame(spark, [(10, T_FRESH)]),
+        idx,
+        out,
+        batch_id=0,
+        stream="s1",
+    )
+    assert replay == m
+    assert spark.read.parquet(f"{idx}/hashes").count() == hashes
+    assert spark.read.parquet(f"{idx}/manifests").count() == manifests
+
+    # marker regeneration also BACKFILLS a lost marker dir entirely
+    shutil.rmtree(os.path.join(idx, "_commit_markers"))
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") is None
+    compact_corpus_index(spark, idx)
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") == m

@@ -192,3 +192,18 @@ def test_init_versioned_crash_recovery(spark, tmp_path):
     os.rename(root + "._v1_staging", os.path.join(root, "v1"))
     cur = init_versioned(root)
     assert cur.endswith("v1") and read_current(spark, root).count() == n
+
+
+def test_init_versioned_refuses_stale_adoption_over_fresh_data(
+    spark, tmp_path
+):
+    """If an operator re-materialized the dataset at root after a
+    crash, resuming the adoption would install the STALE pre-crash
+    staging as v1 over it — init_versioned must refuse instead."""
+    root = str(tmp_path / "d")
+    _grow(spark, root, appends=1)
+    os.rename(root, root + "._v1_staging")
+    # someone recreates fresh data at root
+    _grow(spark, root, appends=1, rows=7)
+    with pytest.raises(RuntimeError, match="non-empty"):
+        init_versioned(root)
