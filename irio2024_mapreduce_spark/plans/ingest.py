@@ -12,6 +12,12 @@ production story ``dedup.corpus_index_postings`` documents):
 * ``hashes/``   — distinct md5 digests of corpus text (exact-dup half)
 * ``postings/`` — banded, ``NGRAM_POSTING_CAP``-capped shingle posting
   rows of the exact-collapse representatives (near-dup half)
+* plus the bookkeeping: ``stats/`` (mergeable per-batch counters),
+  ``manifests/`` (exactly-once rows keyed by (stream, batch_id)),
+  ``_commit_markers/`` (their O(1) existence cache — outside the
+  compactor-swapped dirs), ``_stream_checkpoint/`` (Structured
+  Streaming offsets), and ``_index_manifest.json`` (family +
+  constants, validated on every open)
 
 Scale shape: every step is batch-keyed — the verdict joins probe the
 stored index with hash lookups (``dedup._incremental_verdicts``, the
