@@ -224,6 +224,12 @@ def build_corpus_index(
         path = os.path.join(index_dir, name)
         df.write.mode("overwrite").parquet(path)
         counts[f"{name}_rows"] = spark.read.parquet(path).count()
+    # a fresh stats row over THIS corpus: the clear removed the prior
+    # life's rows (they described a corpus this index no longer
+    # serves), and by the 100 TB premise HLL state can't be
+    # recomputed later without a rescan — so the rebuild must leave
+    # corpus_stats describing exactly what it indexed
+    _append_stats_row(corpus, index_dir, mode="overwrite")
     _write_index_manifest(index_dir, family, benchmark is not None)
     return counts
 
@@ -401,6 +407,13 @@ def ingest_batch(
     # covers the survivors' RAW text (the bytes tomorrow's duplicates
     # will carry), while the corpus artifact ships the scrubbed text —
     # dedup on pre-scrub bytes is deliberate.
+    # last-moment INDEX lock re-check (symmetric to the corpus one
+    # below): an index compaction starting during the batch's
+    # processing would swap away a hashes append landing in its
+    # pre-swap snapshot — corpus rows without index hashes would then
+    # admit future byte-identical duplicates, the one unrecoverable
+    # direction. Failing here is fully lossless (nothing appended yet).
+    check_not_compacting(index_dir)
     corpus_index_hashes(survivors).write.mode("append").parquet(
         os.path.join(index_dir, "hashes")
     )
@@ -497,6 +510,16 @@ _MANIFEST_SCHEMA = "stream string, batch_id long, " + ", ".join(
 )
 
 
+def _touch_marker(index_dir: str, batch_id: int, stream: str) -> None:
+    """Write the O(1) commit marker (single definition — the writer
+    and the cache regenerator must never diverge on location or
+    format)."""
+    marker = _commit_marker(index_dir, batch_id, stream)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("committed\n")
+
+
 def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     """O(1) existence check for a committed (stream, batch_id): a
     marker FILE under ``_commit_markers`` — deliberately OUTSIDE the
@@ -512,13 +535,27 @@ def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     )
 
 
+def _manifest_rows_path(index_dir: str) -> str | None:
+    """Where the manifest ROWS currently live: the live dir, or —
+    when a compaction crashed between its two renames — the pre-swap
+    ``._compact_old`` snapshot (the rows there are the truth; the
+    next compaction's crash recovery restores them). None if neither
+    exists."""
+    path = os.path.join(index_dir, "manifests")
+    if os.path.exists(path):
+        return path
+    if os.path.exists(path + "._compact_old"):
+        return path + "._compact_old"
+    return None
+
+
 def _read_manifest_rows(spark: SparkSession, index_dir: str):
     """The manifests parquet, schema-normalized: rows written before
     the stream column existed read as ``stream = ''`` (their implied
     key) instead of poisoning the dir with a mixed schema that
     resolves nondeterministically by file footer."""
     df = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(index_dir, "manifests")
+        _manifest_rows_path(index_dir)
     )
     if "stream" not in df.columns:
         df = df.withColumn("stream", F.lit(""))
@@ -535,8 +572,7 @@ def regenerate_commit_markers(spark: SparkSession, index_dir: str) -> int:
     compaction's manifests swap, and usable as a one-shot backfill
     for indexes whose batches committed before markers existed.
     Returns the number of markers present afterwards."""
-    path = os.path.join(index_dir, "manifests")
-    if not os.path.exists(path):
+    if _manifest_rows_path(index_dir) is None:
         return 0
     keys = (
         _read_manifest_rows(spark, index_dir)
@@ -544,12 +580,8 @@ def regenerate_commit_markers(spark: SparkSession, index_dir: str) -> int:
         .distinct()
         .collect()
     )
-    os.makedirs(os.path.join(index_dir, "_commit_markers"), exist_ok=True)
     for r in keys:
-        with open(
-            _commit_marker(index_dir, r["batch_id"], r["stream"]), "w"
-        ) as f:
-            f.write("committed\n")
+        _touch_marker(index_dir, r["batch_id"], r["stream"])
     return len(keys)
 
 
@@ -574,10 +606,7 @@ def record_manifest(
     spark.createDataFrame([row], _MANIFEST_SCHEMA).write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "manifests"))
-    marker = _commit_marker(index_dir, batch_id, stream)
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as f:
-        f.write("committed\n")
+    _touch_marker(index_dir, batch_id, stream)
 
 
 def read_recorded_manifest(
@@ -592,7 +621,19 @@ def read_recorded_manifest(
     clean and the re-run's manifest charges the docs to exact_dups).
     The marker file makes the no-replay fast path O(1); the parquet
     rows are read only when the marker says a prior commit exists."""
+    tag = hashlib.md5(stream.encode()).hexdigest()[:10]
+    legacy = os.path.join(
+        index_dir, "manifests", f"_committed_{tag}_{int(batch_id)}"
+    )
     if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
+        if not os.path.exists(legacy):
+            return None
+        # marker written by the short-lived in-manifests layout:
+        # honor it and migrate to the swap-safe location
+        _touch_marker(index_dir, batch_id, stream)
+    if _manifest_rows_path(index_dir) is None:
+        # stale marker without any manifest rows (manual deletion) —
+        # treat as never committed rather than crashing the replay
         return None
     rows = (
         _read_manifest_rows(spark, index_dir)
@@ -670,15 +711,13 @@ def seed_index_from_prepared(
         corpus_index_postings(raw_survivors).write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, "postings"))
-    elif family == "lsh":
+    else:  # "lsh" — the only other family the entry guard admits
         corpus_index_bands(raw_survivors).write.mode("overwrite").parquet(
             os.path.join(index_dir, "bands")
         )
         corpus_index_rep_shingles(raw_survivors).write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, "rep_shingles"))
-    else:
-        raise ValueError(f"unknown index family: {family!r}")
     if benchmark is not None:
         benchmark_ngram_digests(benchmark).write.mode(
             "overwrite"

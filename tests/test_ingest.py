@@ -270,15 +270,23 @@ def test_corpus_stats_merge_without_rescan(spark, sf_dir, tmp_path):
 
     got = corpus_stats(spark, idx)
     shipped = spark.read.parquet(f"{out}/clean_documents.parquet")
-    exact_docs = shipped.count()
-    assert got["docs"] == exact_docs == m1["appended"] + m2["appended"]
-    exact_tokens = shipped.agg(
+    # corpus-wide = the pre-existing corpus build_corpus_index indexed
+    # (its docs convict future dups, so they ARE part of the logical
+    # corpus — the build writes their stats row) PLUS the appended
+    # batches; `out` holds only the latter
+    assert shipped.count() == m1["appended"] + m2["appended"]
+    logical = corpus.select("doc_id", "text").unionByName(
+        shipped.select("doc_id", "text")
+    )
+    exact_docs = logical.count()
+    assert got["docs"] == exact_docs
+    exact_tokens = logical.agg(
         F.sum(F.size(F.split("text", " ")))
     ).collect()[0][0]
     assert got["tokens"] == exact_tokens
-    exact_texts = shipped.select("text").distinct().count()
+    exact_texts = logical.select("text").distinct().count()
     exact_toks = (
-        shipped.select(F.explode(F.split("text", " ")).alias("t"))
+        logical.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.col("t") != "")
         .distinct()
         .count()
