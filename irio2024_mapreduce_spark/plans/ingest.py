@@ -163,9 +163,15 @@ def _clear_prior_life(index_dir: str) -> None:
     import shutil  # noqa: PLC0415
 
     for part in ("manifests", "_commit_markers", "_stream_checkpoint", "stats"):
-        p = os.path.join(index_dir, part)
-        if os.path.exists(p):
-            shutil.rmtree(p)
+        # the ._compact_* variants too: a compaction that crashed
+        # mid-swap leaves a ._compact_old snapshot that crash
+        # recovery would otherwise RESTORE after the clear,
+        # resurrecting the replaced life's exactly-once records or
+        # stats rows
+        for suffix in ("", "._compact_tmp", "._compact_old"):
+            p = os.path.join(index_dir, part + suffix)
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
 
 def build_corpus_index(
@@ -228,8 +234,17 @@ def build_corpus_index(
     # life's rows (they described a corpus this index no longer
     # serves), and by the 100 TB premise HLL state can't be
     # recomputed later without a rescan — so the rebuild must leave
-    # corpus_stats describing exactly what it indexed
-    _append_stats_row(corpus, index_dir, mode="overwrite")
+    # corpus_stats describing exactly what it indexed. Convention
+    # note: this path receives the corpus AS IT EXISTS (the contract
+    # above says pre-scrub bytes of an already-shipped corpus), so
+    # the stats describe those bytes; callers holding the raw/cleaned
+    # PAIR should seed via seed_index_from_prepared, whose stats row
+    # covers the shipped scrubbed text. Null-text docs are excluded
+    # to match the ingest stats convention (cleaned frames carry no
+    # nulls).
+    _append_stats_row(
+        corpus.filter(F.col("text").isNotNull()), index_dir, mode="overwrite"
+    )
     _write_index_manifest(index_dir, family, benchmark is not None)
     return counts
 
@@ -510,6 +525,16 @@ _MANIFEST_SCHEMA = "stream string, batch_id long, " + ", ".join(
 )
 
 
+def _legacy_marker(index_dir: str, batch_id: int, stream: str) -> str:
+    """The short-lived in-manifests marker location (pre-relocation)
+    — defined beside :func:`_commit_marker` so the migration shim and
+    the current scheme can never silently diverge."""
+    tag = hashlib.md5(stream.encode()).hexdigest()[:10]
+    return os.path.join(
+        index_dir, "manifests", f"_committed_{tag}_{int(batch_id)}"
+    )
+
+
 def _touch_marker(index_dir: str, batch_id: int, stream: str) -> None:
     """Write the O(1) commit marker (single definition — the writer
     and the cache regenerator must never diverge on location or
@@ -535,18 +560,41 @@ def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     )
 
 
-def _manifest_rows_path(index_dir: str) -> str | None:
-    """Where the manifest ROWS currently live: the live dir, or —
-    when a compaction crashed between its two renames — the pre-swap
-    ``._compact_old`` snapshot (the rows there are the truth; the
-    next compaction's crash recovery restores them). None if neither
-    exists."""
+def _recover_manifests_swap(index_dir: str) -> None:
+    """Crash recovery for the manifests part, runnable by any reader
+    or writer BEFORE touching the dir — the same per-part logic
+    ``compact_corpus_index`` applies under its lock. Centralizing it
+    here (instead of treating ``._compact_old`` as an alternate
+    readable location) prevents split-brain: a new ``record_manifest``
+    append creating a fresh live dir beside a crashed swap's snapshot
+    would make later readers prefer the near-empty live dir and the
+    next compaction classify the snapshot as post-swap garbage,
+    destroying the pre-crash record. Leftovers only exist after a
+    compaction CRASH — a live compaction holds the advisory lock, so
+    this raises loudly (check_not_compacting) rather than deleting an
+    in-progress swap's dirs."""
+    import shutil  # noqa: PLC0415
+
     path = os.path.join(index_dir, "manifests")
-    if os.path.exists(path):
-        return path
-    if os.path.exists(path + "._compact_old"):
-        return path + "._compact_old"
-    return None
+    tmp, old = path + "._compact_tmp", path + "._compact_old"
+    if not (os.path.exists(tmp) or os.path.exists(old)):
+        return
+    check_not_compacting(index_dir)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # failed write, never swapped in
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # post-swap garbage
+        else:
+            os.rename(old, path)  # pre-swap truth: restore
+
+
+def _manifest_rows_path(index_dir: str) -> str | None:
+    """Where the manifest ROWS live, after crash recovery
+    (:func:`_recover_manifests_swap`) has run: the live dir or None."""
+    _recover_manifests_swap(index_dir)
+    path = os.path.join(index_dir, "manifests")
+    return path if os.path.exists(path) else None
 
 
 def _read_manifest_rows(spark: SparkSession, index_dir: str):
@@ -598,6 +646,11 @@ def record_manifest(
     between the row append and the marker touch means the replay
     reprocesses the batch (admission is idempotent; the duplicate
     manifest row is audit noise, not corpus corruption)."""
+    # crash recovery BEFORE appending: creating a fresh live dir
+    # beside a swap-crashed snapshot would split-brain the record
+    # (readers prefer the near-empty live dir; the next compaction
+    # deletes the snapshot as post-swap garbage)
+    _recover_manifests_swap(index_dir)
     row = (
         stream,
         int(batch_id),
@@ -621,12 +674,11 @@ def read_recorded_manifest(
     clean and the re-run's manifest charges the docs to exact_dups).
     The marker file makes the no-replay fast path O(1); the parquet
     rows are read only when the marker says a prior commit exists."""
-    tag = hashlib.md5(stream.encode()).hexdigest()[:10]
-    legacy = os.path.join(
-        index_dir, "manifests", f"_committed_{tag}_{int(batch_id)}"
-    )
     if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
-        if not os.path.exists(legacy):
+        # run crash recovery first: a legacy in-manifests marker of a
+        # swap-crashed dir rides back with the restored rows
+        _recover_manifests_swap(index_dir)
+        if not os.path.exists(_legacy_marker(index_dir, batch_id, stream)):
             return None
         # marker written by the short-lived in-manifests layout:
         # honor it and migrate to the swap-safe location

@@ -275,9 +275,9 @@ def test_corpus_stats_merge_without_rescan(spark, sf_dir, tmp_path):
     # corpus — the build writes their stats row) PLUS the appended
     # batches; `out` holds only the latter
     assert shipped.count() == m1["appended"] + m2["appended"]
-    logical = corpus.select("doc_id", "text").unionByName(
-        shipped.select("doc_id", "text")
-    )
+    logical = corpus.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    ).unionByName(shipped.select("doc_id", "text"))
     exact_docs = logical.count()
     assert got["docs"] == exact_docs
     exact_tokens = logical.agg(

@@ -430,3 +430,52 @@ def test_compaction_preserves_exactly_once_markers(spark, tmp_path):
     assert read_recorded_manifest(spark, idx, 0, stream="s1") is None
     compact_corpus_index(spark, idx)
     assert read_recorded_manifest(spark, idx, 0, stream="s1") == m
+
+
+def test_crashed_manifest_swap_recovers_before_any_access(spark, tmp_path):
+    """A compaction hard-killed between its two manifests renames
+    leaves the rows at manifests._compact_old. Every manifests access
+    (replay read, new record) must RESTORE that snapshot first —
+    appending beside it would split-brain the record (readers prefer
+    the near-empty live dir; the next compaction deletes the snapshot
+    as post-swap garbage)."""
+    import os
+
+    from irio2024_mapreduce_spark.plans.ingest import (
+        read_recorded_manifest,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    m0 = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, out,
+        batch_id=0, stream="s1",
+    )
+    # simulate the crash: live dir renamed away, swap never finished
+    os.rename(
+        os.path.join(idx, "manifests"),
+        os.path.join(idx, "manifests._compact_old"),
+    )
+
+    # a replay read recovers and still short-circuits
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") == m0
+    assert os.path.isdir(os.path.join(idx, "manifests"))
+    assert not os.path.exists(os.path.join(idx, "manifests._compact_old"))
+
+    # crash again, then commit a NEW batch: the record lands in the
+    # RESTORED dir — both batches' records coexist afterwards
+    os.rename(
+        os.path.join(idx, "manifests"),
+        os.path.join(idx, "manifests._compact_old"),
+    )
+    m1 = ingest_batch(
+        spark,
+        _frame(spark, [(11, "a calm harbor town kept its lanterns lit while the tide slowly turned under the old stone pier")]),
+        idx,
+        out,
+        batch_id=1, stream="s1",
+    )
+    assert m1["appended"] == 1
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") == m0
+    assert read_recorded_manifest(spark, idx, 1, stream="s1") == m1
