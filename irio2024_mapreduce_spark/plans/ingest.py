@@ -162,6 +162,12 @@ def _clear_prior_life(index_dir: str) -> None:
     destructive half of a rebuild."""
     import shutil  # noqa: PLC0415
 
+    # refuse while a compaction holds the index: the clear would
+    # delete the compactor's in-flight dirs mid-swap, and the
+    # compactor's later steps could re-create old-life state right
+    # after the clear (a stale dead-holder lock is reaped by the
+    # check itself)
+    check_not_compacting(index_dir)
     for part in ("manifests", "_commit_markers", "_stream_checkpoint", "stats"):
         # the ._compact_* variants too: a compaction that crashed
         # mid-swap leaves a ._compact_old snapshot that crash
@@ -560,39 +566,43 @@ def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     )
 
 
-def _recover_manifests_swap(index_dir: str) -> None:
-    """Crash recovery for the manifests part, runnable by any reader
-    or writer BEFORE touching the dir — the same per-part logic
-    ``compact_corpus_index`` applies under its lock. Centralizing it
-    here (instead of treating ``._compact_old`` as an alternate
-    readable location) prevents split-brain: a new ``record_manifest``
-    append creating a fresh live dir beside a crashed swap's snapshot
-    would make later readers prefer the near-empty live dir and the
-    next compaction classify the snapshot as post-swap garbage,
-    destroying the pre-crash record. Leftovers only exist after a
-    compaction CRASH — a live compaction holds the advisory lock, so
-    this raises loudly (check_not_compacting) rather than deleting an
-    in-progress swap's dirs."""
-    import shutil  # noqa: PLC0415
-
-    path = os.path.join(index_dir, "manifests")
-    tmp, old = path + "._compact_tmp", path + "._compact_old"
-    if not (os.path.exists(tmp) or os.path.exists(old)):
+def _recover_index_part(index_dir: str, part: str) -> None:
+    """Crash recovery for one index part, runnable by any reader or
+    writer BEFORE touching the dir — the shared
+    ``sinks.recover_swap_crash`` classification under the index's
+    advisory lock. Centralizing this (instead of treating
+    ``._compact_old`` as an alternate readable location) prevents
+    split-brain: a fresh append creating a live dir beside a crashed
+    swap's snapshot would make later readers prefer the near-empty
+    live dir and the next compaction delete the snapshot as post-swap
+    garbage, destroying the pre-crash rows. The lock serializes the
+    destructive rename/rmtree against a LIVE compaction and against
+    concurrent recoverers (two streams sharing one index); a crashed
+    holder's stale lock is reaped by ``acquire_compaction_lock``
+    itself (dead-PID detection), so the crash that created the
+    leftovers cannot also wedge their recovery."""
+    path = os.path.join(index_dir, part)
+    if not (
+        os.path.exists(path + "._compact_tmp")
+        or os.path.exists(path + "._compact_old")
+    ):
         return
-    check_not_compacting(index_dir)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # failed write, never swapped in
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)  # post-swap garbage
-        else:
-            os.rename(old, path)  # pre-swap truth: restore
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_compaction_lock,
+        recover_swap_crash,
+    )
+
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        recover_swap_crash(path)
+    finally:
+        os.unlink(lock)
 
 
 def _manifest_rows_path(index_dir: str) -> str | None:
     """Where the manifest ROWS live, after crash recovery
-    (:func:`_recover_manifests_swap`) has run: the live dir or None."""
-    _recover_manifests_swap(index_dir)
+    (:func:`_recover_index_part`) has run: the live dir or None."""
+    _recover_index_part(index_dir, "manifests")
     path = os.path.join(index_dir, "manifests")
     return path if os.path.exists(path) else None
 
@@ -650,7 +660,7 @@ def record_manifest(
     # beside a swap-crashed snapshot would split-brain the record
     # (readers prefer the near-empty live dir; the next compaction
     # deletes the snapshot as post-swap garbage)
-    _recover_manifests_swap(index_dir)
+    _recover_index_part(index_dir, "manifests")
     row = (
         stream,
         int(batch_id),
@@ -677,7 +687,7 @@ def read_recorded_manifest(
     if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
         # run crash recovery first: a legacy in-manifests marker of a
         # swap-crashed dir rides back with the restored rows
-        _recover_manifests_swap(index_dir)
+        _recover_index_part(index_dir, "manifests")
         if not os.path.exists(_legacy_marker(index_dir, batch_id, stream)):
             return None
         # marker written by the short-lived in-manifests layout:
@@ -712,7 +722,14 @@ def _append_stats_row(
     stats then come from merging the rows (:func:`corpus_stats`) —
     the 100 TB primitive: distinct counts over the whole corpus
     WITHOUT ever rescanning it, at a few KB of state per batch. (The
-    crossJoin is two 1-row aggregates — bounded by construction.)"""
+    crossJoin is two 1-row aggregates — bounded by construction.)
+
+    Recovery-first like the manifests path: stats is the other part
+    appended WITHOUT a prior read, so appending beside a crashed
+    swap's ``._compact_old`` snapshot would split-brain it and the
+    next compaction would delete every historical row — HLL state
+    that by the 100 TB premise can't be recomputed."""
+    _recover_index_part(index_dir, "stats")
     doc_stats = cleaned.agg(
         F.count("*").alias("docs"),
         F.coalesce(
@@ -855,6 +872,7 @@ def compact_corpus_index(
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         acquire_compaction_lock,
+        recover_swap_crash,
     )
 
     meta = read_index_manifest(index_dir)
@@ -888,17 +906,9 @@ def compact_corpus_index(
         for name, transform in transforms.items():
             path = os.path.join(index_dir, name)
             tmp, old = path + "._compact_tmp", path + "._compact_old"
-            # crash recovery — same signatures as sinks._compact_flat:
-            # stale tmp is a failed write; stale old with no live dir
-            # is pre-swap data (restore); with a live dir, post-swap
-            # garbage
-            if os.path.exists(tmp):
-                _shutil.rmtree(tmp)
-            if os.path.exists(old):
-                if os.path.exists(path):
-                    _shutil.rmtree(old)
-                else:
-                    os.rename(old, path)
+            # crash recovery — THE shared classification (held lock
+            # satisfies recover_swap_crash's exclusion contract)
+            recover_swap_crash(path)
             if not os.path.exists(path):
                 continue
             before_files = _files(path)

@@ -130,16 +130,7 @@ def _compact_flat(
 ) -> dict[str, int]:
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
-    # crash recovery: a stale tmp is garbage from a failed write; a
-    # stale old with NO live dataset is the pre-swap data — restore
-    # it; a stale old WITH a live dataset is post-swap garbage.
-    if _os.path.exists(tmp):
-        _shutil.rmtree(tmp)
-    if _os.path.exists(old):
-        if _os.path.exists(path):
-            _shutil.rmtree(old)
-        else:
-            _os.rename(old, path)
+    recover_swap_crash(path.rstrip("/"))
 
     hive_dirs = [
         d
@@ -208,19 +199,55 @@ def compaction_lock_path(path: str) -> str:
     return path.rstrip("/") + "._compact.lock"
 
 
+def _lock_is_stale(lock: str) -> bool:
+    """A lock whose recorded holder PID no longer exists is a crash
+    leftover (SIGKILL skips the ``finally`` that unlinks it) — left
+    in place it would wedge every future writer AND the crash
+    recovery itself. Unreadable/legacy (empty) locks and PID-reuse
+    ambiguity resolve CONSERVATIVELY to 'live' (raise rather than
+    delete a lock we can't prove dead)."""
+    import os as _os
+
+    try:
+        with open(lock) as f:
+            pid = int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return False
+    if pid <= 0:
+        return False
+    try:
+        _os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False
+
+
 def acquire_compaction_lock(path: str) -> str:
     """Advisory writer-exclusion for a dataset under compaction.
     O_EXCL creation is atomic on a local filesystem, so two compactors
     cannot both hold it; the ingest driver's corpus append checks it
-    (:func:`check_not_compacting`) before writing. ADVISORY means
-    best-effort: a writer that skips the check is not blocked — this
-    guards the scheduled-jobs-overlap mistake, it is not a lock
-    manager (object stores without atomic create need an external
-    one). Raises if already held; returns the lock path to unlink."""
+    (:func:`check_not_compacting`) before writing. The holder's PID is
+    recorded so a SIGKILLed holder's lock is reaped as stale instead
+    of wedging the dataset forever. ADVISORY means best-effort: a
+    writer that skips the check is not blocked — this guards the
+    scheduled-jobs-overlap mistake, it is not a lock manager (object
+    stores without atomic create need an external one). Raises
+    RuntimeError if live-held; returns the lock path to unlink."""
     import os as _os
 
     lock = compaction_lock_path(path)
-    fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    if _os.path.exists(lock) and _lock_is_stale(lock):
+        _os.unlink(lock)
+    try:
+        fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{path} is being compacted ({lock} held by a live "
+            "process) — retry after the maintenance window"
+        ) from None
+    _os.write(fd, str(_os.getpid()).encode())
     _os.close(fd)
     return lock
 
@@ -229,15 +256,42 @@ def check_not_compacting(path: str) -> None:
     """Raise if ``path`` is being compacted — appending now would be
     silently deleted with the pre-compaction snapshot (the rewrite
     reads a snapshot, then swaps the whole dir; see compact_parquet's
-    concurrent-writer note)."""
+    concurrent-writer note). A stale lock (dead holder PID) is reaped
+    here rather than raised on: the crashed compaction's leftovers
+    are handled by swap recovery, not by wedging every writer."""
     import os as _os
 
-    if _os.path.exists(compaction_lock_path(path)):
+    lock = compaction_lock_path(path)
+    if _os.path.exists(lock):
+        if _lock_is_stale(lock):
+            _os.unlink(lock)
+            return
         raise RuntimeError(
-            f"{path} is being compacted ({compaction_lock_path(path)} "
+            f"{path} is being compacted ({lock} "
             "held): appends during a compaction are deleted with the "
             "old snapshot — retry after the maintenance window"
         )
+
+
+def recover_swap_crash(path: str) -> None:
+    """THE swap crash-recovery classification, defined once for every
+    tmp/old double-rename site (flat compactor, index compactor, and
+    the ingest drivers' recovery-first reads): stale ``._compact_tmp``
+    is a failed write (drop); ``._compact_old`` beside a live dir is
+    post-swap garbage (drop); ``._compact_old`` without a live dir is
+    the pre-swap truth (restore). Callers must hold — or have
+    excluded via the advisory lock — any concurrent compactor."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp, old = path + "._compact_tmp", path + "._compact_old"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    if _os.path.exists(old):
+        if _os.path.exists(path):
+            _shutil.rmtree(old)
+        else:
+            _os.rename(old, path)
 
 
 # ------------------------------------------------------- versioned layout

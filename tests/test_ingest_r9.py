@@ -479,3 +479,36 @@ def test_crashed_manifest_swap_recovers_before_any_access(spark, tmp_path):
     assert m1["appended"] == 1
     assert read_recorded_manifest(spark, idx, 0, stream="s1") == m0
     assert read_recorded_manifest(spark, idx, 1, stream="s1") == m1
+
+
+def test_crashed_swap_with_stale_lock_still_recovers(spark, tmp_path):
+    """The motivating crash leaves BOTH the ._compact_old snapshot and
+    the dead holder's lock (SIGKILL skips the finally). Recovery must
+    reap the stale lock and restore the snapshot instead of raising
+    'being compacted' forever."""
+    import os
+
+    from irio2024_mapreduce_spark.plans.ingest import (
+        read_recorded_manifest,
+    )
+    from irio2024_mapreduce_spark.sources.sinks import (
+        compaction_lock_path,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus")
+    build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
+    m0 = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, out,
+        batch_id=0, stream="s1",
+    )
+    os.rename(
+        os.path.join(idx, "manifests"),
+        os.path.join(idx, "manifests._compact_old"),
+    )
+    with open(compaction_lock_path(idx), "w") as f:
+        f.write("999999999")  # dead holder
+
+    assert read_recorded_manifest(spark, idx, 0, stream="s1") == m0
+    assert os.path.isdir(os.path.join(idx, "manifests"))
+    assert not os.path.exists(compaction_lock_path(idx))

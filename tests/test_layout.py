@@ -106,6 +106,6 @@ def test_rewrite_zordered_swaps_and_recovers(spark, xy, tmp_path):
 
     # advisory lock excludes a second maintenance pass
     lock = acquire_compaction_lock(p)
-    with pytest.raises(FileExistsError):
+    with pytest.raises(RuntimeError, match="live"):
         rewrite_zordered(spark, p, ["x"])
     os.unlink(lock)

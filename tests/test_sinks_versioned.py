@@ -93,8 +93,9 @@ def test_compaction_lock_excludes_writers_and_compactors(spark, tmp_path):
         # the ingest driver's append-side check refuses
         with pytest.raises(RuntimeError, match="compacted"):
             check_not_compacting(root)
-        # a second compactor cannot start
-        with pytest.raises(FileExistsError):
+        # a second compactor cannot start (lock held by a LIVE
+        # process — this one)
+        with pytest.raises(RuntimeError, match="live"):
             compact_parquet(spark, root)
     finally:
         os.unlink(lock)
@@ -207,3 +208,37 @@ def test_init_versioned_refuses_stale_adoption_over_fresh_data(
     _grow(spark, root, appends=1, rows=7)
     with pytest.raises(RuntimeError, match="non-empty"):
         init_versioned(root)
+
+
+def test_stale_lock_from_dead_holder_is_reaped(spark, tmp_path):
+    """A SIGKILLed compactor leaves its lock behind (finally never
+    runs) — with the holder PID recorded, both the writer-side check
+    and a new lock acquisition reap it instead of wedging the dataset
+    forever; an empty/legacy lock stays conservative (treated live)."""
+    from irio2024_mapreduce_spark.sources.sinks import (
+        compaction_lock_path,
+    )
+
+    root = str(tmp_path / "data")
+    _grow(spark, root, appends=1)
+    lock = compaction_lock_path(root)
+
+    # dead holder: write a PID that cannot exist
+    with open(lock, "w") as f:
+        f.write("999999999")
+    check_not_compacting(root)  # reaped, no raise
+    assert not os.path.exists(lock)
+
+    # legacy empty lock: cannot prove dead -> still refuses
+    with open(lock, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="compacted"):
+        check_not_compacting(root)
+    os.unlink(lock)
+
+    # acquisition over a dead holder's lock also succeeds
+    with open(lock, "w") as f:
+        f.write("999999999")
+    got = acquire_compaction_lock(root)
+    assert os.path.exists(got)
+    os.unlink(got)
