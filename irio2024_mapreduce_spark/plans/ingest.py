@@ -165,8 +165,8 @@ def _clear_prior_life(index_dir: str) -> None:
     # refuse while a compaction holds the index: the clear would
     # delete the compactor's in-flight dirs mid-swap, and the
     # compactor's later steps could re-create old-life state right
-    # after the clear (a stale dead-holder lock is reaped by the
-    # check itself)
+    # after the clear (a crashed holder's flock auto-released, so
+    # only a LIVE compaction refuses)
     check_not_compacting(index_dir)
     for part in ("manifests", "_commit_markers", "_stream_checkpoint", "stats"):
         # the ._compact_* variants too: a compaction that crashed
@@ -578,9 +578,14 @@ def _recover_index_part(index_dir: str, part: str) -> None:
     garbage, destroying the pre-crash rows. The lock serializes the
     destructive rename/rmtree against a LIVE compaction and against
     concurrent recoverers (two streams sharing one index); a crashed
-    holder's stale lock is reaped by ``acquire_compaction_lock``
-    itself (dead-PID detection), so the crash that created the
-    leftovers cannot also wedge their recovery."""
+    holder's flock released with its process (kernel-owned liveness),
+    so the crash that created the leftovers cannot also wedge their
+    recovery. Contention waits briefly — a sibling's recovery is
+    sub-second, and raising 'retry after the maintenance window' at
+    it would be misleading; a genuinely long hold (a real compaction)
+    still surfaces as the loud error."""
+    import time  # noqa: PLC0415
+
     path = os.path.join(index_dir, part)
     if not (
         os.path.exists(path + "._compact_tmp")
@@ -590,13 +595,28 @@ def _recover_index_part(index_dir: str, part: str) -> None:
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         acquire_compaction_lock,
         recover_swap_crash,
+        release_compaction_lock,
     )
 
-    lock = acquire_compaction_lock(index_dir)
+    lock = None
+    for attempt in range(20):  # ~10 s of patience, then loud
+        try:
+            lock = acquire_compaction_lock(index_dir)
+            break
+        except RuntimeError:
+            # a sibling may have finished the recovery while we waited
+            if not (
+                os.path.exists(path + "._compact_tmp")
+                or os.path.exists(path + "._compact_old")
+            ):
+                return
+            if attempt == 19:
+                raise
+            time.sleep(0.5)
     try:
         recover_swap_crash(path)
     finally:
-        os.unlink(lock)
+        release_compaction_lock(lock)
 
 
 def _manifest_rows_path(index_dir: str) -> str | None:
@@ -873,6 +893,7 @@ def compact_corpus_index(
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         acquire_compaction_lock,
         recover_swap_crash,
+        release_compaction_lock,
     )
 
     meta = read_index_manifest(index_dir)
@@ -932,5 +953,5 @@ def compact_corpus_index(
         # rows committed before markers existed)
         regenerate_commit_markers(spark, index_dir)
     finally:
-        os.unlink(lock)
+        release_compaction_lock(lock)
     return report

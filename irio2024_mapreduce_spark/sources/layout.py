@@ -137,6 +137,8 @@ def rewrite_zordered(
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         acquire_compaction_lock,
+        recover_swap_crash,
+        release_compaction_lock,
     )
 
     lock = acquire_compaction_lock(path)
@@ -144,13 +146,9 @@ def rewrite_zordered(
         tmp, old = path.rstrip("/") + "._zorder_tmp", path.rstrip(
             "/"
         ) + "._zorder_old"
-        if _os.path.exists(tmp):
-            _shutil.rmtree(tmp)
-        if _os.path.exists(old):
-            if _os.path.exists(path):
-                _shutil.rmtree(old)
-            else:
-                _os.rename(old, path)
+        recover_swap_crash(
+            path.rstrip("/"), "._zorder_tmp", "._zorder_old"
+        )
         df = spark.read.parquet(path)
         rows = df.count()
         write_zordered(df, tmp, cols, bits, n_files)
@@ -159,7 +157,7 @@ def rewrite_zordered(
         _shutil.rmtree(old)
         return {"rows": rows}
     finally:
-        _os.unlink(lock)
+        release_compaction_lock(lock)
 
 
 def pruning_stats(

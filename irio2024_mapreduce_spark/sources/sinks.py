@@ -122,7 +122,7 @@ def compact_parquet(
             _shutil,
         )
     finally:
-        _os.unlink(lock)
+        release_compaction_lock(lock)
 
 
 def _compact_flat(
@@ -199,92 +199,108 @@ def compaction_lock_path(path: str) -> str:
     return path.rstrip("/") + "._compact.lock"
 
 
-def _lock_is_stale(lock: str) -> bool:
-    """A lock whose recorded holder PID no longer exists is a crash
-    leftover (SIGKILL skips the ``finally`` that unlinks it) — left
-    in place it would wedge every future writer AND the crash
-    recovery itself. Unreadable/legacy (empty) locks and PID-reuse
-    ambiguity resolve CONSERVATIVELY to 'live' (raise rather than
-    delete a lock we can't prove dead)."""
-    import os as _os
-
-    try:
-        with open(lock) as f:
-            pid = int(f.read().strip() or "0")
-    except (OSError, ValueError):
-        return False
-    if pid <= 0:
-        return False
-    try:
-        _os.kill(pid, 0)
-        return False
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False
+# held-lock file descriptors, keyed by lock path: the flock lives on
+# the OPEN fd — closing it (or process death, including SIGKILL, the
+# kernel does it) releases the lock. The lock FILE on disk is just an
+# address; its existence alone means nothing.
+_HELD_LOCK_FDS: dict[str, int] = {}
 
 
 def acquire_compaction_lock(path: str) -> str:
-    """Advisory writer-exclusion for a dataset under compaction.
-    O_EXCL creation is atomic on a local filesystem, so two compactors
-    cannot both hold it; the ingest driver's corpus append checks it
-    (:func:`check_not_compacting`) before writing. The holder's PID is
-    recorded so a SIGKILLed holder's lock is reaped as stale instead
-    of wedging the dataset forever. ADVISORY means best-effort: a
-    writer that skips the check is not blocked — this guards the
-    scheduled-jobs-overlap mistake, it is not a lock manager (object
-    stores without atomic create need an external one). Raises
-    RuntimeError if live-held; returns the lock path to unlink."""
+    """Advisory writer-exclusion for a dataset under compaction, held
+    as a kernel ``flock`` on the lock file. flock liveness is owned by
+    the KERNEL: a SIGKILLed holder's lock releases the instant its fd
+    closes, so there is no stale-lock state, no PID-liveness
+    guessing, and no reap race (an earlier PID-file scheme had
+    check-then-unlink TOCTOU windows where racers could delete a LIVE
+    holder's lock). ADVISORY means best-effort: a writer that skips
+    the check is not blocked — this guards the scheduled-jobs-overlap
+    mistake on a local filesystem; object stores / NFS need an
+    external lock manager (flock over NFS is mount-dependent). Raises
+    RuntimeError if live-held; returns the lock path for
+    :func:`release_compaction_lock`."""
+    import fcntl as _fcntl
     import os as _os
 
     lock = compaction_lock_path(path)
-    if _os.path.exists(lock) and _lock_is_stale(lock):
-        _os.unlink(lock)
+    fd = _os.open(lock, _os.O_CREAT | _os.O_WRONLY, 0o644)
     try:
-        fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-    except FileExistsError:
+        _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+    except BlockingIOError:
+        _os.close(fd)
         raise RuntimeError(
             f"{path} is being compacted ({lock} held by a live "
             "process) — retry after the maintenance window"
         ) from None
+    # informational only — liveness comes from the flock itself
+    _os.ftruncate(fd, 0)
     _os.write(fd, str(_os.getpid()).encode())
-    _os.close(fd)
+    _HELD_LOCK_FDS[lock] = fd
     return lock
+
+
+def release_compaction_lock(lock: str) -> None:
+    """Release a lock returned by :func:`acquire_compaction_lock`:
+    close the flock'd fd (the actual release) and remove the lock
+    file (cosmetic — an unheld file no longer blocks anyone)."""
+    import os as _os
+
+    fd = _HELD_LOCK_FDS.pop(lock, None)
+    if fd is not None:
+        _os.close(fd)
+    if _os.path.exists(lock):
+        _os.unlink(lock)
 
 
 def check_not_compacting(path: str) -> None:
     """Raise if ``path`` is being compacted — appending now would be
     silently deleted with the pre-compaction snapshot (the rewrite
     reads a snapshot, then swaps the whole dir; see compact_parquet's
-    concurrent-writer note). A stale lock (dead holder PID) is reaped
-    here rather than raised on: the crashed compaction's leftovers
-    are handled by swap recovery, not by wedging every writer."""
+    concurrent-writer note). 'Being compacted' means a LIVE process
+    holds the flock: a crashed holder's lock auto-released with its
+    fd, so a leftover lock FILE alone passes — its swap leftovers are
+    handled by recover_swap_crash, not by wedging every writer."""
+    import fcntl as _fcntl
     import os as _os
 
     lock = compaction_lock_path(path)
-    if _os.path.exists(lock):
-        if _lock_is_stale(lock):
-            _os.unlink(lock)
-            return
-        raise RuntimeError(
-            f"{path} is being compacted ({lock} "
-            "held): appends during a compaction are deleted with the "
-            "old snapshot — retry after the maintenance window"
-        )
+    if not _os.path.exists(lock):
+        return
+    try:
+        fd = _os.open(lock, _os.O_RDONLY)
+    except FileNotFoundError:
+        return  # released (and unlinked) between the checks
+    try:
+        try:
+            _fcntl.flock(fd, _fcntl.LOCK_SH | _fcntl.LOCK_NB)
+        except BlockingIOError:
+            raise RuntimeError(
+                f"{path} is being compacted ({lock} "
+                "held): appends during a compaction are deleted with "
+                "the old snapshot — retry after the maintenance window"
+            ) from None
+        _fcntl.flock(fd, _fcntl.LOCK_UN)
+    finally:
+        _os.close(fd)
 
 
-def recover_swap_crash(path: str) -> None:
+def recover_swap_crash(
+    path: str,
+    tmp_suffix: str = "._compact_tmp",
+    old_suffix: str = "._compact_old",
+) -> None:
     """THE swap crash-recovery classification, defined once for every
-    tmp/old double-rename site (flat compactor, index compactor, and
-    the ingest drivers' recovery-first reads): stale ``._compact_tmp``
-    is a failed write (drop); ``._compact_old`` beside a live dir is
-    post-swap garbage (drop); ``._compact_old`` without a live dir is
-    the pre-swap truth (restore). Callers must hold — or have
-    excluded via the advisory lock — any concurrent compactor."""
+    tmp/old double-rename site (flat compactor, index compactor,
+    z-order rewriter via its suffix pair, and the ingest drivers'
+    recovery-first reads): a stale tmp is a failed write (drop); an
+    old dir beside a live dir is post-swap garbage (drop); an old dir
+    without a live dir is the pre-swap truth (restore). Callers must
+    hold — or have excluded via the advisory lock — any concurrent
+    compactor."""
     import os as _os
     import shutil as _shutil
 
-    tmp, old = path + "._compact_tmp", path + "._compact_old"
+    tmp, old = path + tmp_suffix, path + old_suffix
     if _os.path.exists(tmp):
         _shutil.rmtree(tmp)
     if _os.path.exists(old):
@@ -474,4 +490,4 @@ def compact_parquet_versioned(
             "version": new_n,
         }
     finally:
-        _os.unlink(lock)
+        release_compaction_lock(lock)

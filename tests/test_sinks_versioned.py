@@ -210,35 +210,31 @@ def test_init_versioned_refuses_stale_adoption_over_fresh_data(
         init_versioned(root)
 
 
-def test_stale_lock_from_dead_holder_is_reaped(spark, tmp_path):
-    """A SIGKILLed compactor leaves its lock behind (finally never
-    runs) — with the holder PID recorded, both the writer-side check
-    and a new lock acquisition reap it instead of wedging the dataset
-    forever; an empty/legacy lock stays conservative (treated live)."""
+def test_crashed_holder_lock_releases_with_its_process(spark, tmp_path):
+    """Lock liveness is kernel-owned (flock): a leftover lock FILE
+    whose holder died — SIGKILL skips every finally — blocks nobody,
+    while a lock held by a live process refuses both the writer-side
+    check and a second acquisition."""
     from irio2024_mapreduce_spark.sources.sinks import (
         compaction_lock_path,
+        release_compaction_lock,
     )
 
     root = str(tmp_path / "data")
     _grow(spark, root, appends=1)
-    lock = compaction_lock_path(root)
+    lock_path = compaction_lock_path(root)
 
-    # dead holder: write a PID that cannot exist
-    with open(lock, "w") as f:
+    # crashed holder: the file remains but no process holds the flock
+    with open(lock_path, "w") as f:
         f.write("999999999")
-    check_not_compacting(root)  # reaped, no raise
-    assert not os.path.exists(lock)
-
-    # legacy empty lock: cannot prove dead -> still refuses
-    with open(lock, "w"):
-        pass
-    with pytest.raises(RuntimeError, match="compacted"):
-        check_not_compacting(root)
-    os.unlink(lock)
-
-    # acquisition over a dead holder's lock also succeeds
-    with open(lock, "w") as f:
-        f.write("999999999")
-    got = acquire_compaction_lock(root)
-    assert os.path.exists(got)
-    os.unlink(got)
+    check_not_compacting(root)  # passes — nothing live holds it
+    got = acquire_compaction_lock(root)  # and acquisition succeeds
+    try:
+        # live holder: both paths refuse
+        with pytest.raises(RuntimeError, match="compacted"):
+            check_not_compacting(root)
+        with pytest.raises(RuntimeError, match="live"):
+            acquire_compaction_lock(root)
+    finally:
+        release_compaction_lock(got)
+    check_not_compacting(root)  # released with the fd
