@@ -240,16 +240,19 @@ def acquire_compaction_lock(path: str) -> str:
 
 
 def release_compaction_lock(lock: str) -> None:
-    """Release a lock returned by :func:`acquire_compaction_lock`:
-    close the flock'd fd (the actual release) and remove the lock
-    file (cosmetic — an unheld file no longer blocks anyone)."""
+    """Release a lock returned by :func:`acquire_compaction_lock` by
+    closing the flock'd fd. The lock FILE is deliberately left in
+    place: unlinking it here would race a new acquirer that opened
+    and flocked the same path between our close and our unlink —
+    their live lock would lose its directory entry and become
+    invisible to every checker. An unheld file blocks nobody under
+    flock semantics, so the name simply persists as the lock's
+    address."""
     import os as _os
 
     fd = _HELD_LOCK_FDS.pop(lock, None)
     if fd is not None:
         _os.close(fd)
-    if _os.path.exists(lock):
-        _os.unlink(lock)
 
 
 def check_not_compacting(path: str) -> None:

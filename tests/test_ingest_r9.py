@@ -314,7 +314,9 @@ def test_compact_index_excludes_ingest_and_recovers(spark, tmp_path):
     from irio2024_mapreduce_spark.plans.ingest import compact_corpus_index
     from irio2024_mapreduce_spark.sources.sinks import (
         acquire_compaction_lock,
+        check_not_compacting,
         compaction_lock_path,
+        release_compaction_lock,
     )
 
     idx = str(tmp_path / "idx")
@@ -324,8 +326,8 @@ def test_compact_index_excludes_ingest_and_recovers(spark, tmp_path):
     lock = acquire_compaction_lock(idx)
     with pytest.raises(RuntimeError, match="compact"):
         ingest_batch(spark, _frame(spark, [(10, T_FRESH)]), idx, out)
-    os.unlink(lock)
-    assert not os.path.exists(compaction_lock_path(idx))
+    release_compaction_lock(lock)
+    check_not_compacting(idx)  # released with the fd
 
     # crash signature: hashes renamed away, swap never completed
     os.rename(f"{idx}/hashes", f"{idx}/hashes._compact_old")
@@ -492,6 +494,7 @@ def test_crashed_swap_with_stale_lock_still_recovers(spark, tmp_path):
         read_recorded_manifest,
     )
     from irio2024_mapreduce_spark.sources.sinks import (
+        check_not_compacting,
         compaction_lock_path,
     )
 
@@ -511,4 +514,4 @@ def test_crashed_swap_with_stale_lock_still_recovers(spark, tmp_path):
 
     assert read_recorded_manifest(spark, idx, 0, stream="s1") == m0
     assert os.path.isdir(os.path.join(idx, "manifests"))
-    assert not os.path.exists(compaction_lock_path(idx))
+    check_not_compacting(idx)  # the leftover file blocks nobody

