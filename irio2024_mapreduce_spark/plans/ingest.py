@@ -27,18 +27,21 @@ writes of batch-sized frames. Nothing corpus-sized moves.
 ``tools/stress_incremental.py`` measures the probe's ~flat cost at
 100× corpus.
 
-Durability note: each ``ingest_batch`` issues several independent
-parquet append jobs in a DELIBERATE order — index hashes first, the
-near-dup index half next, the corpus append after, the stats row
-last. Spark's file committer makes each WRITE atomic (readers never
-see a job's ``_temporary`` output), and the ordering makes a driver
-crash between writes recoverable by re-ingesting the same batch:
-its docs self-convict via the hashes that already landed, so the
-corpus never gains duplicates (safe-but-lossy; a crash after the
-corpus append at worst under-counts the stats row). Production
-deployments put the whole sequence behind a transactional table
-format or a manifest commit; on this plain filesystem the per-batch
-manifest is the audit trail.
+Durability: ``ingest_batch`` is TRANSACTIONAL — all-or-nothing batch
+visibility on a plain filesystem. Every part (index halves, corpus
+docs, stats row, manifest row) is first written to a private staging
+dir under ``{index_dir}/_staged/``; one atomic ``_committed`` marker
+(write-temp + ``os.replace``, the versioned layout's pointer-flip
+shape) is the commit point; publication is then pure file renames
+into the live dirs, rolled forward by ``recover_staged_batches`` on
+any crash. A crash BEFORE the marker published nothing anywhere, so
+a redelivery admits the docs normally (lossless — the old
+multi-append design's self-conviction window, where index rows
+without corpus rows convicted a redelivered batch as exact dups, is
+structurally gone). A crash AFTER the marker rolls forward to full
+visibility on the next touch of the index. Maintenance collisions
+abort pre-commit under the advisory locks — lossless in both
+directions.
 
 Note the index covers SHIPPED docs only: a batch doc killed by the
 funnel never enters the index — a future byte-identical doc fails the
@@ -168,7 +171,15 @@ def _clear_prior_life(index_dir: str) -> None:
     # after the clear (a crashed holder's flock auto-released, so
     # only a LIVE compaction refuses)
     check_not_compacting(index_dir)
-    for part in ("manifests", "_commit_markers", "_stream_checkpoint", "stats"):
+    for part in (
+        "manifests",
+        "_commit_markers",
+        "_stream_checkpoint",
+        "stats",
+        # staged batches belong to the replaced life too: a committed
+        # staging would roll FORWARD into the fresh index otherwise
+        _STAGED_ROOT,
+    ):
         # the ._compact_* variants too: a compaction that crashed
         # mid-swap leaves a ._compact_old snapshot that crash
         # recovery would otherwise RESTORE after the clear,
@@ -275,6 +286,7 @@ def ingest_batch(
     family: str = "ngram",
     batch_id: int | None = None,
     stream: str = "",
+    _test_crash_after: str | None = None,
 ) -> dict[str, int]:
     """Admit ``batch`` against the stored index, clean the admitted
     docs, append survivors to ``{corpus_dir}/clean_documents.parquet``
@@ -296,25 +308,33 @@ def ingest_batch(
     drop its batches. ``run_ingest_stream`` passes its checkpoint key;
     direct callers with their own sequence may leave it "". Without
     ``batch_id`` the call is at-least-once with idempotent admission,
-    as before."""
+    as before.
+
+    ``_test_crash_after`` is FAULT INJECTION for the kill-at-every-step
+    tests: naming a publish step raises :class:`SimulatedCrash` right
+    after it, leaving exactly the on-disk state a process kill at that
+    point would — production callers never pass it."""
     # validate BEFORE the replay short-circuit: a replayed call with
     # the wrong family must fail as loudly as a fresh one — masking
     # the misconfiguration exactly on the crash-restart path (where
     # operators re-run things by hand) would be the worst place
     manifest_meta = validate_index(index_dir, family)
+    # roll forward / garbage-collect any crashed predecessor FIRST:
+    # a committed-but-unpublished batch must become fully visible
+    # before this batch probes the index (its hashes are part of the
+    # corpus truth), and a pre-commit leftover must be discarded so
+    # the staging key is free
+    recover_staged_batches(index_dir)
     if batch_id is not None:
         prior = read_recorded_manifest(
             spark, index_dir, batch_id, stream=stream
         )
         if prior is not None:
             return prior
-    # honor the compactors' advisory locks UP FRONT — index AND
-    # corpus, before any append: a corpus-lock failure discovered
-    # only after the index appends (the old placement) left the
-    # batch's hashes in the index, so the stream's redelivery
-    # self-convicted every doc as exact_dup and the docs were
-    # silently lost. Checking both before the first write turns a
-    # collision with maintenance into a clean, lossless abort.
+    # early, advisory fast-fail when maintenance is LIVE right now —
+    # purely to avoid wasting the batch's compute. Correctness no
+    # longer depends on it: the publish step takes the real locks and
+    # a collision there aborts PRE-commit, losslessly.
     check_not_compacting(index_dir)
     check_not_compacting(os.path.join(corpus_dir, "clean_documents.parquet"))
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
@@ -417,84 +437,7 @@ def ingest_batch(
         ],
     ).localCheckpoint(eager=False)
 
-    # WRITE ORDER is the crash-recovery story (module docstring):
-    # index halves FIRST (hashes before the near-dup half), corpus
-    # next, stats last. A crash after the hashes append but before
-    # the corpus append means a re-ingest of the same batch
-    # self-convicts via those hashes — safe-but-lossy. The reverse
-    # order (corpus first) would DUPLICATE corpus rows on retry,
-    # which is unrecoverable. A crash after the corpus append but
-    # before the stats row only under-counts corpus_stats. The index
-    # covers the survivors' RAW text (the bytes tomorrow's duplicates
-    # will carry), while the corpus artifact ships the scrubbed text —
-    # dedup on pre-scrub bytes is deliberate.
-    # last-moment INDEX lock re-check (symmetric to the corpus one
-    # below): an index compaction starting during the batch's
-    # processing would swap away a hashes append landing in its
-    # pre-swap snapshot — corpus rows without index hashes would then
-    # admit future byte-identical duplicates, the one unrecoverable
-    # direction. Failing here is fully lossless (nothing appended yet).
-    check_not_compacting(index_dir)
-    corpus_index_hashes(survivors).write.mode("append").parquet(
-        os.path.join(index_dir, "hashes")
-    )
-    if family == "ngram":
-        corpus_index_postings(survivors).write.mode("append").parquet(
-            os.path.join(index_dir, "postings")
-        )
-    else:
-        corpus_index_bands(survivors).write.mode("append").parquet(
-            os.path.join(index_dir, "bands")
-        )
-        corpus_index_rep_shingles(survivors).write.mode("append").parquet(
-            os.path.join(index_dir, "rep_shingles")
-        )
-
-    clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
-    # second, last-moment lock check: the entry check gives a clean
-    # lossless abort when maintenance was already running; this one
-    # catches a compaction that STARTED during the batch's
-    # (potentially long) processing, whose swap would silently delete
-    # an append landing in its pre-swap snapshot. A failure HERE is
-    # loud but lossy — the index appends above already landed, so a
-    # redelivery self-convicts these docs and the batch needs manual
-    # reconciliation (index rows without corpus rows). Advisory
-    # locking can't close this window without a transactional table
-    # format; schedule compaction off the ingest window.
-    check_not_compacting(clean_path)
-    # a corpus adopted into the versioned layout (sinks.init_versioned)
-    # takes appends in its CURRENT version dir; readers resolve the
-    # same pointer, so batch visibility semantics equal the flat layout
-    target = clean_path
-    if os.path.exists(os.path.join(clean_path, "_CURRENT")):
-        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-            resolve_current,
-        )
-
-        target = resolve_current(clean_path)
-    # a corpus built with prepare_corpus(holdout_split=True) is
-    # hive-partitioned by split — a flat append here would mix
-    # layouts and break partition discovery for every future reader.
-    # The split tag is content-addressed (llm_prep.split_docs), so
-    # appended docs land in the SAME split they'd have gotten in the
-    # one-shot build — the append-stability the split was chosen for.
-    is_split_layout = os.path.isdir(target) and any(
-        d.startswith("split=") for d in os.listdir(target)
-    )
-    if is_split_layout:
-        from irio2024_mapreduce_spark.operators.llm_prep import (  # noqa: PLC0415
-            split_docs,
-        )
-
-        split_docs(cleaned).write.mode("append").partitionBy(
-            "split"
-        ).parquet(target)
-    else:
-        cleaned.write.mode("append").parquet(target)
     appended = cleaned.count()
-
-    _append_stats_row(cleaned, index_dir)
-
     manifest = {
         "batch_in": batch_in,
         "exact_dups": by_verdict.get("exact_dup", 0),
@@ -506,11 +449,357 @@ def ingest_batch(
         "contaminated_removed": contaminated_removed,
         "appended": appended,
     }
-    if batch_id is not None:
-        # recorded LAST (after every data append): its presence is the
-        # commit marker a replay checks — see the write-order note
-        record_manifest(spark, index_dir, batch_id, manifest, stream=stream)
+
+    # TRANSACTIONAL COMMIT: every part — index halves, corpus docs,
+    # stats row, manifest row — is first written to a PRIVATE staging
+    # dir (no reader sees it, no lock is needed, maintenance can run
+    # concurrently), then published under the advisory locks with one
+    # atomic commit marker (`_committed`, the os.replace shape the
+    # versioned layout proved). Crash classification is binary:
+    #   * before the marker → the batch never happened. No index row
+    #     landed, so a redelivery admits the docs NORMALLY — the old
+    #     multi-append design's self-conviction loss (index rows
+    #     without corpus rows) cannot occur. Recovery discards the
+    #     stale staging dir.
+    #   * after the marker → the batch is committed. Recovery ROLLS
+    #     FORWARD the remaining file moves (each an atomic rename),
+    #     so the index, corpus, stats, and manifest become visible
+    #     together — all-or-nothing at the batch level.
+    # A maintenance collision at publish time waits briefly for the
+    # lock and then aborts PRE-marker: lossless in both directions
+    # (the old design's 'loud but lossy' window is gone). The index
+    # covers the survivors' RAW text (the bytes tomorrow's duplicates
+    # will carry) while the corpus ships the scrubbed text — dedup on
+    # pre-scrub bytes is deliberate.
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_flock,
+        release_flock,
+    )
+
+    staging = _new_staging_dir(index_dir, batch_id, stream)
+    alive = acquire_flock(
+        os.path.join(staging, _STAGING_ALIVE), purpose="being staged"
+    )
+    try:
+        _stage_batch(
+            spark, staging, survivors, cleaned, manifest, family,
+            index_dir, corpus_dir, batch_id, stream,
+        )
+        _crash_if(_test_crash_after, "stage")
+        _publish_staged(staging, _test_crash_after=_test_crash_after)
+    finally:
+        # a real crash releases the flock via the kernel; the
+        # simulated one must only release the lock, never clean up —
+        # the leftover staging dir IS the state under test
+        release_flock(alive)
     return manifest
+
+
+# ------------------------------------------------- transactional commit
+# The staged-batch protocol (r9 verdict item 1). A batch's parts are
+# written to a private dir under `{index_dir}/_staged/`, a JSON publish
+# plan records their live targets, and ONE atomic file creation
+# (`_committed`, the os.replace shape) is the commit point. File moves
+# into the live dirs happen after it and are rolled forward by
+# `recover_staged_batches` on any crash; a pre-commit crash leaves
+# nothing published anywhere, so redelivery admits the docs normally.
+_STAGED_ROOT = "_staged"
+_STAGING_ALIVE = "_alive.lock"
+_COMMITTED = "_committed"
+_PUBLISH_PLAN = "_publish_plan.json"
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by the fault-injection points of the publish protocol —
+    test-only; leaves exactly the on-disk state a process kill at
+    that step would."""
+
+
+def _crash_if(point: str | None, here: str) -> None:
+    if point == here:
+        raise SimulatedCrash(here)
+
+
+def _atomic_file(path: str, content: str) -> None:
+    """Create ``path`` with ``content`` atomically: write a sibling
+    temp file, fsync, os.replace — a crash leaves either no file or
+    the complete file, never a partial one (the versioned layout's
+    pointer-flip shape)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _new_staging_dir(
+    index_dir: str, batch_id: int | None, stream: str
+) -> str:
+    """Create the batch's private staging dir. Keyed batches stage
+    under a deterministic (stream, batch_id) name — a crashed
+    predecessor of the SAME key was already classified by the entry
+    recovery (rolled forward ⇒ replay short-circuited before here, or
+    discarded), so an existing dir can only be a concurrent live
+    ingest of the same key: refused loudly."""
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        flock_is_live,
+    )
+
+    base = os.path.join(index_dir, _STAGED_ROOT)
+    os.makedirs(base, exist_ok=True)
+    if batch_id is not None:
+        tag = hashlib.md5(stream.encode()).hexdigest()[:10]
+        name = f"{tag}_{int(batch_id)}"
+    else:
+        name = "nokey_" + uuid.uuid4().hex[:16]
+    staging = os.path.join(base, name)
+    if os.path.exists(staging):
+        if flock_is_live(os.path.join(staging, _STAGING_ALIVE)):
+            raise RuntimeError(
+                f"{staging} is being staged by a live process — two "
+                "ingests of the same (stream, batch_id) are running "
+                "concurrently"
+            )
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    return staging
+
+
+def _stage_batch(
+    spark: SparkSession,
+    staging: str,
+    survivors: DataFrame,
+    cleaned: DataFrame,
+    manifest: dict,
+    family: str,
+    index_dir: str,
+    corpus_dir: str,
+    batch_id: int | None,
+    stream: str,
+) -> None:
+    """Write every part of the batch into ``staging`` (private — no
+    locks, no reader visibility), then the publish plan. The corpus
+    part mirrors the LIVE corpus layout (split-partitioned corpora
+    stage hive dirs; the move preserves relative paths), so
+    publication is pure file renames."""
+    clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
+    parts: dict[str, DataFrame] = {
+        "hashes": corpus_index_hashes(survivors)
+    }
+    if family == "ngram":
+        parts["postings"] = corpus_index_postings(survivors)
+    else:
+        parts["bands"] = corpus_index_bands(survivors)
+        parts["rep_shingles"] = corpus_index_rep_shingles(survivors)
+    parts["stats"] = _stats_row_df(cleaned)
+    if batch_id is not None:
+        row = (
+            stream,
+            int(batch_id),
+            *[int(manifest[k]) for k in _MANIFEST_KEYS],
+        )
+        parts["manifests"] = spark.createDataFrame([row], _MANIFEST_SCHEMA)
+    for name, df in parts.items():
+        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+    # corpus: detect the live layout at stage time so the staged
+    # write shape matches (the split tag is content-addressed —
+    # llm_prep.split_docs — so appended docs land in the SAME split
+    # the one-shot build would give them)
+    target = clean_path
+    if os.path.exists(os.path.join(clean_path, "_CURRENT")):
+        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+            resolve_current,
+        )
+
+        target = resolve_current(clean_path)
+    is_split_layout = os.path.isdir(target) and any(
+        d.startswith("split=") for d in os.listdir(target)
+    )
+    if is_split_layout:
+        from irio2024_mapreduce_spark.operators.llm_prep import (  # noqa: PLC0415
+            split_docs,
+        )
+
+        split_docs(cleaned).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(os.path.join(staging, "corpus"))
+    else:
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(staging, "corpus")
+        )
+    plan = {
+        "stream": stream,
+        "batch_id": None if batch_id is None else int(batch_id),
+        "index_parts": [p for p in parts],
+        "corpus_root": clean_path,
+    }
+    _atomic_file(
+        os.path.join(staging, _PUBLISH_PLAN), json.dumps(plan, indent=1)
+    )
+
+
+def _acquire_patiently(
+    path: str, attempts: int = 40, wait: float = 0.25
+) -> str:
+    """acquire_compaction_lock with ~10 s of patience — publish holds
+    its locks for milliseconds (file renames), so brief contention
+    with a sibling publisher or a finishing recovery should wait, not
+    abort the batch; a genuinely long hold (a real compaction) still
+    surfaces as the loud error."""
+    import time  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_compaction_lock,
+    )
+
+    for attempt in range(attempts):
+        try:
+            return acquire_compaction_lock(path)
+        except RuntimeError:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(wait)
+    raise AssertionError("unreachable")
+
+
+def _move_file(src: str, dst: str) -> None:
+    try:
+        os.rename(src, dst)
+    except OSError:
+        # cross-device staging (corpus on another mount): copy to a
+        # hidden temp name, atomic-replace into place, drop the
+        # source — a reader never sees a partially-copied file
+        import shutil  # noqa: PLC0415
+
+        tmp = os.path.join(
+            os.path.dirname(dst),
+            "." + os.path.basename(dst) + "._publish_tmp",
+        )
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+        os.unlink(src)
+
+
+def _move_staged_files(src: str, dst: str) -> None:
+    """Move every staged parquet data file into the live dir,
+    preserving hive subdirs. Idempotent: files already moved by an
+    earlier crashed attempt are simply absent from ``src``; each
+    remaining move is one atomic rename."""
+    if not os.path.isdir(src):
+        return  # fully moved by an earlier attempt
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue  # _SUCCESS / .crc bookkeeping stays behind
+            out_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            _move_file(
+                os.path.join(root, name), os.path.join(out_dir, name)
+            )
+
+
+def _publish_staged(
+    staging: str, _test_crash_after: str | None = None
+) -> None:
+    """Commit and publish a staged batch — or roll an already-committed
+    one forward (recovery path; idempotent). Takes the index and
+    corpus advisory locks (in that fixed order, with patience), runs
+    swap-crash recovery on EVERY publish target under them — including
+    the corpus, for both the compact and z-order suffix pairs (ADVICE
+    r9 high: the corpus was the one append target never recovered
+    first, so appending beside a crashed swap's ``._compact_old``
+    snapshot split-brained it) — then creates the ``_committed`` marker
+    (THE commit point) and moves the staged files into place."""
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        recover_swap_crash,
+        release_compaction_lock,
+        resolve_current,
+    )
+
+    with open(os.path.join(staging, _PUBLISH_PLAN)) as f:
+        plan = json.load(f)
+    index_dir = os.path.dirname(os.path.dirname(staging))
+    clean_path = plan["corpus_root"].rstrip("/")
+    locks = []
+    try:
+        locks.append(_acquire_patiently(index_dir))
+        os.makedirs(os.path.dirname(clean_path), exist_ok=True)
+        locks.append(_acquire_patiently(clean_path))
+        for part in plan["index_parts"]:
+            recover_swap_crash(os.path.join(index_dir, part))
+        recover_swap_crash(clean_path)
+        recover_swap_crash(clean_path, "._zorder_tmp", "._zorder_old")
+        committed = os.path.join(staging, _COMMITTED)
+        if not os.path.exists(committed):
+            _atomic_file(committed, "committed\n")  # THE commit point
+        _crash_if(_test_crash_after, "commit")
+        for part in plan["index_parts"]:
+            _move_staged_files(
+                os.path.join(staging, part), os.path.join(index_dir, part)
+            )
+            _crash_if(_test_crash_after, f"move:{part}")
+        # resolve the corpus target at MOVE time, not plan time: a
+        # versioned corpus may have flipped its pointer since the
+        # crash, and a roll-forward must land in the CURRENT version
+        target = clean_path
+        if os.path.exists(os.path.join(clean_path, "_CURRENT")):
+            target = resolve_current(clean_path)
+        _move_staged_files(os.path.join(staging, "corpus"), target)
+        _crash_if(_test_crash_after, "move:corpus")
+        if plan["batch_id"] is not None:
+            _touch_marker(index_dir, plan["batch_id"], plan["stream"])
+        _crash_if(_test_crash_after, "marker")
+        shutil.rmtree(staging)
+    finally:
+        for lock in reversed(locks):
+            release_compaction_lock(lock)
+
+
+def recover_staged_batches(index_dir: str) -> dict[str, int]:
+    """Classify every leftover staging dir — the recovery half of the
+    transactional commit, run by ``ingest_batch``,
+    ``read_recorded_manifest``, and ``compact_corpus_index`` on entry:
+
+    * ``_committed`` present → the batch IS committed; roll the
+      remaining moves forward (idempotent) so index, corpus, stats,
+      and manifest become visible together;
+    * no marker, staging flock live → a sibling process is mid-ingest;
+      leave it alone;
+    * no marker, holder dead → a pre-commit crash; nothing of the
+      batch was ever published, discard the staging wholesale (its
+      redelivery admits normally — lossless).
+
+    Returns {rolled_forward, discarded, in_flight}."""
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        flock_is_live,
+    )
+
+    out = {"rolled_forward": 0, "discarded": 0, "in_flight": 0}
+    base = os.path.join(index_dir, _STAGED_ROOT)
+    if not os.path.isdir(base):
+        return out
+    for name in sorted(os.listdir(base)):
+        d = os.path.join(base, name)
+        if not os.path.isdir(d):
+            continue
+        if os.path.exists(os.path.join(d, _COMMITTED)):
+            _publish_staged(d)
+            out["rolled_forward"] += 1
+        elif flock_is_live(os.path.join(d, _STAGING_ALIVE)):
+            out["in_flight"] += 1
+        else:
+            shutil.rmtree(d)
+            out["discarded"] += 1
+    return out
 
 
 # per-batch manifest parquet schema — fixed so replay reads and
@@ -644,6 +933,23 @@ def _read_manifest_rows(spark: SparkSession, index_dir: str):
     )
 
 
+def _dedupe_manifest_rows(df: DataFrame) -> DataFrame:
+    """One row per (stream, batch_id): the row read_recorded_manifest's
+    replay would pick (``appended`` desc, then every counter desc —
+    the crash-duplicated re-run row charges everything to exact_dups
+    with appended=0, so the original always wins)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("stream", "batch_id").orderBy(
+        *[F.col(k).desc() for k in _MANIFEST_KEYS[::-1]]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def regenerate_commit_markers(spark: SparkSession, index_dir: str) -> int:
     """Rebuild the O(1) marker set from the manifest ROWS (the rows
     are the durable record; markers are a cache). Called after
@@ -704,6 +1010,10 @@ def read_recorded_manifest(
     clean and the re-run's manifest charges the docs to exact_dups).
     The marker file makes the no-replay fast path O(1); the parquet
     rows are read only when the marker says a prior commit exists."""
+    # a committed-but-unpublished batch must roll forward before the
+    # replay check (its marker and manifest rows land during the
+    # roll-forward); cheap when no staging exists (one listdir)
+    recover_staged_batches(index_dir)
     if not os.path.exists(_commit_marker(index_dir, batch_id, stream)):
         # run crash recovery first: a legacy in-manifests marker of a
         # swap-crashed dir rides back with the restored rows
@@ -727,7 +1037,14 @@ def read_recorded_manifest(
     )
     if not rows:
         return None
-    r = rows[0].asDict()
+    # a crash between the row append and the marker touch leaves TWO
+    # rows for the key (the original and the re-run's all-exact-dups
+    # row); an unordered collect would replay a nondeterministic one.
+    # Pick the row with the most appended docs (the original), with
+    # the full counter tuple as a deterministic tie-break.
+    r = max(
+        rows, key=lambda r: tuple(int(r[k]) for k in _MANIFEST_KEYS[::-1])
+    ).asDict()
     r.pop("batch_id")
     r.pop("stream")
     return {k: int(v) for k, v in r.items()}
@@ -750,6 +1067,12 @@ def _append_stats_row(
     next compaction would delete every historical row — HLL state
     that by the 100 TB premise can't be recomputed."""
     _recover_index_part(index_dir, "stats")
+    _stats_row_df(cleaned).write.mode(mode).parquet(
+        os.path.join(index_dir, "stats")
+    )
+
+
+def _stats_row_df(cleaned: DataFrame) -> DataFrame:
     doc_stats = cleaned.agg(
         F.count("*").alias("docs"),
         F.coalesce(
@@ -762,9 +1085,7 @@ def _append_stats_row(
         .filter(F.col("t") != "")
         .agg(F.hll_sketch_agg("t").alias("token_sketch"))
     )
-    doc_stats.crossJoin(tok_stats).write.mode(mode).parquet(
-        os.path.join(index_dir, "stats")
-    )
+    return doc_stats.crossJoin(tok_stats)
 
 
 def seed_index_from_prepared(
@@ -897,6 +1218,12 @@ def compact_corpus_index(
     )
 
     meta = read_index_manifest(index_dir)
+    # roll forward / GC crashed staged batches BEFORE snapshotting the
+    # parts (recovery takes and releases the locks itself): a
+    # committed batch's unpublished files must be in the snapshot,
+    # not silently orphaned in staging while the parts they target
+    # get swapped under them
+    recover_staged_batches(index_dir)
     transforms = {
         "hashes": lambda df: df.distinct(),
         "benchmark_ngrams": lambda df: df.distinct(),
@@ -909,8 +1236,14 @@ def compact_corpus_index(
         "rep_shingles": lambda df: df.dropDuplicates(["doc_id"]),
         "stats": lambda df: df,
         # schema-normalized (pre-stream-column rows gain stream='')
-        # so the rewrite leaves ONE schema behind, not a mixed dir
-        "manifests": lambda _df: _read_manifest_rows(spark, index_dir),
+        # so the rewrite leaves ONE schema behind, not a mixed dir;
+        # deduped to ONE row per (stream, batch_id) with the same
+        # winner rule read_recorded_manifest replays (appended desc,
+        # full counter tuple as tie-break) — crash-duplicated keys
+        # stop being a nondeterministic replay hazard after the pass
+        "manifests": lambda _df: _dedupe_manifest_rows(
+            _read_manifest_rows(spark, index_dir)
+        ),
     }
     assert meta["family"] in ("ngram", "lsh")
 

@@ -78,6 +78,18 @@ def zorder_key(
         raise ValueError(f"bits must be in [1,16], got {bits}")
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    # the key is ONE signed long: bit i of column d lands at position
+    # i * D + d, so the highest used position is bits * D - 1. JVM
+    # shiftleft masks its shift amount mod 64 — a position >= 64 would
+    # silently alias into the LOW bits, and position 63 flips the
+    # long's sign: both corrupt z-key ordering without any error. Cap
+    # at position 62 (never touch the sign bit) and fail loudly.
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 (one signed long of key "
+            f"space): got {bits} * {len(cols)} = {bits * len(cols)} — "
+            f"pass bits <= {63 // len(cols)} for {len(cols)} columns"
+        )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     # ONE multi-column approxQuantile pass places every column's
     # cutoffs — the per-column form scanned the dataset D times just
@@ -88,7 +100,16 @@ def zorder_key(
     for d, col in enumerate(cols):
         # dedupe degenerate cutoffs (constant/low-cardinality cols)
         cuts = sorted(set(all_cuts[d]))
-        b = _bucket_expr(col, cuts)
+        if not cuts:
+            # approxQuantile returns NO cutoffs for an all-NULL column
+            # — _bucket_expr's reduce over zero terms would raise an
+            # opaque TypeError mid-rewrite (after the advisory lock is
+            # taken). An all-NULL axis carries no clustering
+            # information; treat it as the constant bucket 0, exactly
+            # what a constant non-null column degrades to.
+            b = F.lit(0).cast("long")
+        else:
+            b = _bucket_expr(col, cuts)
         for i in range(bits):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(

@@ -206,53 +206,93 @@ def compaction_lock_path(path: str) -> str:
 _HELD_LOCK_FDS: dict[str, int] = {}
 
 
-def acquire_compaction_lock(path: str) -> str:
-    """Advisory writer-exclusion for a dataset under compaction, held
-    as a kernel ``flock`` on the lock file. flock liveness is owned by
-    the KERNEL: a SIGKILLed holder's lock releases the instant its fd
-    closes, so there is no stale-lock state, no PID-liveness
-    guessing, and no reap race (an earlier PID-file scheme had
-    check-then-unlink TOCTOU windows where racers could delete a LIVE
-    holder's lock). ADVISORY means best-effort: a writer that skips
-    the check is not blocked — this guards the scheduled-jobs-overlap
-    mistake on a local filesystem; object stores / NFS need an
+def acquire_flock(lockfile: str, purpose: str = "locked") -> str:
+    """Take an exclusive kernel ``flock`` on ``lockfile`` (created if
+    missing). flock liveness is owned by the KERNEL: a SIGKILLed
+    holder's lock releases the instant its fd closes, so there is no
+    stale-lock state, no PID-liveness guessing, and no reap race (an
+    earlier PID-file scheme had check-then-unlink TOCTOU windows where
+    racers could delete a LIVE holder's lock). ADVISORY: a writer that
+    skips the check is not blocked; object stores / NFS need an
     external lock manager (flock over NFS is mount-dependent). Raises
-    RuntimeError if live-held; returns the lock path for
-    :func:`release_compaction_lock`."""
+    RuntimeError if live-held; returns ``lockfile`` for
+    :func:`release_flock`."""
     import fcntl as _fcntl
     import os as _os
 
-    lock = compaction_lock_path(path)
-    fd = _os.open(lock, _os.O_CREAT | _os.O_WRONLY, 0o644)
+    fd = _os.open(lockfile, _os.O_CREAT | _os.O_WRONLY, 0o644)
     try:
         _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
     except BlockingIOError:
         _os.close(fd)
         raise RuntimeError(
-            f"{path} is being compacted ({lock} held by a live "
-            "process) — retry after the maintenance window"
+            f"{lockfile} is {purpose} by a live process"
         ) from None
     # informational only — liveness comes from the flock itself
     _os.ftruncate(fd, 0)
     _os.write(fd, str(_os.getpid()).encode())
-    _HELD_LOCK_FDS[lock] = fd
-    return lock
+    _HELD_LOCK_FDS[lockfile] = fd
+    return lockfile
+
+
+def release_flock(lockfile: str) -> None:
+    """Release a lock returned by :func:`acquire_flock` by closing the
+    flock'd fd. The lock FILE is deliberately left in place: unlinking
+    it here would race a new acquirer that opened and flocked the same
+    path between our close and our unlink — their live lock would lose
+    its directory entry and become invisible to every checker. An
+    unheld file blocks nobody under flock semantics, so the name
+    simply persists as the lock's address."""
+    import os as _os
+
+    fd = _HELD_LOCK_FDS.pop(lockfile, None)
+    if fd is not None:
+        _os.close(fd)
+
+
+def flock_is_live(lockfile: str) -> bool:
+    """True iff a LIVE process holds the flock on ``lockfile`` right
+    now. A missing file, or a file whose holder died (kernel released
+    the lock with the fd), reads as not-held."""
+    import fcntl as _fcntl
+    import os as _os
+
+    if not _os.path.exists(lockfile):
+        return False
+    try:
+        fd = _os.open(lockfile, _os.O_RDONLY)
+    except FileNotFoundError:
+        return False
+    try:
+        try:
+            _fcntl.flock(fd, _fcntl.LOCK_SH | _fcntl.LOCK_NB)
+        except BlockingIOError:
+            return True
+        _fcntl.flock(fd, _fcntl.LOCK_UN)
+        return False
+    finally:
+        _os.close(fd)
+
+
+def acquire_compaction_lock(path: str) -> str:
+    """Advisory writer-exclusion for a dataset under compaction, held
+    as a kernel ``flock`` on the dataset's lock file (see
+    :func:`acquire_flock` for the liveness semantics). Raises
+    RuntimeError if live-held; returns the lock path for
+    :func:`release_compaction_lock`."""
+    lock = compaction_lock_path(path)
+    try:
+        return acquire_flock(lock, purpose="held")
+    except RuntimeError:
+        raise RuntimeError(
+            f"{path} is being compacted ({lock} held by a live "
+            "process) — retry after the maintenance window"
+        ) from None
 
 
 def release_compaction_lock(lock: str) -> None:
-    """Release a lock returned by :func:`acquire_compaction_lock` by
-    closing the flock'd fd. The lock FILE is deliberately left in
-    place: unlinking it here would race a new acquirer that opened
-    and flocked the same path between our close and our unlink —
-    their live lock would lose its directory entry and become
-    invisible to every checker. An unheld file blocks nobody under
-    flock semantics, so the name simply persists as the lock's
-    address."""
-    import os as _os
-
-    fd = _HELD_LOCK_FDS.pop(lock, None)
-    if fd is not None:
-        _os.close(fd)
+    """Release a lock returned by :func:`acquire_compaction_lock`."""
+    release_flock(lock)
 
 
 def check_not_compacting(path: str) -> None:
@@ -263,28 +303,12 @@ def check_not_compacting(path: str) -> None:
     holds the flock: a crashed holder's lock auto-released with its
     fd, so a leftover lock FILE alone passes — its swap leftovers are
     handled by recover_swap_crash, not by wedging every writer."""
-    import fcntl as _fcntl
-    import os as _os
-
-    lock = compaction_lock_path(path)
-    if not _os.path.exists(lock):
-        return
-    try:
-        fd = _os.open(lock, _os.O_RDONLY)
-    except FileNotFoundError:
-        return  # released (and unlinked) between the checks
-    try:
-        try:
-            _fcntl.flock(fd, _fcntl.LOCK_SH | _fcntl.LOCK_NB)
-        except BlockingIOError:
-            raise RuntimeError(
-                f"{path} is being compacted ({lock} "
-                "held): appends during a compaction are deleted with "
-                "the old snapshot — retry after the maintenance window"
-            ) from None
-        _fcntl.flock(fd, _fcntl.LOCK_UN)
-    finally:
-        _os.close(fd)
+    if flock_is_live(compaction_lock_path(path)):
+        raise RuntimeError(
+            f"{path} is being compacted ({compaction_lock_path(path)} "
+            "held): appends during a compaction are deleted with "
+            "the old snapshot — retry after the maintenance window"
+        )
 
 
 def recover_swap_crash(

@@ -1,0 +1,276 @@
+"""Transactional ingest commit (r9 verdict item 1): kill-at-every-step
+fault injection over ingest_batch's publish protocol. The contract —
+either the WHOLE batch is visible (index + corpus + stats + manifest)
+or NONE of it is; redelivery produces exactly-once corpus contents and
+one manifest row; a maintenance collision aborts losslessly in both
+directions (the old multi-append design's self-conviction loss is
+structurally gone)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from irio2024_mapreduce_spark.plans import ingest as ingest_mod
+from irio2024_mapreduce_spark.plans.ingest import (
+    SimulatedCrash,
+    build_corpus_index,
+    compact_corpus_index,
+    ingest_batch,
+    read_recorded_manifest,
+    recover_staged_batches,
+)
+from irio2024_mapreduce_spark.sources.sinks import (
+    acquire_compaction_lock,
+    release_compaction_lock,
+)
+
+T_CORPUS = [
+    (100, "the ancient library kept thousands of scrolls catalogued "
+          "by patient scribes over centuries"),
+    (101, "the fishing village woke before dawn as boats slipped "
+          "quietly into the grey harbor water"),
+]
+T_BATCH = [
+    (200, "the mountain trail crossed seven wooden bridges before "
+          "reaching the snowy summit ridge"),
+    (201, "the ancient library kept thousands of scrolls catalogued "
+          "by patient scribes over centuries"),  # exact dup of 100
+    (202, "the night train rattled past sleeping towns carrying mail "
+          "and quiet travellers north"),
+]
+
+CRASH_POINTS = [
+    "stage",  # everything staged + plan written, nothing committed
+    "commit",  # _committed created, nothing moved yet
+    "move:hashes",
+    "move:postings",
+    "move:stats",
+    "move:manifests",
+    "move:corpus",
+    "marker",  # everything moved + marker touched, staging not GC'd
+]
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _setup(spark, root):
+    """Fresh index + corpus seeded by one committed batch, so the
+    crash-tested batch appends to LIVE prior state."""
+    idx, out = str(root / "idx"), str(root / "corpus")
+    build_corpus_index(spark, _frame(spark, T_CORPUS), idx)
+    m0 = ingest_batch(
+        spark,
+        _frame(spark, [(150, "a seed document that passes the funnel "
+                             "with plain words and enough of them to "
+                             "count as a real page of text")]),
+        idx, out, batch_id=1, stream="s",
+    )
+    assert m0["appended"] == 1
+    return idx, out
+
+
+def _corpus_ids(spark, out):
+    path = os.path.join(out, "clean_documents.parquet")
+    if not os.path.exists(path):
+        return []
+    return sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+
+
+def _hashes(spark, idx):
+    return spark.read.parquet(os.path.join(idx, "hashes")).count()
+
+
+def _manifest_rows_for(spark, idx, batch_id, stream):
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(os.path.join(idx, "manifests"))
+        .filter(
+            (F.col("batch_id") == batch_id) & (F.col("stream") == stream)
+        )
+        .count()
+    )
+
+
+def test_kill_at_every_step(spark, tmp_path):
+    # reference run with no crash: the state every crashed-and-
+    # recovered run must converge to
+    idx_ref, out_ref = _setup(spark, tmp_path / "ref")
+    expected = ingest_batch(
+        spark, _frame(spark, T_BATCH), idx_ref, out_ref,
+        batch_id=2, stream="s",
+    )
+    assert expected["appended"] == 2 and expected["exact_dups"] == 1
+    ref_hashes = _hashes(spark, idx_ref)
+    ref_ids = _corpus_ids(spark, out_ref)
+
+    for pt in CRASH_POINTS:
+        root = tmp_path / pt.replace(":", "_")
+        idx, out = _setup(spark, root)
+        base_hashes = _hashes(spark, idx)
+        base_ids = _corpus_ids(spark, out)
+
+        with pytest.raises(SimulatedCrash):
+            ingest_batch(
+                spark, _frame(spark, T_BATCH), idx, out,
+                batch_id=2, stream="s", _test_crash_after=pt,
+            )
+
+        if pt == "stage":
+            # pre-commit: NOTHING of the batch is visible anywhere
+            assert _hashes(spark, idx) == base_hashes
+            assert _corpus_ids(spark, out) == base_ids
+            assert (
+                read_recorded_manifest(spark, idx, 2, stream="s") is None
+            )
+        else:
+            # post-commit: recovery alone (no redelivery) must roll
+            # the batch forward to FULL visibility
+            recover_staged_batches(idx)
+            assert _hashes(spark, idx) == ref_hashes
+            assert _corpus_ids(spark, out) == ref_ids
+            assert (
+                read_recorded_manifest(spark, idx, 2, stream="s")
+                == expected
+            )
+
+        # redelivery of the same (stream, batch_id): exactly-once
+        m = ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=2, stream="s",
+        )
+        assert m == expected
+        ids = _corpus_ids(spark, out)
+        assert ids == ref_ids and len(ids) == len(set(ids))
+        assert _hashes(spark, idx) == ref_hashes
+        assert _manifest_rows_for(spark, idx, 2, "s") == 1
+        staged = os.path.join(idx, "_staged")
+        assert not os.path.isdir(staged) or not os.listdir(staged)
+
+
+def test_next_batch_rolls_crashed_predecessor_forward(spark, tmp_path):
+    """A committed-but-unpublished batch becomes fully visible when
+    the NEXT batch touches the index — no manual reconciliation."""
+    idx, out = _setup(spark, tmp_path)
+    with pytest.raises(SimulatedCrash):
+        ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=2, stream="s", _test_crash_after="commit",
+        )
+    m3 = ingest_batch(
+        spark,
+        _frame(spark, [(300, "fresh prose about a long walk through "
+                             "quiet fields at the end of the summer "
+                             "with plenty of ordinary words in it")]),
+        idx, out, batch_id=3, stream="s",
+    )
+    assert m3["appended"] == 1
+    assert sorted(_corpus_ids(spark, out)) == [150, 200, 202, 300]
+    assert read_recorded_manifest(spark, idx, 2, stream="s") is not None
+    # and batch 2's index hashes protect batch 4 from its duplicates
+    m4 = ingest_batch(
+        spark, _frame(spark, [T_BATCH[0]]), idx, out,
+        batch_id=4, stream="s",
+    )
+    assert m4["exact_dups"] == 1 and m4["appended"] == 0
+
+
+def test_maintenance_collision_is_lossless_both_directions(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction running at PUBLISH time (discovered only after the
+    batch's compute — the old design's 'loud but lossy' window) now
+    aborts pre-commit: nothing published, and the redelivery admits
+    every doc normally."""
+    idx, out = _setup(spark, tmp_path)
+    base_hashes = _hashes(spark, idx)
+    base_ids = _corpus_ids(spark, out)
+
+    # disable the early fast-fail so the collision is discovered at
+    # publish time, and shrink the publish patience for test speed
+    monkeypatch.setattr(ingest_mod, "check_not_compacting", lambda p: None)
+    orig = ingest_mod._acquire_patiently
+    monkeypatch.setattr(
+        ingest_mod,
+        "_acquire_patiently",
+        lambda path: orig(path, attempts=3, wait=0.05),
+    )
+
+    clean = os.path.join(out, "clean_documents.parquet")
+    lock = acquire_compaction_lock(clean)
+    try:
+        with pytest.raises(RuntimeError):
+            ingest_batch(
+                spark, _frame(spark, T_BATCH), idx, out,
+                batch_id=2, stream="s",
+            )
+    finally:
+        release_compaction_lock(lock)
+
+    # direction 1: the collision published NOTHING (old design left
+    # index rows that convicted the redelivery)
+    assert _hashes(spark, idx) == base_hashes
+    assert _corpus_ids(spark, out) == base_ids
+    assert read_recorded_manifest(spark, idx, 2, stream="s") is None
+
+    # direction 2: the redelivery admits the docs normally — lossless
+    m = ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out, batch_id=2, stream="s"
+    )
+    assert m["appended"] == 2
+    assert sorted(_corpus_ids(spark, out)) == [150, 200, 202]
+
+
+def test_publish_recovers_crashed_corpus_swap_first(spark, tmp_path):
+    """ADVICE r9 (high): a corpus compaction that crashed between its
+    two renames leaves the full corpus under ._compact_old with the
+    live dir missing. The publish step must RESTORE it before moving
+    the batch in — not create a fresh near-empty live dir that the
+    next maintenance run would classify as truth (rmtree'ing the
+    whole pre-crash corpus)."""
+    idx, out = _setup(spark, tmp_path)
+    clean = os.path.join(out, "clean_documents.parquet")
+    os.rename(clean, clean + "._compact_old")  # crashed-swap signature
+
+    m = ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out, batch_id=2, stream="s"
+    )
+    assert m["appended"] == 2
+    # the pre-crash corpus (doc 150) survived alongside the new docs
+    assert sorted(_corpus_ids(spark, out)) == [150, 200, 202]
+    assert not os.path.exists(clean + "._compact_old")
+
+
+def test_manifest_replay_is_deterministic(spark, tmp_path):
+    """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must
+    replay the ORIGINAL row (appended desc), not an arbitrary one —
+    and compaction collapses the key to that single winner row."""
+    idx, out = _setup(spark, tmp_path)
+    m = ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out, batch_id=2, stream="s"
+    )
+    # forge the re-run's all-exact-dups duplicate row for the same key
+    dup = dict(m, appended=0, exact_dups=m["batch_in"], near_dups=0,
+               killed_null_text=0, killed_too_short=0,
+               killed_too_repetitive=0, killed_no_stopwords=0,
+               contaminated_removed=0)
+    ingest_mod.record_manifest(spark, idx, 2, dup, stream="s")
+    assert _manifest_rows_for(spark, idx, 2, "s") == 2
+
+    replayed = read_recorded_manifest(spark, idx, 2, stream="s")
+    assert replayed == m  # the original wins, deterministically
+
+    compact_corpus_index(spark, idx)
+    assert _manifest_rows_for(spark, idx, 2, "s") == 1
+    assert read_recorded_manifest(spark, idx, 2, stream="s") == m

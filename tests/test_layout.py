@@ -86,6 +86,34 @@ def test_zorder_key_handles_constant_and_null_columns(spark):
     assert by_id[1] <= by_id[2] <= by_id[3]
 
 
+def test_zorder_key_rejects_keyspace_overflow(spark, xy):
+    """ADVICE r9: bit position >= 64 aliases into the low bits (JVM
+    shiftleft masks mod 64) and position 63 flips the long's sign —
+    both silently corrupt z-key ordering. 8 columns at the default 8
+    bits is exactly the overflow case; it must fail loudly."""
+    cols = [f"c{i}" for i in range(8)]
+    df = xy.select("doc_id", *[F.col("x").alias(c) for c in cols])
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, cols, bits=8)
+    # 7 bits * 8 cols = 56 — highest position 55, comfortably legal
+    assert "k" in df.withColumn("k", zorder_key(df, cols, bits=7)).columns
+
+
+def test_zorder_key_all_null_column_degrades_to_constant(spark):
+    """ADVICE r9: approxQuantile returns NO cutoffs for an all-NULL
+    column — the key must treat it as one constant bucket instead of
+    raising an opaque TypeError mid-rewrite."""
+    df = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, None), (3, 3.0, None)],
+        "doc_id long, x double, dead double",
+    )
+    out = df.withColumn("k", zorder_key(df, ["x", "dead"], bits=4)).collect()
+    assert all(r["k"] is not None for r in out)
+    by_id = {r["doc_id"]: r["k"] for r in out}
+    # the live axis still orders the key
+    assert by_id[1] <= by_id[2] <= by_id[3]
+
+
 def test_rewrite_zordered_swaps_and_recovers(spark, xy, tmp_path):
     from irio2024_mapreduce_spark.sources.sinks import (
         acquire_compaction_lock,
