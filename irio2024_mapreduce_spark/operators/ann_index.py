@@ -1,0 +1,340 @@
+"""Stored hyperplane-LSH ANN index with SIZE-AWARE maintenance — the
+first-class form of the layout ``similarity_ann``'s docstring promises
+at 100 TB ("written once, partitioned by (table, sig)"), plus the
+mechanism the r9 measurements demanded: at a FROZEN signature width
+the probe cost grows with the corpus (measured probe_ratio 3.2 at
+100× for 8 bits), because bucket population is rows / 2^H per table.
+``resize_ann_index`` rebuilds the signatures at the sizing rule
+
+    H = log2(rows / bucket_target)
+
+so bucket population — and therefore probe cost — stays ~constant as
+the corpus grows (the bits-selectivity curve in
+``tools/stress_ann_index.py`` is the measurement behind the rule).
+
+Layout and commit discipline (the versioned-pointer shape):
+
+* ``{index_dir}/_ann_manifest.json`` — bits, tables, probe bits, dim,
+  and the NAME of the live data dir; validated on every open, so a
+  probe can never silently use the wrong signature width;
+* ``{index_dir}/rows_h{H}/tbl=*/pb=*/`` — the index rows under a
+  TWO-LEVEL bucket layout: the partition dir is the bucket's
+  ``PART_BITS``-bit prefix (``pb = cb >> (H - PART_BITS)``), and
+  within each dir the files are SORTED by the full bucket id ``cb``.
+  Physical dir count stays capped at tables × 2^PART_BITS no matter
+  how large H grows (hive-partitioning by the full 2^H buckets would
+  mean millions of tiny files at scale — the small-files anti-pattern
+  this engine's compactor exists to fix), while a probe still skips
+  non-probed buckets: the path list prunes at dir granularity and a
+  pushed-down ``cb IN (...)`` filter prunes at parquet row-group
+  granularity inside the sorted files. At H <= PART_BITS the prefix
+  IS the bucket and the layout degenerates to one dir per bucket.
+
+A resize writes the new ``rows_h{H'}`` dir COMPLETELY, then commits
+with one atomic manifest replace — readers resolve the manifest and
+never see a half-built index; a crash before the flip leaves an
+orphan data dir that the next build/resize garbage-collects; a crash
+after it already committed. Appends and resizes exclude each other
+via the shared advisory flock.
+
+Scale shape: the build/resize is one map-only signature projection +
+one partitioned write (the same cost class as any corpus rewrite,
+amortized over every probe); a probe touches queries × tables ×
+(1 + P + P(P-1)/2) buckets of ~bucket_target rows each — corpus-size
+independent AFTER maintenance, which is the whole point.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.similarity import (
+    ANN_PROBE_BITS,
+    ANN_TABLES,
+    EMB_DIM,
+    _ann_corpus_rows,
+    _ann_join_score,
+    _ann_query_probes,
+    _ann_sigs,
+)
+from irio2024_mapreduce_spark.sources.sinks import (
+    acquire_compaction_lock,
+    check_not_compacting,
+    release_compaction_lock,
+)
+
+ANN_INDEX_MANIFEST = "_ann_manifest.json"
+ANN_INDEX_VERSION = 1
+# rows per (tbl, cb) bucket the probe wants to read — the knob the
+# sizing rule holds constant as the corpus grows
+DEFAULT_BUCKET_TARGET = 64
+BITS_MIN, BITS_MAX = 4, 24
+# physical partition dirs per table are capped at 2^PART_BITS; finer
+# bucket selectivity comes from in-file sorting + row-group pruning
+PART_BITS = 8
+
+
+def target_bits(
+    rows: int, bucket_target: int = DEFAULT_BUCKET_TARGET
+) -> int:
+    """The sizing rule: H ≈ log2(rows / bucket_target), clamped to
+    [{BITS_MIN}, {BITS_MAX}] (below 4 bits multi-probe covers the
+    whole table; above 24 the planes literal and probe fan-out stop
+    paying for themselves before any plausible corpus does)."""
+    if rows <= 0:
+        return BITS_MIN
+    h = round(math.log2(max(rows / bucket_target, 1.0)))
+    return max(BITS_MIN, min(BITS_MAX, h))
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, ANN_INDEX_MANIFEST)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace — THE commit point of build/resize."""
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def read_ann_manifest(index_dir: str) -> dict:
+    """Load and validate the stored manifest against the engine's
+    CURRENT constants — a probe against an index built with different
+    table count / probe bits / dimensionality would silently return
+    wrong-recall answers."""
+    path = _manifest_path(index_dir)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{index_dir} has no {ANN_INDEX_MANIFEST}: not an ANN "
+            "index built by build_ann_index"
+        )
+    with open(path) as f:
+        m = json.load(f)
+    expected = {
+        "version": ANN_INDEX_VERSION,
+        "tables": ANN_TABLES,
+        "probe_bits": ANN_PROBE_BITS,
+        "dim": EMB_DIM,
+    }
+    mismatches = {
+        k: (m.get(k), v) for k, v in expected.items() if m.get(k) != v
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: index has {a!r}, engine expects {b!r}"
+            for k, (a, b) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            f"ANN index at {index_dir} does not match this engine "
+            f"({detail}) — rebuild it with the current constants"
+        )
+    return m
+
+
+def _gc_orphan_data_dirs(index_dir: str, live: str) -> int:
+    """Remove rows_h* dirs the manifest does not reference — the
+    leftovers of a resize that crashed before its manifest flip."""
+    removed = 0
+    for d in os.listdir(index_dir):
+        p = os.path.join(index_dir, d)
+        if d.startswith("rows_h") and d != live and os.path.isdir(p):
+            shutil.rmtree(p)
+            removed += 1
+    return removed
+
+
+def _pb_shift(bits: int) -> int:
+    return max(bits - PART_BITS, 0)
+
+
+def _shaped_rows(emb: DataFrame, bits: int) -> DataFrame:
+    """Index rows in the two-level layout's write shape: prefix
+    partition column ``pb``, rows clustered by full bucket id ``cb``
+    within each dir so the probe's ``cb IN (...)`` filter prunes at
+    row-group granularity."""
+    sigs = _ann_sigs(emb, bits)
+    rows = _ann_corpus_rows(sigs, min_id=None).withColumn(
+        "pb", F.shiftrightunsigned(F.col("cb"), _pb_shift(bits))
+    )
+    return rows.repartition("tbl", "pb").sortWithinPartitions(
+        "tbl", "pb", "cb"
+    )
+
+
+def _write_rows(
+    emb: DataFrame, index_dir: str, bits: int, mode: str = "overwrite"
+) -> str:
+    data = f"rows_h{bits}"
+    _shaped_rows(emb, bits).write.mode(mode).partitionBy(
+        "tbl", "pb"
+    ).parquet(os.path.join(index_dir, data))
+    return data
+
+
+def build_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    bits: int | None = None,
+    bucket_target: int = DEFAULT_BUCKET_TARGET,
+) -> dict:
+    """Build the stored index over ``emb`` (``vec_id``,
+    ``v: array<double>``). ``bits`` defaults to the sizing rule at
+    the corpus's CURRENT row count; the manifest records it so every
+    probe signs its queries with the same H the index was built
+    with. Returns the manifest."""
+    rows = emb.count()
+    h = bits or target_bits(rows, bucket_target)
+    os.makedirs(index_dir, exist_ok=True)
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        data = _write_rows(emb, index_dir, h)
+        manifest = {
+            "version": ANN_INDEX_VERSION,
+            "family": "hyperplane-lsh",
+            "tables": ANN_TABLES,
+            "probe_bits": ANN_PROBE_BITS,
+            "dim": EMB_DIM,
+            "bits": h,
+            "data": data,
+            "rows": rows,
+            "bucket_target": bucket_target,
+        }
+        _write_manifest(index_dir, manifest)  # the commit point
+        _gc_orphan_data_dirs(index_dir, data)
+        return manifest
+    finally:
+        release_compaction_lock(lock)
+
+
+def append_ann_index(
+    spark: SparkSession, emb: DataFrame, index_dir: str
+) -> int:
+    """Append new vectors at the STORED signature width (daily path —
+    no rebuild). The manifest's row count is advisory and refreshed
+    here; ``resize_ann_index`` recounts from the data itself. Honors
+    the maintenance flock: appending during a resize would land in a
+    dir about to be garbage-collected."""
+    m = read_ann_manifest(index_dir)
+    check_not_compacting(index_dir)
+    _write_rows(emb, index_dir, m["bits"], mode="append")
+    n = emb.count()
+    _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
+    return n
+
+
+def probe_ann_index(
+    spark: SparkSession, queries: DataFrame, index_dir: str
+) -> DataFrame:
+    """Answer ``queries`` (``vec_id``, ``v``) from the stored index:
+    sign them at the MANIFEST's bits, collect the (bounded,
+    queries × tables × probes) bucket list, point-read exactly those
+    partition dirs, and run the shared join+score+top-k. Unprobed
+    buckets are never opened — the probe cost is the bucket list's
+    row mass, not the corpus."""
+    m = read_ann_manifest(index_dir)
+    data_dir = os.path.join(index_dir, m["data"])
+    shift = _pb_shift(m["bits"])
+    probes = _ann_query_probes(
+        _ann_sigs(queries, m["bits"]), m["bits"], max_id=None
+    ).localCheckpoint(eager=True)
+    # the probe list is bounded by construction: queries × tables ×
+    # (1 + P + P(P-1)/2) pairs — a driver-side list, never corpus-sized
+    pairs = {
+        (r["qtbl"], r["probe"])
+        for r in probes.select("qtbl", "probe").distinct().collect()
+    }
+    parents = sorted({(t, b >> shift) for t, b in pairs})
+    paths = [
+        os.path.join(data_dir, f"tbl={t}", f"pb={p}")
+        for t, p in parents
+        if os.path.isdir(os.path.join(data_dir, f"tbl={t}", f"pb={p}"))
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
+    # dir-level pruning via the path list; bucket-level pruning via
+    # the pushed-down IN filter over the in-file cb clustering (the
+    # row-group skip) — the equi-join then exacts (tbl, cb) equality
+    cb_list = sorted({b for _, b in pairs})
+    stored = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*paths)
+        .filter(F.col("cb").isin(cb_list))
+        .select(
+            "neighbor_id",
+            "cv",
+            F.col("tbl").cast("int").alias("tbl"),
+            F.col("cb").cast("long").alias("cb"),
+        )
+    )
+    return _ann_join_score(stored, probes)
+
+
+def resize_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    bucket_target: int | None = None,
+) -> dict:
+    """Maintenance: recount the corpus from the stored rows, re-derive
+    H from the sizing rule, and if it changed rebuild the signatures
+    at the new width — new data dir written completely FIRST, then one
+    atomic manifest flip, then the old dir dropped. Also collapses
+    duplicate appends of the same vec_id (keep-one), so the pass
+    doubles as the index's dedup compaction. Probe cost after this is
+    ~bucket_target rows per bucket again, regardless of how far the
+    corpus outgrew the old width."""
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        m = read_ann_manifest(index_dir)
+        _gc_orphan_data_dirs(index_dir, m["data"])
+        data_dir = os.path.join(index_dir, m["data"])
+        vecs = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("tbl") == 0)
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("cv").alias("v"),
+            )
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint(eager=True)
+        )
+        rows = vecs.count()
+        bt = bucket_target or m["bucket_target"]
+        h2 = target_bits(rows, bt)
+        if h2 == m["bits"]:
+            _write_manifest(
+                index_dir, {**m, "rows": rows, "bucket_target": bt}
+            )
+            return {"bits": h2, "resized": False, "rows": rows}
+        data2 = _write_rows(vecs, index_dir, h2)
+        _write_manifest(
+            index_dir,
+            {
+                **m,
+                "bits": h2,
+                "data": data2,
+                "rows": rows,
+                "bucket_target": bt,
+            },
+        )  # the commit point
+        shutil.rmtree(data_dir)  # crash here → orphan, GC'd next pass
+        return {
+            "bits_before": m["bits"],
+            "bits": h2,
+            "resized": True,
+            "rows": rows,
+        }
+    finally:
+        release_compaction_lock(lock)

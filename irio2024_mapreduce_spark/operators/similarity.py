@@ -127,15 +127,18 @@ ANN_PROBE_BITS = 6
 # measured floor is asserted in tests for both regimes.
 
 
-def _masks() -> Column:
+def _masks(bits: int | None = None) -> Column:
     # single parsed literal — used many times per plan; per-element
-    # F.lit calls would multiply py4j round-trips
+    # F.lit calls would multiply py4j round-trips. ``bits`` overrides
+    # the engine default — the stored-index resize path re-derives
+    # signatures at a corpus-sized H (operators.ann_index).
+    bits = bits or ANN_PLANES
     return F.expr(
-        "array(" + ", ".join(f"{1 << p}L" for p in range(ANN_PLANES)) + ")"
+        "array(" + ", ".join(f"{1 << p}L" for p in range(bits)) + ")"
     )
 
 
-def _planes_matrix() -> Column:
+def _planes_matrix(bits: int | None = None) -> Column:
     """ALL tables' planes as one nested array literal
     (ANN_TABLES·ANN_PLANES × EMB_DIM doubles), built as a single SQL
     expression string. Two reasons: (a) constant-folds to one Literal
@@ -145,24 +148,25 @@ def _planes_matrix() -> Column:
     building it from 2048 nested ``F.lit``/``F.array`` calls spent
     ~6 s of driver time on py4j round-trips alone. The ``D`` suffix
     parses each component as DOUBLE (bare decimals parse as DECIMAL)."""
+    bits = bits or ANN_PLANES
     rows = ", ".join(
         "array(" + ", ".join(f"{c!r}D" for c in _hyperplane_values(i)) + ")"
-        for i in range(ANN_TABLES * ANN_PLANES)
+        for i in range(ANN_TABLES * bits)
     )
     return F.expr(f"array({rows})")
 
 
-def _all_projections(vec: Column) -> Column:
+def _all_projections(vec: Column, bits: int | None = None) -> Column:
     """array<double> of dot(vec, plane) for every table's planes."""
-    return F.transform(_planes_matrix(), lambda pl: _dot(vec, pl))
+    return F.transform(_planes_matrix(bits), lambda pl: _dot(vec, pl))
 
 
-def _sig_of(projs: Column) -> Column:
+def _sig_of(projs: Column, bits: int | None = None) -> Column:
     """H-bit signature: bit p set iff projection p is positive."""
     return F.aggregate(
         F.zip_with(
             projs,
-            _masks(),
+            _masks(bits),
             lambda x, m: F.when(x > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
@@ -170,7 +174,9 @@ def _sig_of(projs: Column) -> Column:
     )
 
 
-def _probes_of(sig: Column, projs: Column) -> Column:
+def _probes_of(
+    sig: Column, projs: Column, bits: int | None = None
+) -> Column:
     """Probe buckets for a query: its own signature plus every
     single- and pair-flip of the ANN_PROBE_BITS planes with the
     smallest |projection| (the bits most likely to disagree with a
@@ -180,8 +186,13 @@ def _probes_of(sig: Column, projs: Column) -> Column:
     value-based array_position would resolve tied |projections| (e.g.
     a zero vector) to the same first index, collapsing distinct probes
     back into the primary bucket."""
+    bits = bits or ANN_PLANES
+    # a signature narrower than the probe budget can't flip more
+    # planes than it has — cap the fan-out (only reachable when a
+    # stored index resizes DOWN below ANN_PROBE_BITS planes)
+    n_probe = min(ANN_PROBE_BITS, bits)
     idx = F.expr(
-        "array(" + ", ".join(str(p) for p in range(ANN_PLANES)) + ")"
+        "array(" + ", ".join(str(p) for p in range(bits)) + ")"
     )
     ranked = F.array_sort(
         F.zip_with(
@@ -192,31 +203,34 @@ def _probes_of(sig: Column, projs: Column) -> Column:
     )
     flip_masks = [
         F.element_at(
-            _masks(), (F.element_at(ranked, k + 1)["i"] + 1).cast("int")
+            _masks(bits),
+            (F.element_at(ranked, k + 1)["i"] + 1).cast("int"),
         )
-        for k in range(ANN_PROBE_BITS)
+        for k in range(n_probe)
     ]
     probes = [sig]
     probes += [sig.bitwiseXOR(m) for m in flip_masks]
     probes += [
         sig.bitwiseXOR(flip_masks[i]).bitwiseXOR(flip_masks[j])
-        for i in range(ANN_PROBE_BITS)
-        for j in range(i + 1, ANN_PROBE_BITS)
+        for i in range(n_probe)
+        for j in range(i + 1, n_probe)
     ]
     return F.array_distinct(F.array(*probes))
 
 
-def _ann_sigs(emb: DataFrame) -> DataFrame:
+def _ann_sigs(emb: DataFrame, bits: int | None = None) -> DataFrame:
     """Per-vector projections + per-table signatures — the shared
-    front-end of the corpus-index and query-probe frames."""
+    front-end of the corpus-index and query-probe frames. ``bits``
+    overrides the engine default H (stored-index resize path)."""
+    bits = bits or ANN_PLANES
     all_projs = emb.select(
-        "vec_id", "v", _all_projections(F.col("v")).alias("ap")
+        "vec_id", "v", _all_projections(F.col("v"), bits).alias("ap")
     )
     projected = all_projs.select(
         "vec_id",
         "v",
         *[
-            F.slice("ap", t * ANN_PLANES + 1, ANN_PLANES).alias(f"projs_{t}")
+            F.slice("ap", t * bits + 1, bits).alias(f"projs_{t}")
             for t in range(ANN_TABLES)
         ],
     )
@@ -225,18 +239,27 @@ def _ann_sigs(emb: DataFrame) -> DataFrame:
         "v",
         *[F.col(f"projs_{t}") for t in range(ANN_TABLES)],
         *[
-            _sig_of(F.col(f"projs_{t}")).alias(f"sig_{t}")
+            _sig_of(F.col(f"projs_{t}"), bits).alias(f"sig_{t}")
             for t in range(ANN_TABLES)
         ],
     )
 
 
-def _ann_corpus_rows(sigs: DataFrame) -> DataFrame:
+def _ann_corpus_rows(
+    sigs: DataFrame, min_id: int | None = N_QUERIES
+) -> DataFrame:
     """Corpus index rows (neighbor_id, cv, tbl, cb) — at 100 TB these
     are WRITTEN ONCE, partitioned by (tbl, cb), and probed as point
-    bucket reads (tools/stress_ann_index.py materializes exactly this
-    layout and asserts parity with the on-the-fly path)."""
-    return sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+    bucket reads (operators.ann_index materializes exactly this
+    layout and asserts parity with the on-the-fly path).
+    ``min_id=None`` indexes EVERY row — the stored-index build over a
+    standalone corpus frame, vs the graded query's id-split
+    convention."""
+    if min_id is None:
+        sigs_corpus = sigs
+    else:
+        sigs_corpus = sigs.filter(F.col("vec_id") >= min_id)
+    return sigs_corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.explode(
@@ -253,11 +276,21 @@ def _ann_corpus_rows(sigs: DataFrame) -> DataFrame:
     ).select("neighbor_id", "cv", "ts.tbl", "ts.cb")
 
 
-def _ann_query_probes(sigs: DataFrame) -> DataFrame:
+def _ann_query_probes(
+    sigs: DataFrame,
+    bits: int | None = None,
+    max_id: int | None = N_QUERIES,
+) -> DataFrame:
     """Query probe rows (query_id, qv, qtbl, probe): own signature
-    plus the low-|projection| single/pair flips, per table."""
+    plus the low-|projection| single/pair flips, per table.
+    ``max_id=None`` treats EVERY row as a query (stored-index probe
+    over a standalone query frame)."""
+    if max_id is None:
+        sigs_q = sigs
+    else:
+        sigs_q = sigs.filter(F.col("vec_id") < max_id)
     return (
-        sigs.filter(F.col("vec_id") < N_QUERIES)
+        sigs_q
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -267,7 +300,9 @@ def _ann_query_probes(sigs: DataFrame) -> DataFrame:
                         F.struct(
                             F.lit(t).alias("tbl"),
                             _probes_of(
-                                F.col(f"sig_{t}"), F.col(f"projs_{t}")
+                                F.col(f"sig_{t}"),
+                                F.col(f"projs_{t}"),
+                                bits,
                             ).alias("probes"),
                         )
                         for t in range(ANN_TABLES)
@@ -310,15 +345,17 @@ def _ann_join_score(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
-def _ann_topk(emb: DataFrame) -> DataFrame:
+def _ann_topk(emb: DataFrame, bits: int | None = None) -> DataFrame:
     """Multi-table multi-probe hyperplane-LSH approximate top-k over
     an (vec_id, v:array<double>) frame. The plan stays a bucketed
     equi-join: corpus rows explode to (table, sig) — at 100 TB these
     are written once, partitioned by (table, sig) — and each query
     probes its own bucket plus the low-confidence flips, touching
     L·probes/2^H of the corpus instead of all of it."""
-    sigs = _ann_sigs(emb)
-    return _ann_join_score(_ann_corpus_rows(sigs), _ann_query_probes(sigs))
+    sigs = _ann_sigs(emb, bits)
+    return _ann_join_score(
+        _ann_corpus_rows(sigs), _ann_query_probes(sigs, bits)
+    )
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

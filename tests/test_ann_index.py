@@ -1,0 +1,152 @@
+"""Stored ANN index (r9 verdict item 2): build/append/probe/resize
+with the H = log2(rows / bucket_target) sizing rule. The contract —
+stored-probe answers are IDENTICAL to the on-the-fly path at the same
+signature width, the manifest pins that width so a probe can never
+sign queries wrong, and resize restores ~bucket_target rows per
+bucket after the corpus outgrows the built width."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.ann_index import (
+    BITS_MAX,
+    BITS_MIN,
+    append_ann_index,
+    build_ann_index,
+    probe_ann_index,
+    read_ann_manifest,
+    resize_ann_index,
+    target_bits,
+)
+from irio2024_mapreduce_spark.operators.similarity import (
+    N_QUERIES,
+    _ann_topk,
+    _as_double,
+)
+from irio2024_mapreduce_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    return df.localCheckpoint(eager=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sizing_rule():
+    assert target_bits(0) == BITS_MIN
+    assert target_bits(64) == BITS_MIN  # 1 bucket's worth → clamp low
+    assert target_bits(64 * 256) == 8  # log2(256)
+    assert target_bits(64 * (1 << 16)) == 16
+    assert target_bits(10**18) == BITS_MAX  # clamp high
+    assert target_bits(64 * 1024, bucket_target=1024) == 6
+
+
+def test_build_probe_parity_with_fly(spark, emb, tmp_path):
+    """Stored probe == on-the-fly at the same bits, on the graded
+    query's own data and id conventions."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    m = build_ann_index(spark, corpus, idx, bits=8)
+    assert m["bits"] == 8 and m["data"] == "rows_h8"
+    stored = _rows(probe_ann_index(spark, queries, idx))
+    fly = _rows(_ann_topk(emb, bits=8))
+    assert stored == fly and len(stored) > 0
+
+
+def test_manifest_guards_probe(spark, emb, tmp_path):
+    idx = str(tmp_path / "ann")
+    with pytest.raises(ValueError, match="no _ann_manifest"):
+        read_ann_manifest(idx)
+    build_ann_index(spark, emb.filter(F.col("vec_id") >= N_QUERIES), idx)
+    # tamper: an index built by a different engine configuration
+    path = os.path.join(idx, "_ann_manifest.json")
+    m = json.load(open(path))
+    m["tables"] = 99
+    json.dump(m, open(path, "w"))
+    with pytest.raises(ValueError, match="tables"):
+        probe_ann_index(
+            spark, emb.filter(F.col("vec_id") < N_QUERIES), idx
+        )
+
+
+def test_append_then_resize_restores_bucket_target(spark, emb, tmp_path):
+    """The r9 measurement's scenario: an index built small, outgrown
+    by appends, then resized — bits grow per the rule, answers stay
+    parity with on-the-fly at the new width, and per-bucket
+    population returns to ~bucket_target."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    n0 = corpus.count()
+
+    # build deliberately narrow (4 bits) with a tiny bucket target so
+    # the recount triggers a real resize on test-sized data
+    build_ann_index(spark, corpus, idx, bits=4, bucket_target=8)
+
+    # the corpus doubles via append (shifted ids — new vectors)
+    extra = corpus.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    assert append_ann_index(spark, extra, idx) == n0
+    assert read_ann_manifest(idx)["rows"] == 2 * n0
+
+    out = resize_ann_index(spark, idx)
+    assert out["resized"] and out["rows"] == 2 * n0
+    assert out["bits"] == target_bits(2 * n0, 8)
+    assert out["bits"] > 4
+    m = read_ann_manifest(idx)
+    assert m["bits"] == out["bits"]
+    assert not os.path.isdir(os.path.join(idx, "rows_h4"))
+
+    # parity with on-the-fly over the SAME grown corpus at the new H
+    grown = emb.filter(F.col("vec_id") < N_QUERIES).unionByName(
+        corpus
+    ).unionByName(extra)
+    stored = _rows(probe_ann_index(spark, queries, idx))
+    fly = _rows(_ann_topk(grown, bits=m["bits"]))
+    assert stored == fly and len(stored) > 0
+
+    # bucket population back near target: mean rows per (tbl, cb)
+    data = spark.read.parquet(os.path.join(idx, m["data"]))
+    n_buckets = data.select("tbl", "cb").distinct().count()
+    mean_rows = data.count() / n_buckets
+    assert mean_rows <= 8 * 4  # within a small factor of the target
+
+
+def test_resize_is_noop_at_the_right_width(spark, emb, tmp_path):
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    build_ann_index(spark, corpus, idx)  # auto-sized
+    m0 = read_ann_manifest(idx)
+    out = resize_ann_index(spark, idx)
+    assert not out["resized"] and out["bits"] == m0["bits"]
+
+
+def test_crashed_resize_leaves_old_index_live(spark, emb, tmp_path):
+    """A resize that crashed before its manifest flip: the orphan
+    data dir is invisible to probes (manifest still points at the old
+    width) and the next maintenance pass garbage-collects it."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ann_index(spark, corpus, idx, bits=8)
+    before = _rows(probe_ann_index(spark, queries, idx))
+
+    orphan = os.path.join(idx, "rows_h12")
+    os.makedirs(os.path.join(orphan, "tbl=0", "cb=0"))
+    assert _rows(probe_ann_index(spark, queries, idx)) == before
+
+    resize_ann_index(spark, idx)  # GC runs even when bits don't change
+    assert not os.path.isdir(orphan)

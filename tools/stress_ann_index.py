@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from irio2024_mapreduce_spark.operators.ann_index import (
+    build_ann_index,
+    probe_ann_index,
+    resize_ann_index,
+)
 from irio2024_mapreduce_spark.operators.similarity import (
     N_QUERIES,
     _ann_corpus_rows,
@@ -128,7 +133,42 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
     assert sorted(stored_rows) == sorted(fly), (
         f"stored-index answers diverge from on-the-fly at {n}x"
     )
+
+    # AFTER AUTO-RESIZE (r9 verdict item 2): same corpus through the
+    # first-class operator — built at the shipped 8 bits, then the
+    # maintenance pass re-sizes H to the sizing rule. The probe is
+    # measured again and parity re-asserted against on-the-fly AT THE
+    # RESIZED WIDTH.
+    idx2 = tempfile.mkdtemp(prefix=f"ann_idx_resized_{n}x_")
+    corpus_emb = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries_emb = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ann_index(spark, corpus_emb, idx2, bits=8)
+    r = resize_ann_index(spark, idx2)
+    data2 = spark.read.parquet(
+        os.path.join(idx2, f"rows_h{r['bits']}")
+    )
+    rows_per_bucket = data2.count() / max(
+        data2.select("tbl", "cb").distinct().count(), 1
+    )
+    drain_driver_backlog(spark)
+    t0 = time.perf_counter()
+    resized_rows = [
+        tuple(x)
+        for x in probe_ann_index(spark, queries_emb, idx2).collect()
+    ]
+    probe_resized_sec = round(time.perf_counter() - t0, 2)
+    fly_resized = [
+        tuple(x) for x in _ann_topk(emb, bits=r["bits"]).collect()
+    ]
+    assert sorted(resized_rows) == sorted(fly_resized), (
+        f"resized stored-index answers diverge from on-the-fly at {n}x"
+    )
+
     return {
+        "resized_bits": r["bits"],
+        "rows_per_bucket_after_resize": round(rows_per_bucket, 1),
+        "index_probe_resized_sec": probe_resized_sec,
+        "parity_resized": True,
         "corpus_rows": corpus_rows,
         "index_rows": index_rows,
         "total_buckets": total_buckets,
@@ -245,6 +285,11 @@ def main() -> None:
     s1, sn = out["scales"]["1x"], out["scales"][f"{n}x"]
     out["probe_ratio"] = round(
         sn["index_probe_sec"] / max(s1["index_probe_sec"], 0.01), 1
+    )
+    out["probe_ratio_after_resize"] = round(
+        sn["index_probe_resized_sec"]
+        / max(s1["index_probe_resized_sec"], 0.01),
+        1,
     )
     out["bits_curve"] = bits_curve(spark)
     print(json.dumps(out))
