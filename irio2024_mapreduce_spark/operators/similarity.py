@@ -396,7 +396,9 @@ IVF_TRAIN_MAX = 4096
 _LAST_IVF_ROUNDS = 0
 
 
-def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
+def _train_quantizer_numpy(
+    spark: SparkSession, sample_rows, k: int | None = None
+) -> DataFrame:
     """Fit the coarse quantizer on the collected training sample and
     return it as a (cell: int, cv: array<double>) DataFrame — a thin
     DataFrame wrapper over :func:`_train_rows`, which holds the ONE
@@ -405,11 +407,13 @@ def _train_quantizer_numpy(spark: SparkSession, sample_rows) -> DataFrame:
     centroid constants are the Spark-trained centroids by
     construction, not by re-implementation)."""
     return spark.createDataFrame(
-        _train_rows(sample_rows), "cell int, cv array<double>"
+        _train_rows(sample_rows, k), "cell int, cv array<double>"
     )
 
 
-def _train_rows(sample_rows) -> list[tuple[int, list[float]]]:
+def _train_rows(
+    sample_rows, k: int | None = None
+) -> list[tuple[int, list[float]]]:
     """The quantizer training core, engine-free: sample rows
     ({"_k": hash, "v": vector}) → [(cell, centroid)].
 
@@ -443,7 +447,7 @@ def _train_rows(sample_rows) -> list[tuple[int, list[float]]]:
             f"(need length-{EMB_DIM}, non-NULL elements); cannot train"
         )
     X = np.asarray(vecs, dtype=np.float64)
-    k = min(IVF_CENTROIDS, len(X))
+    k = min(k or IVF_CENTROIDS, len(X))
     cents = X[:k].copy()
     x_norm = np.linalg.norm(X, axis=1)
     x_norm[x_norm == 0.0] = 1.0
@@ -468,6 +472,126 @@ def _train_rows(sample_rows) -> list[tuple[int, list[float]]]:
             break
         prev = key
     return [(c + 1, [float(x) for x in cents[c]]) for c in range(k)]
+
+
+def _ivf_sample(emb: DataFrame) -> list:
+    """The deterministic training sample: smallest-hash IVF_TRAIN_MAX
+    vectors, planned as TakeOrderedAndProject (partial top-k per
+    partition, no global sort); the collect is bounded at
+    ≤ IVF_TRAIN_MAX × EMB_DIM doubles ≈ 2 MB."""
+    init_key = F.xxhash64(F.col("vec_id").cast("string"))
+    return (
+        emb.select("v", init_key.alias("_k"))
+        .orderBy("_k")
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
+
+
+def _ivf_centroids(
+    spark: SparkSession, emb: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Deterministic sample → driver-side Lloyd fixpoint → (cell, cv)
+    frame — the shared training front-end of the graded query and the
+    stored index (operators.ivf_index)."""
+    return _train_quantizer_numpy(spark, _ivf_sample(emb), k)
+
+
+def _nearest_cell(
+    frame: DataFrame, cents: DataFrame, vec_col: str = "v"
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid with NO
+    shuffle: the k centroids collapse to ONE broadcast row
+    holding an array of (cell, cv) structs, and the argmax is a
+    per-row ``array_max`` over (sim, -cell) structs — fieldwise
+    struct comparison picks max sim, ties to the smallest cell,
+    exactly the former max_by semantics. The old join+groupBy
+    form shuffled k rows per vector every Lloyd round; this is
+    embarrassingly parallel map work (at 100 TB, assignment cost
+    is one corpus pass, no exchange)."""
+    # zero-norm guard mirrors _train_quantizer_numpy's
+    # np.maximum(norm, 1e-300): without it a zero centroid (an
+    # all-zero sample vector seeding a cell that never gains
+    # members) yields all-NaN units, NaN sims, and — because
+    # Spark orders NaN above every double — array_max would hand
+    # that dead cell EVERY corpus vector
+    unit = F.transform(
+        "cv",
+        lambda x: x
+        / F.greatest(
+            F.sqrt(_dot(F.col("cv"), F.col("cv"))), F.lit(1e-300)
+        ),
+    )
+    cent_row = cents.select("cell", unit.alias("cu")).agg(
+        F.collect_list(F.struct("cell", "cu")).alias("_cents")
+    )
+    # zero-vector guard mirrors numpy's x_norm[x_norm == 0] = 1.0
+    raw_vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    vnorm = F.when(raw_vnorm == 0.0, F.lit(1.0)).otherwise(raw_vnorm)
+    return (
+        frame.join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "v",
+            "_cents",
+            vnorm.alias("_vn"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.array_max(
+                F.transform(
+                    "_cents",
+                    lambda c: F.struct(
+                        (_dot(F.col(vec_col), c["cu"]) / F.col("_vn"))
+                        .alias("sim"),
+                        (-c["cell"]).alias("negcell"),
+                    ),
+                )
+            )["negcell"].cast("int").alias("_nc"),
+        )
+        .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
+    )
+
+
+def _query_cells(
+    q: DataFrame, centroids: DataFrame, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """(query_id, qv, cell) — each query's ``nprobe`` closest cells,
+    ties to the smallest cell. The centroid frame broadcasts; the
+    window partitions per query (query-sized, never corpus-sized)."""
+    q_scored = q.join(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "cell",
+        _cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cell")
+    )
+    return (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+
+def _ivf_score(corpus_cells: DataFrame, q_cells: DataFrame) -> DataFrame:
+    """Cell equi-join + cosine + per-query top-k — shared by the
+    on-the-fly query and the stored-index probe."""
+    scored = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,106 +625,15 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused by the final assignment + probe joins; lazy — the first
     # broadcast/agg materializes it inside an already-running job
     emb = emb.localCheckpoint(eager=False)
-
-    # deterministic training sample = smallest-hash IVF_TRAIN_MAX
-    # vectors; orderBy+limit plans as TakeOrderedAndProject (partial
-    # top-k per partition, no global sort)
-    init_key = F.xxhash64(F.col("vec_id").cast("string"))
-    sample = (
-        emb.select("v", init_key.alias("_k"))
-        .orderBy("_k")
-        .limit(IVF_TRAIN_MAX)
-        .collect()
-    )
-    centroids = _train_quantizer_numpy(spark, sample)
-
-    def nearest_cell(
-        frame: DataFrame, cents: DataFrame, vec_col: str = "v"
-    ) -> DataFrame:
-        """Assign each vector to its max-cosine centroid with NO
-        shuffle: the k centroids collapse to ONE broadcast row
-        holding an array of (cell, cv) structs, and the argmax is a
-        per-row ``array_max`` over (sim, -cell) structs — fieldwise
-        struct comparison picks max sim, ties to the smallest cell,
-        exactly the former max_by semantics. The old join+groupBy
-        form shuffled k rows per vector every Lloyd round; this is
-        embarrassingly parallel map work (at 100 TB, assignment cost
-        is one corpus pass, no exchange)."""
-        # zero-norm guard mirrors _train_quantizer_numpy's
-        # np.maximum(norm, 1e-300): without it a zero centroid (an
-        # all-zero sample vector seeding a cell that never gains
-        # members) yields all-NaN units, NaN sims, and — because
-        # Spark orders NaN above every double — array_max would hand
-        # that dead cell EVERY corpus vector
-        unit = F.transform(
-            "cv",
-            lambda x: x
-            / F.greatest(
-                F.sqrt(_dot(F.col("cv"), F.col("cv"))), F.lit(1e-300)
-            ),
-        )
-        cent_row = cents.select("cell", unit.alias("cu")).agg(
-            F.collect_list(F.struct("cell", "cu")).alias("_cents")
-        )
-        # zero-vector guard mirrors numpy's x_norm[x_norm == 0] = 1.0
-        raw_vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-        vnorm = F.when(raw_vnorm == 0.0, F.lit(1.0)).otherwise(raw_vnorm)
-        return (
-            frame.join(F.broadcast(cent_row))
-            .select(
-                "vec_id",
-                "v",
-                "_cents",
-                vnorm.alias("_vn"),
-            )
-            .select(
-                "vec_id",
-                "v",
-                F.array_max(
-                    F.transform(
-                        "_cents",
-                        lambda c: F.struct(
-                            (_dot(F.col(vec_col), c["cu"]) / F.col("_vn"))
-                            .alias("sim"),
-                            (-c["cell"]).alias("negcell"),
-                        ),
-                    )
-                )["negcell"].cast("int").alias("_nc"),
-            )
-            .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
-        )
-
-    # the corpus's ONE assignment pass (at ingest time in production)
-    corpus_cells = nearest_cell(emb, centroids).filter(
+    centroids = _ivf_centroids(spark, emb)
+    # the corpus's ONE assignment pass (at ingest time in production —
+    # operators.ivf_index stores exactly this frame partitioned by cell)
+    corpus_cells = _nearest_cell(emb, centroids).filter(
         F.col("vec_id") >= N_QUERIES
     )
-    # queries probe their IVF_NPROBE closest cells
-    q = emb.filter(F.col("vec_id") < N_QUERIES)
-    q_scored = q.join(F.broadcast(centroids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "cell",
-        _cosine(F.col("v"), F.col("cv")).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
-    q_cells = (
-        q_scored.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= IVF_NPROBE)
-        .select("query_id", "qv", "cell")
-    )
-    scored = corpus_cells.join(F.broadcast(q_cells), "cell").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    q_cells = _query_cells(emb.filter(F.col("vec_id") < N_QUERIES),
+                           centroids)
+    return _ivf_score(corpus_cells, q_cells)
 
 
 # ------------------------------------------------------------------ oracle
