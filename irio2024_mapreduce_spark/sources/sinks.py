@@ -73,6 +73,8 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for an append-grown parquet dataset —
     the maintenance pass an ingest pipeline (``plans.ingest``
@@ -110,6 +112,17 @@ def compact_parquet(
     then compacts WITHIN each partition dir); compacting one without
     it would silently flatten the layout and lose partition pruning
     for every downstream reader — refused loudly instead.
+
+    ``zorder_cols`` FUSES the two maintenance passes (r9 verdict item
+    4): daily appends both fragment the file set AND erode z-order
+    clustering, and running ``rewrite_zordered`` after
+    ``compact_parquet`` paid two full corpus rewrites per maintenance
+    window for one layout goal. With it set, the SAME single rewrite
+    range-partitions on the interleaved z-key (``layout.zorder_key``)
+    and sorts within partitions, so the output files simultaneously
+    hit the byte target and tile the z-curve — one pass, both
+    properties restored. ``zorder_bits`` defaults to
+    ``layout.ZORDER_DEFAULT_BITS``.
     """
     import glob as _glob
     import os as _os
@@ -119,14 +132,15 @@ def compact_parquet(
     try:
         return _compact_flat(
             spark, path, target_file_bytes, partition_by, _glob, _os,
-            _shutil,
+            _shutil, zorder_cols, zorder_bits,
         )
     finally:
         release_compaction_lock(lock)
 
 
 def _compact_flat(
-    spark, path, target_file_bytes, partition_by, _glob, _os, _shutil
+    spark, path, target_file_bytes, partition_by, _glob, _os, _shutil,
+    zorder_cols=None, zorder_bits=None,
 ) -> dict[str, int]:
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
@@ -165,7 +179,27 @@ def _compact_flat(
     # would collapse each hive dir onto ONE task and write one
     # arbitrarily large file per partition, ignoring the byte target.
     df = spark.read.parquet(path)
-    if partition_by:
+    if zorder_cols:
+        # fused compact+z-order: ONE range shuffle on (partition cols,
+        # z-key) and an in-partition sort give the byte target AND the
+        # z-curve tiling in the same rewrite
+        from irio2024_mapreduce_spark.sources.layout import (  # noqa: PLC0415
+            ZORDER_DEFAULT_BITS,
+            zorder_key,
+        )
+
+        zkey = zorder_key(df, zorder_cols, zorder_bits or ZORDER_DEFAULT_BITS)
+        lead = [F.col(c) for c in (partition_by or [])]
+        shaped = (
+            df.withColumn("_zkey", zkey)
+            .repartitionByRange(n_out, *lead, F.col("_zkey"))
+            .sortWithinPartitions(*(partition_by or []), "_zkey")
+            .drop("_zkey")
+        )
+        writer = shaped.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+    elif partition_by:
         salt = F.xxhash64(*[F.col(c) for c in df.columns])
         shaped = df.repartitionByRange(
             n_out, *[F.col(c) for c in partition_by], salt
@@ -433,6 +467,8 @@ def compact_parquet_versioned(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int | None = None,
 ) -> dict[str, int]:
     """Compaction for a versioned dataset: read the current version,
     write the compacted rewrite as version N+1 (a plain parquet write
@@ -442,7 +478,8 @@ def compact_parquet_versioned(
     never see a missing dataset. Same writer-exclusion caveat as the
     flat compactor for concurrent APPENDS: appends must target a new
     version or hold off during the window (the advisory lock is
-    taken here too).
+    taken here too). ``zorder_cols`` fuses z-order re-clustering into
+    the same rewrite (see :func:`compact_parquet`).
 
     Returns {files_before, files_after, bytes, version}."""
     import glob as _glob
@@ -485,7 +522,26 @@ def compact_parquet_versioned(
             _shutil.rmtree(new_dir)
 
         df = spark.read.parquet(cur)
-        if partition_by:
+        if zorder_cols:
+            from irio2024_mapreduce_spark.sources.layout import (  # noqa: PLC0415
+                ZORDER_DEFAULT_BITS,
+                zorder_key,
+            )
+
+            zkey = zorder_key(
+                df, zorder_cols, zorder_bits or ZORDER_DEFAULT_BITS
+            )
+            lead = [F.col(c) for c in (partition_by or [])]
+            shaped = (
+                df.withColumn("_zkey", zkey)
+                .repartitionByRange(n_out, *lead, F.col("_zkey"))
+                .sortWithinPartitions(*(partition_by or []), "_zkey")
+                .drop("_zkey")
+            )
+            writer = shaped.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+        elif partition_by:
             salt = F.xxhash64(*[F.col(c) for c in df.columns])
             shaped = df.repartitionByRange(
                 n_out, *[F.col(c) for c in partition_by], salt

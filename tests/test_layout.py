@@ -86,6 +86,42 @@ def test_zorder_key_handles_constant_and_null_columns(spark):
     assert by_id[1] <= by_id[2] <= by_id[3]
 
 
+def test_fused_compact_zorder_restores_clustering(spark, xy, tmp_path):
+    """compact_parquet(zorder_cols=...) — ONE rewrite that hits the
+    byte target AND re-tiles the z-curve after unclustered appends
+    eroded it (r9 verdict item 4)."""
+    from irio2024_mapreduce_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "z")
+    half = xy.filter(F.col("doc_id") % 2 == 0)
+    rest = xy.filter(F.col("doc_id") % 2 == 1)
+    write_zordered(half, p, ["x", "y"], n_files=16)
+    rest.write.mode("append").parquet(p)  # unclustered append
+
+    rect = {"x": (0.50, 0.55), "y": (0.50, 0.55)}
+    decayed = pruning_stats(p, rect)["frac_skipped"]
+
+    import glob
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+    )
+    out = compact_parquet(
+        spark, p, zorder_cols=["x", "y"],
+        target_file_bytes=max(total // 16, 1),
+    )
+    assert out["files_before"] > out["files_after"] >= 8
+    back = spark.read.parquet(p)
+    assert back.count() == N
+    fp = lambda df: df.select(  # noqa: E731
+        F.bit_xor(F.xxhash64("doc_id", "x", "y")).alias("h")
+    ).first()["h"]
+    assert fp(back) == fp(xy)
+    restored = pruning_stats(p, rect)["frac_skipped"]
+    assert restored > decayed
+    assert restored >= 0.5  # both axes prune again
+
+
 def test_zorder_key_rejects_keyspace_overflow(spark, xy):
     """ADVICE r9: bit position >= 64 aliases into the low bits (JVM
     shiftleft masks mod 64) and position 63 flips the long's sign —

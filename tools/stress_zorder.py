@@ -68,6 +68,53 @@ def main() -> None:
         )
         rows = spark.read.parquet(path).count()
         out["layouts"][name] = {"rows": rows, "frac_skipped": r}
+
+    # DECAY + RESTORATION (r9 verdict item 4): daily unclustered
+    # appends erode the z-order tiling; the FUSED maintenance pass —
+    # compact_parquet(zorder_cols=...) — must restore it in ONE
+    # rewrite. Appends are random-order row slices (xxhash-bucketed
+    # tenths of the corpus), the realistic worst case: each batch
+    # spans the full value space of every axis.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        compact_parquet,
+    )
+
+    decayed = os.path.join(work, "decayed")
+    write_zordered(df.filter(
+        F.pmod(F.xxhash64(*COLS), 10) < 5
+    ), decayed, COLS, n_files=N_FILES)
+    decay_curve = [
+        round(pruning_stats(decayed, rect)["frac_skipped"], 4)
+    ]
+    for tenth in range(5, 10):
+        df.filter(F.pmod(F.xxhash64(*COLS), 10) == tenth).write.mode(
+            "append"
+        ).parquet(decayed)
+        decay_curve.append(
+            round(pruning_stats(decayed, rect)["frac_skipped"], 4)
+        )
+    # byte target sized to reproduce the baseline's N_FILES file
+    # granularity — frac_skipped comparisons are meaningless across
+    # different file counts (fewer, bigger files each span a wider
+    # z-range and skip less even when perfectly clustered)
+    import glob as _glob  # noqa: PLC0415
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(decayed, "*.parquet"))
+    )
+    fused = compact_parquet(spark, decayed, zorder_cols=COLS,
+                            target_file_bytes=max(total // N_FILES, 1))
+    restored = round(pruning_stats(decayed, rect)["frac_skipped"], 4)
+    out["decay_and_restore"] = {
+        "rectangle_frac_skipped_curve": decay_curve,
+        "after_fused_compact": restored,
+        "files_before": fused["files_before"],
+        "files_after": fused["files_after"],
+        "rows_final": spark.read.parquet(decayed).count(),
+    }
     print(json.dumps(out))
 
 
