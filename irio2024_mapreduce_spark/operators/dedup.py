@@ -656,8 +656,20 @@ def _ngram_posting_join(
     factored out so tools/stress_scale.py can measure the raw
     posting-join row count (the quantity NGRAM_POSTING_CAP bounds)
     under an adversarial stop-word corpus."""
+    return _ngram_posting_join_docs(
+        load_table(spark, sf_dir, "documents"), posting_cap
+    )
+
+
+def _ngram_posting_join_docs(
+    raw: DataFrame, posting_cap: int = NGRAM_POSTING_CAP
+) -> DataFrame:
+    """Frame-level form of :func:`_ngram_posting_join` — the leakage
+    quarantine (operators.llm_prep) runs the same machinery over an
+    arbitrary tagged corpus, not just the fixture table."""
+    spark = raw.sparkSession
     docs = (
-        load_table(spark, sf_dir, "documents")
+        raw
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
         .repartition(spark.sparkContext.defaultParallelism)
@@ -717,8 +729,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost posting² join rows). Recall loss at bucket edges is the
     documented trade (MinHash covers the rest).
     """
+    return ngram_jaccard_pairs_docs(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def ngram_jaccard_pairs_docs(raw: DataFrame) -> DataFrame:
+    """Frame-level form of :func:`dedup_ngram_jaccard`: (doc_a, doc_b,
+    jaccard) pairs of exact-dup representatives with 3-gram Jaccard
+    >= 0.5, over any (doc_id, text) frame — same banding and caps."""
     shared = (
-        _ngram_posting_join(spark, sf_dir)
+        _ngram_posting_join_docs(raw)
         .groupBy(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),

@@ -58,6 +58,7 @@ from irio2024_mapreduce_spark.operators.llm_prep import (
     contaminated_ids,
     pack_docs,
     pack_docs_bpe,
+    quarantine_split_docs,
     scrub_text,
     split_docs,
 )
@@ -77,6 +78,7 @@ def prepare_corpus(
     index_dir: str | None = None,
     near_family: str = "ngram",
     holdout_split: bool = False,
+    quarantine_leaks: bool = False,
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
@@ -104,6 +106,17 @@ def prepare_corpus(
     split (packing an eval doc into a training pack would leak it
     into the token stream). Off by default: the artifact layout and
     manifest are byte-identical to prior rounds unless requested.
+
+    ``quarantine_leaks`` (requires ``holdout_split``) adds the acting
+    half of the ``split_leakage`` audit: train-side members of
+    duplicate groups that straddle a train↔eval boundary are re-tagged
+    ``split='quarantined'`` (``llm_prep.quarantine_split_docs``) —
+    shipped for review, excluded from training packs — so the shipped
+    artifact's train↔eval leakage cells read ZERO by construction.
+    Mostly relevant under ``near_family='lsh'``: the n-gram family's
+    stage-2 kill set already removes what the n-gram audit would find,
+    but the LSH family's recall curve and the audit's pair machinery
+    differ, so straddlers can survive stage 2.
 
     ``index_dir`` seeds the DAILY pipeline: the shipped corpus's
     ingest indexes (md5 hashes + capped postings over the PRE-scrub
@@ -174,11 +187,19 @@ def prepare_corpus(
         ],
     )
     clean_path = os.path.join(out_dir, "clean_documents.parquet")
+    if quarantine_leaks and not holdout_split:
+        raise ValueError("quarantine_leaks requires holdout_split=True")
     if holdout_split:
         # stage 5.5: append-stable train/val/test tag; the partitioned
         # layout lets a trainer's scan prune val/test without reading
-        # a row of them
-        split_docs(cleaned).write.mode("overwrite").partitionBy(
+        # a row of them. With quarantine_leaks, train-side straddlers
+        # are re-tagged 'quarantined' before the write.
+        tag = (
+            quarantine_split_docs(cleaned)
+            if quarantine_leaks
+            else split_docs(cleaned)
+        )
+        tag.write.mode("overwrite").partitionBy(
             "split"
         ).parquet(clean_path)
     else:
@@ -252,6 +273,11 @@ def prepare_corpus(
             for k in ("train_docs", "val_docs", "test_docs")
             if holdout_split
         },
+        **(
+            {"quarantined_docs": int(split_counts.get("quarantined_docs", 0))}
+            if quarantine_leaks
+            else {}
+        ),
         "docs_in": docs_in,
         "benchmark_held_out": docs_in - pool_n,
         "exact_dups_removed": pool_n - after_dedup,
