@@ -723,8 +723,11 @@ def _publish_staged(
         resolve_current,
     )
 
-    with open(os.path.join(staging, _PUBLISH_PLAN)) as f:
-        plan = json.load(f)
+    try:
+        with open(os.path.join(staging, _PUBLISH_PLAN)) as f:
+            plan = json.load(f)
+    except FileNotFoundError:
+        return  # a sibling's recovery finished the publication first
     index_dir = os.path.dirname(os.path.dirname(staging))
     clean_path = plan["corpus_root"].rstrip("/")
     locks = []
@@ -732,6 +735,8 @@ def _publish_staged(
         locks.append(_acquire_patiently(index_dir))
         os.makedirs(os.path.dirname(clean_path), exist_ok=True)
         locks.append(_acquire_patiently(clean_path))
+        if not os.path.isdir(staging):
+            return  # published (and GC'd) while we waited for the lock
         for part in plan["index_parts"]:
             recover_swap_crash(os.path.join(index_dir, part))
         recover_swap_crash(clean_path)
