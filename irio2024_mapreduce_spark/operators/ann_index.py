@@ -65,7 +65,6 @@ from irio2024_mapreduce_spark.operators.similarity import (
 )
 from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
-    check_not_compacting,
     release_compaction_lock,
 )
 
@@ -98,13 +97,13 @@ def _manifest_path(index_dir: str) -> str:
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace — THE commit point of build/resize."""
-    tmp = _manifest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(index_dir))
+    """Atomic manifest replace — THE commit point of build/resize
+    (the shared sinks.atomic_write_file shape)."""
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        atomic_write_file,
+    )
+
+    atomic_write_file(_manifest_path(index_dir), json.dumps(manifest, indent=1))
 
 
 def read_ann_manifest(index_dir: str) -> dict:
@@ -222,15 +221,21 @@ def append_ann_index(
 ) -> int:
     """Append new vectors at the STORED signature width (daily path —
     no rebuild). The manifest's row count is advisory and refreshed
-    here; ``resize_ann_index`` recounts from the data itself. Honors
-    the maintenance flock: appending during a resize would land in a
-    dir about to be garbage-collected."""
-    m = read_ann_manifest(index_dir)
-    check_not_compacting(index_dir)
-    _write_rows(emb, index_dir, m["bits"], mode="append")
-    n = emb.count()
-    _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
-    return n
+    here; ``resize_ann_index`` recounts from the data itself. HOLDS
+    the maintenance flock for the whole append: a check-then-write
+    would let a resize that starts mid-append delete the appended
+    rows with the old data dir AND have the append's closing manifest
+    write revert the flip to the rmtree'd dir — every later probe
+    would silently return empty."""
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        m = read_ann_manifest(index_dir)
+        _write_rows(emb, index_dir, m["bits"], mode="append")
+        n = emb.count()
+        _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
+        return n
+    finally:
+        release_compaction_lock(lock)
 
 
 def probe_ann_index(

@@ -58,7 +58,6 @@ from irio2024_mapreduce_spark.operators.similarity import (
 )
 from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
-    check_not_compacting,
     release_compaction_lock,
 )
 
@@ -84,13 +83,13 @@ def _manifest_path(index_dir: str) -> str:
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace — THE commit point of build/rebuild."""
-    tmp = _manifest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(index_dir))
+    """Atomic manifest replace — THE commit point of build/rebuild
+    (the shared sinks.atomic_write_file shape)."""
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        atomic_write_file,
+    )
+
+    atomic_write_file(_manifest_path(index_dir), json.dumps(manifest, indent=1))
 
 
 def read_ivf_manifest(index_dir: str) -> dict:
@@ -195,7 +194,12 @@ def build_ivf_index(
     try:
         prior = 0
         if os.path.exists(_manifest_path(index_dir)):
-            prior = read_ivf_manifest(index_dir)["data_version"]
+            # raw read, NOT read_ivf_manifest: a full build exists to
+            # replace an index — including one whose dim/constants no
+            # longer validate, which is exactly when the operator is
+            # told to 'rebuild with the current constants'
+            with open(_manifest_path(index_dir)) as f:
+                prior = int(json.load(f).get("data_version", 0))
         n = prior + 1
         _write_version(spark, emb, index_dir, n, k, quantize)
         manifest = {
@@ -218,22 +222,29 @@ def append_ivf_index(
     spark: SparkSession, emb: DataFrame, index_dir: str
 ) -> int:
     """Append new vectors at the STORED centroids (daily path —
-    map-only assignment, no re-train). Honors the maintenance flock."""
-    m = read_ivf_manifest(index_dir)
-    check_not_compacting(index_dir)
-    n = m["data_version"]
-    centroids = spark.read.parquet(
-        os.path.join(index_dir, f"centroids_v{n}")
-    )
-    assigned = _nearest_cell(emb, centroids)
-    _stored_rows(assigned, m["quantized"]).repartition(
-        "cell"
-    ).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, f"cells_v{n}")
-    )
-    added = emb.count()
-    _write_manifest(index_dir, {**m, "rows": m["rows"] + added})
-    return added
+    map-only assignment, no re-train). HOLDS the maintenance flock for
+    the whole append: a check-then-write would let a rebuild that
+    starts mid-append GC the cells version the append targets and
+    have the closing manifest write revert ``data_version`` to the
+    deleted dir."""
+    lock = acquire_compaction_lock(index_dir)
+    try:
+        m = read_ivf_manifest(index_dir)
+        n = m["data_version"]
+        centroids = spark.read.parquet(
+            os.path.join(index_dir, f"centroids_v{n}")
+        )
+        assigned = _nearest_cell(emb, centroids)
+        _stored_rows(assigned, m["quantized"]).repartition(
+            "cell"
+        ).write.mode("append").partitionBy("cell").parquet(
+            os.path.join(index_dir, f"cells_v{n}")
+        )
+        added = emb.count()
+        _write_manifest(index_dir, {**m, "rows": m["rows"] + added})
+        return added
+    finally:
+        release_compaction_lock(lock)
 
 
 def rebuild_ivf_index(

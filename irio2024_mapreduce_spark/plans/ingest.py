@@ -472,14 +472,23 @@ def ingest_batch(
     # will carry) while the corpus ships the scrubbed text — dedup on
     # pre-scrub bytes is deliberate.
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        acquire_flock,
         release_flock,
     )
 
-    staging = _new_staging_dir(index_dir, batch_id, stream)
-    alive = acquire_flock(
-        os.path.join(staging, _STAGING_ALIVE), purpose="being staged"
-    )
+    try:
+        staging, alive = _new_staging_dir(index_dir, batch_id, stream)
+    except _BatchAlreadyCommitted:
+        # a crashed predecessor of this very key committed; it was
+        # rolled forward above — replay its recorded manifest
+        prior = read_recorded_manifest(
+            spark, index_dir, batch_id, stream=stream
+        )
+        if prior is None:
+            raise RuntimeError(
+                "staged batch rolled forward but no manifest row "
+                "found — inspect the index's manifests part"
+            ) from None
+        return prior
     try:
         _stage_batch(
             spark, staging, survivors, cleaned, manifest, family,
@@ -504,9 +513,25 @@ def ingest_batch(
 # `recover_staged_batches` on any crash; a pre-commit crash leaves
 # nothing published anywhere, so redelivery admits the docs normally.
 _STAGED_ROOT = "_staged"
-_STAGING_ALIVE = "_alive.lock"
 _COMMITTED = "_committed"
 _PUBLISH_PLAN = "_publish_plan.json"
+
+
+def _alive_lock_path(staging: str) -> str:
+    """The staging dir's liveness flock — a SIBLING file, not a member:
+    it must exist and be held BEFORE the dir is created (a racer's
+    recovery between mkdir and an in-dir flock acquisition would
+    discard a live ingest's brand-new staging), and it must survive
+    the dir's rmtree so the address stays stable."""
+    return staging + "._alive.lock"
+
+
+class _BatchAlreadyCommitted(Exception):
+    """Raised by :func:`_new_staging_dir` when the same (stream,
+    batch_id) was already COMMITTED by a crashed predecessor that the
+    entry recovery could not see (its holder looked alive then) — the
+    leftover is rolled forward, and the caller must return the
+    recorded manifest instead of publishing a duplicate."""
 
 
 class SimulatedCrash(RuntimeError):
@@ -521,32 +546,35 @@ def _crash_if(point: str | None, here: str) -> None:
 
 
 def _atomic_file(path: str, content: str) -> None:
-    """Create ``path`` with ``content`` atomically: write a sibling
-    temp file, fsync, os.replace — a crash leaves either no file or
-    the complete file, never a partial one (the versioned layout's
-    pointer-flip shape)."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    """Create ``path`` with ``content`` atomically — the shared
+    commit-file shape (sinks.atomic_write_file)."""
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        atomic_write_file,
+    )
+
+    atomic_write_file(path, content)
 
 
 def _new_staging_dir(
     index_dir: str, batch_id: int | None, stream: str
-) -> str:
-    """Create the batch's private staging dir. Keyed batches stage
-    under a deterministic (stream, batch_id) name — a crashed
-    predecessor of the SAME key was already classified by the entry
-    recovery (rolled forward ⇒ replay short-circuited before here, or
-    discarded), so an existing dir can only be a concurrent live
-    ingest of the same key: refused loudly."""
+) -> tuple[str, str]:
+    """Create the batch's private staging dir and return
+    ``(staging, held_alive_lock)``. The liveness flock is taken on the
+    SIBLING lock file BEFORE any dir mutation, so a concurrent
+    recovery can never classify (and discard) a dir whose owner is
+    alive but hasn't flocked yet. Keyed batches stage under a
+    deterministic (stream, batch_id) name; an existing dir is
+    classified under the held lock: a live holder is a concurrent
+    double-ingest (refused loudly), a COMMITTED leftover is rolled
+    forward and :class:`_BatchAlreadyCommitted` raised (publishing our
+    own copy would duplicate its corpus rows), a pre-commit leftover
+    is discarded."""
     import shutil  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        flock_is_live,
+        acquire_flock,
+        release_flock,
     )
 
     base = os.path.join(index_dir, _STAGED_ROOT)
@@ -557,16 +585,30 @@ def _new_staging_dir(
     else:
         name = "nokey_" + uuid.uuid4().hex[:16]
     staging = os.path.join(base, name)
-    if os.path.exists(staging):
-        if flock_is_live(os.path.join(staging, _STAGING_ALIVE)):
-            raise RuntimeError(
-                f"{staging} is being staged by a live process — two "
-                "ingests of the same (stream, batch_id) are running "
-                "concurrently"
-            )
-        shutil.rmtree(staging)
-    os.makedirs(staging)
-    return staging
+    try:
+        alive = acquire_flock(
+            _alive_lock_path(staging), purpose="being staged"
+        )
+    except RuntimeError:
+        raise RuntimeError(
+            f"{staging} is being staged by a live process — two "
+            "ingests of the same (stream, batch_id) are running "
+            "concurrently"
+        ) from None
+    try:
+        if os.path.exists(staging):
+            if os.path.exists(os.path.join(staging, _COMMITTED)):
+                # a predecessor CRASHED MID-PUBLISH after committing,
+                # while its holder still looked alive to the entry
+                # recovery — finish its publication, never destroy it
+                _publish_staged(staging)
+                raise _BatchAlreadyCommitted(staging)
+            shutil.rmtree(staging)
+        os.makedirs(staging)
+    except BaseException:
+        release_flock(alive)
+        raise
+    return staging, alive
 
 
 def _stage_batch(
@@ -671,15 +713,21 @@ def _move_file(src: str, dst: str) -> None:
         os.rename(src, dst)
     except OSError:
         # cross-device staging (corpus on another mount): copy to a
-        # hidden temp name, atomic-replace into place, drop the
-        # source — a reader never sees a partially-copied file
+        # hidden temp name, FSYNC, atomic-replace into place, drop
+        # the source — a reader never sees a partially-copied file,
+        # and a post-commit power loss cannot publish a truncated one
+        # (the source is unlinked only after the replace, so the
+        # roll-forward can always retry)
         import shutil  # noqa: PLC0415
 
         tmp = os.path.join(
             os.path.dirname(dst),
             "." + os.path.basename(dst) + "._publish_tmp",
         )
-        shutil.copyfile(src, tmp)
+        with open(src, "rb") as fin, open(tmp, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+            fout.flush()
+            os.fsync(fout.fileno())
         os.replace(tmp, dst)
         os.unlink(src)
 
@@ -799,7 +847,7 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
         if os.path.exists(os.path.join(d, _COMMITTED)):
             _publish_staged(d)
             out["rolled_forward"] += 1
-        elif flock_is_live(os.path.join(d, _STAGING_ALIVE)):
+        elif flock_is_live(_alive_lock_path(d)):
             out["in_flight"] += 1
         else:
             shutil.rmtree(d)

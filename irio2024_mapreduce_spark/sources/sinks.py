@@ -179,35 +179,9 @@ def _compact_flat(
     # would collapse each hive dir onto ONE task and write one
     # arbitrarily large file per partition, ignoring the byte target.
     df = spark.read.parquet(path)
-    if zorder_cols:
-        # fused compact+z-order: ONE range shuffle on (partition cols,
-        # z-key) and an in-partition sort give the byte target AND the
-        # z-curve tiling in the same rewrite
-        from irio2024_mapreduce_spark.sources.layout import (  # noqa: PLC0415
-            ZORDER_DEFAULT_BITS,
-            zorder_key,
-        )
-
-        zkey = zorder_key(df, zorder_cols, zorder_bits or ZORDER_DEFAULT_BITS)
-        lead = [F.col(c) for c in (partition_by or [])]
-        shaped = (
-            df.withColumn("_zkey", zkey)
-            .repartitionByRange(n_out, *lead, F.col("_zkey"))
-            .sortWithinPartitions(*(partition_by or []), "_zkey")
-            .drop("_zkey")
-        )
-        writer = shaped.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-    elif partition_by:
-        salt = F.xxhash64(*[F.col(c) for c in df.columns])
-        shaped = df.repartitionByRange(
-            n_out, *[F.col(c) for c in partition_by], salt
-        )
-        writer = shaped.write.mode("overwrite").partitionBy(*partition_by)
-    else:
-        writer = df.repartition(n_out).write.mode("overwrite")
-    writer.parquet(tmp)
+    _shape_for_write(
+        df, n_out, partition_by, zorder_cols, zorder_bits
+    ).parquet(tmp)
     _os.rename(path, old)
     _os.rename(tmp, path)
     _shutil.rmtree(old)
@@ -226,6 +200,59 @@ def _compact_flat(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def atomic_write_file(path: str, content: str) -> None:
+    """Create/replace ``path`` with ``content`` atomically: write a
+    sibling temp file, flush + fsync, ``os.replace`` — a crash leaves
+    either no file or the complete file, never a partial one. THE
+    single definition of the commit-file shape (pointer flips, index
+    manifests, staged-batch commit markers all use it — four private
+    copies had already started to diverge on fsync)."""
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, path)
+
+
+def _shape_for_write(
+    df, n_out, partition_by=None, zorder_cols=None, zorder_bits=None
+):
+    """The compacted rewrite's (shaped_frame, writer) — shared by the
+    flat and versioned compactors so the zorder/partition/plain
+    branches cannot diverge between them. zorder_cols fuses z-order
+    re-clustering into the same single rewrite: ONE range shuffle on
+    (partition cols, z-key) + an in-partition sort give the byte
+    target AND the z-curve tiling together."""
+    if zorder_cols:
+        from irio2024_mapreduce_spark.sources.layout import (  # noqa: PLC0415
+            ZORDER_DEFAULT_BITS,
+            zorder_key,
+        )
+
+        zkey = zorder_key(df, zorder_cols, zorder_bits or ZORDER_DEFAULT_BITS)
+        lead = [F.col(c) for c in (partition_by or [])]
+        shaped = (
+            df.withColumn("_zkey", zkey)
+            .repartitionByRange(n_out, *lead, F.col("_zkey"))
+            .sortWithinPartitions(*(partition_by or []), "_zkey")
+            .drop("_zkey")
+        )
+        writer = shaped.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        return writer
+    if partition_by:
+        salt = F.xxhash64(*[F.col(c) for c in df.columns])
+        shaped = df.repartitionByRange(
+            n_out, *[F.col(c) for c in partition_by], salt
+        )
+        return shaped.write.mode("overwrite").partitionBy(*partition_by)
+    return df.repartition(n_out).write.mode("overwrite")
 
 
 # ---------------------------------------------------------------- locking
@@ -403,17 +430,13 @@ def read_current(spark, root: str):
 
 
 def _flip_pointer(root: str, version: int) -> None:
-    """Atomic pointer update: write a temp file, os.replace over the
-    pointer (POSIX rename atomicity — readers see old or new content,
-    never a partial write)."""
+    """Atomic pointer update (see :func:`atomic_write_file` — readers
+    see old or new content, never a partial write)."""
     import os as _os
 
-    tmp = _os.path.join(root, _CURRENT_POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        _os.fsync(f.fileno())
-    _os.replace(tmp, _os.path.join(root, _CURRENT_POINTER))
+    atomic_write_file(
+        _os.path.join(root, _CURRENT_POINTER), str(version)
+    )
 
 
 def init_versioned(root: str) -> str:
@@ -522,36 +545,9 @@ def compact_parquet_versioned(
             _shutil.rmtree(new_dir)
 
         df = spark.read.parquet(cur)
-        if zorder_cols:
-            from irio2024_mapreduce_spark.sources.layout import (  # noqa: PLC0415
-                ZORDER_DEFAULT_BITS,
-                zorder_key,
-            )
-
-            zkey = zorder_key(
-                df, zorder_cols, zorder_bits or ZORDER_DEFAULT_BITS
-            )
-            lead = [F.col(c) for c in (partition_by or [])]
-            shaped = (
-                df.withColumn("_zkey", zkey)
-                .repartitionByRange(n_out, *lead, F.col("_zkey"))
-                .sortWithinPartitions(*(partition_by or []), "_zkey")
-                .drop("_zkey")
-            )
-            writer = shaped.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-        elif partition_by:
-            salt = F.xxhash64(*[F.col(c) for c in df.columns])
-            shaped = df.repartitionByRange(
-                n_out, *[F.col(c) for c in partition_by], salt
-            )
-            writer = shaped.write.mode("overwrite").partitionBy(
-                *partition_by
-            )
-        else:
-            writer = df.repartition(n_out).write.mode("overwrite")
-        writer.parquet(new_dir)
+        _shape_for_write(
+            df, n_out, partition_by, zorder_cols, zorder_bits
+        ).parquet(new_dir)
 
         _flip_pointer(root, new_n)  # the commit point
 
