@@ -65,6 +65,8 @@ from irio2024_mapreduce_spark.operators.similarity import (
 )
 from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
+    acquire_compaction_lock_patiently,
+    atomic_write_file,
     release_compaction_lock,
 )
 
@@ -99,11 +101,9 @@ def _manifest_path(index_dir: str) -> str:
 def _write_manifest(index_dir: str, manifest: dict) -> None:
     """Atomic manifest replace — THE commit point of build/resize
     (the shared sinks.atomic_write_file shape)."""
-    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        atomic_write_file,
+    atomic_write_file(
+        _manifest_path(index_dir), json.dumps(manifest, indent=1)
     )
-
-    atomic_write_file(_manifest_path(index_dir), json.dumps(manifest, indent=1))
 
 
 def read_ann_manifest(index_dir: str) -> dict:
@@ -227,7 +227,7 @@ def append_ann_index(
     rows with the old data dir AND have the append's closing manifest
     write revert the flip to the rmtree'd dir — every later probe
     would silently return empty."""
-    lock = acquire_compaction_lock(index_dir)
+    lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ann_manifest(index_dir)
         _write_rows(emb, index_dir, m["bits"], mode="append")

@@ -58,6 +58,8 @@ from irio2024_mapreduce_spark.operators.similarity import (
 )
 from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
+    acquire_compaction_lock_patiently,
+    atomic_write_file,
     release_compaction_lock,
 )
 
@@ -85,11 +87,9 @@ def _manifest_path(index_dir: str) -> str:
 def _write_manifest(index_dir: str, manifest: dict) -> None:
     """Atomic manifest replace — THE commit point of build/rebuild
     (the shared sinks.atomic_write_file shape)."""
-    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        atomic_write_file,
+    atomic_write_file(
+        _manifest_path(index_dir), json.dumps(manifest, indent=1)
     )
-
-    atomic_write_file(_manifest_path(index_dir), json.dumps(manifest, indent=1))
 
 
 def read_ivf_manifest(index_dir: str) -> dict:
@@ -227,7 +227,7 @@ def append_ivf_index(
     starts mid-append GC the cells version the append targets and
     have the closing manifest write revert ``data_version`` to the
     deleted dir."""
-    lock = acquire_compaction_lock(index_dir)
+    lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ivf_manifest(index_dir)
         n = m["data_version"]

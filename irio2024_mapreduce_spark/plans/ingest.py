@@ -79,7 +79,10 @@ from irio2024_mapreduce_spark.operators.llm_prep import (
     scrub_text,
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
-from irio2024_mapreduce_spark.sources.sinks import check_not_compacting
+from irio2024_mapreduce_spark.sources.sinks import (
+    atomic_write_file,
+    check_not_compacting,
+)
 
 # ----------------------------------------------------------- index manifest
 # The index is SELF-DESCRIBING (r8 verdict item 4): a small JSON
@@ -499,7 +502,16 @@ def ingest_batch(
     finally:
         # a real crash releases the flock via the kernel; the
         # simulated one must only release the lock, never clean up —
-        # the leftover staging dir IS the state under test
+        # the leftover staging dir IS the state under test.
+        # Unkeyed (uuid) staging also unlinks its lock file while
+        # still holding it: the uuid address is never re-acquired, so
+        # the unlink-while-held is race-free, and without it every
+        # unkeyed batch leaks one lock file forever.
+        if batch_id is None:
+            try:
+                os.unlink(_alive_lock_path(staging))
+            except FileNotFoundError:
+                pass
         release_flock(alive)
     return manifest
 
@@ -543,16 +555,6 @@ class SimulatedCrash(RuntimeError):
 def _crash_if(point: str | None, here: str) -> None:
     if point == here:
         raise SimulatedCrash(here)
-
-
-def _atomic_file(path: str, content: str) -> None:
-    """Create ``path`` with ``content`` atomically — the shared
-    commit-file shape (sinks.atomic_write_file)."""
-    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        atomic_write_file,
-    )
-
-    atomic_write_file(path, content)
 
 
 def _new_staging_dir(
@@ -679,7 +681,7 @@ def _stage_batch(
         "index_parts": [p for p in parts],
         "corpus_root": clean_path,
     }
-    _atomic_file(
+    atomic_write_file(
         os.path.join(staging, _PUBLISH_PLAN), json.dumps(plan, indent=1)
     )
 
@@ -687,37 +689,41 @@ def _stage_batch(
 def _acquire_patiently(
     path: str, attempts: int = 40, wait: float = 0.25
 ) -> str:
-    """acquire_compaction_lock with ~10 s of patience — publish holds
-    its locks for milliseconds (file renames), so brief contention
-    with a sibling publisher or a finishing recovery should wait, not
-    abort the batch; a genuinely long hold (a real compaction) still
-    surfaces as the loud error."""
-    import time  # noqa: PLC0415
-
+    """The shared patient lock acquire (sinks) — publish holds its
+    locks for milliseconds, so brief contention waits, a real
+    compaction still fails loudly. Kept as a module name so tests can
+    shrink the patience."""
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-        acquire_compaction_lock,
+        acquire_compaction_lock_patiently,
     )
 
-    for attempt in range(attempts):
-        try:
-            return acquire_compaction_lock(path)
-        except RuntimeError:
-            if attempt == attempts - 1:
-                raise
-            time.sleep(wait)
-    raise AssertionError("unreachable")
+    return acquire_compaction_lock_patiently(path, attempts, wait)
 
 
 def _move_file(src: str, dst: str) -> None:
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        fsync_dir,
+    )
+
+    # flush the staged bytes BEFORE any rename becomes durable: the
+    # commit marker is fsynced, so without this a post-commit power
+    # loss could publish a rename whose data blocks never hit disk —
+    # a truncated parquet file in the live dir with the source gone
+    fd = os.open(src, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     try:
         os.rename(src, dst)
+        fsync_dir(os.path.dirname(dst))
     except OSError:
         # cross-device staging (corpus on another mount): copy to a
-        # hidden temp name, FSYNC, atomic-replace into place, drop
-        # the source — a reader never sees a partially-copied file,
-        # and a post-commit power loss cannot publish a truncated one
-        # (the source is unlinked only after the replace, so the
-        # roll-forward can always retry)
+        # hidden temp name, fsync, atomic-replace, fsync the DEST
+        # dir, and only then drop the source — the unlink (source fs)
+        # must never become durable before the rename (dest fs), or a
+        # power loss would lose the file on both sides and the
+        # roll-forward would wrongly classify it as already moved
         import shutil  # noqa: PLC0415
 
         tmp = os.path.join(
@@ -729,6 +735,7 @@ def _move_file(src: str, dst: str) -> None:
             fout.flush()
             os.fsync(fout.fileno())
         os.replace(tmp, dst)
+        fsync_dir(os.path.dirname(dst))
         os.unlink(src)
 
 
@@ -775,7 +782,17 @@ def _publish_staged(
         with open(os.path.join(staging, _PUBLISH_PLAN)) as f:
             plan = json.load(f)
     except FileNotFoundError:
-        return  # a sibling's recovery finished the publication first
+        # either a sibling finished the publication (dir gone), or a
+        # crash mid-final-rmtree deleted the plan before the marker
+        # (deletion order inside rmtree is arbitrary). The plan is
+        # written before the marker and read before every move, so
+        # committed-without-plan can ONLY mean the final cleanup was
+        # already underway — everything is published; finish the GC.
+        if os.path.isdir(staging) and os.path.exists(
+            os.path.join(staging, _COMMITTED)
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+        return
     index_dir = os.path.dirname(os.path.dirname(staging))
     clean_path = plan["corpus_root"].rstrip("/")
     locks = []
@@ -791,7 +808,7 @@ def _publish_staged(
         recover_swap_crash(clean_path, "._zorder_tmp", "._zorder_old")
         committed = os.path.join(staging, _COMMITTED)
         if not os.path.exists(committed):
-            _atomic_file(committed, "committed\n")  # THE commit point
+            atomic_write_file(committed, "committed\n")  # commit point
         _crash_if(_test_crash_after, "commit")
         for part in plan["index_parts"]:
             _move_staged_files(
@@ -827,13 +844,19 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
       leave it alone;
     * no marker, holder dead → a pre-commit crash; nothing of the
       batch was ever published, discard the staging wholesale (its
-      redelivery admits normally — lossless).
+      redelivery admits normally — lossless). The discard happens
+      WHILE HOLDING the staging's own flock: a probe-then-rmtree
+      would race a same-key ingest acquiring the (momentarily free)
+      lock between the probe and the delete, gutting a LIVE staging
+      mid-stage.
 
     Returns {rolled_forward, discarded, in_flight}."""
     import shutil  # noqa: PLC0415
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_flock,
         flock_is_live,
+        release_flock,
     )
 
     out = {"rolled_forward": 0, "discarded": 0, "in_flight": 0}
@@ -843,15 +866,48 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
     for name in sorted(os.listdir(base)):
         d = os.path.join(base, name)
         if not os.path.isdir(d):
+            # unkeyed (uuid-named) staging leaves its sibling lock
+            # file behind forever — the address is never re-acquired,
+            # so GC it once its dir is gone and nothing live holds it
+            if (
+                name.startswith("nokey_")
+                and name.endswith("._alive.lock")
+                and not os.path.isdir(d[: -len("._alive.lock")])
+                and not flock_is_live(d)
+            ):
+                try:
+                    os.unlink(d)
+                except FileNotFoundError:
+                    pass
             continue
         if os.path.exists(os.path.join(d, _COMMITTED)):
             _publish_staged(d)
             out["rolled_forward"] += 1
-        elif flock_is_live(_alive_lock_path(d)):
+            continue
+        # in-flight probe checks BOTH lock locations (the in-dir path
+        # is the pre-relocation convention — one long-running old
+        # holder must not have its live staging discarded)
+        if flock_is_live(_alive_lock_path(d)) or flock_is_live(
+            os.path.join(d, "_alive.lock")
+        ):
             out["in_flight"] += 1
-        else:
-            shutil.rmtree(d)
-            out["discarded"] += 1
+            continue
+        try:
+            held = acquire_flock(_alive_lock_path(d), purpose="recovered")
+        except RuntimeError:
+            out["in_flight"] += 1  # acquired between probe and here
+            continue
+        try:
+            # re-check under the held lock: the owner may have
+            # committed between the probe and our acquisition
+            if os.path.exists(os.path.join(d, _COMMITTED)):
+                _publish_staged(d)
+                out["rolled_forward"] += 1
+            elif os.path.isdir(d):
+                shutil.rmtree(d)
+                out["discarded"] += 1
+        finally:
+            release_flock(held)
     return out
 
 

@@ -202,13 +202,27 @@ def _compact_flat(
     }
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: makes a just-renamed entry durable. Rename
+    atomicity orders the VISIBLE states; only the directory fsync
+    orders them against power loss."""
+    import os as _os
+
+    fd = _os.open(path, _os.O_RDONLY | _os.O_DIRECTORY)
+    try:
+        _os.fsync(fd)
+    finally:
+        _os.close(fd)
+
+
 def atomic_write_file(path: str, content: str) -> None:
-    """Create/replace ``path`` with ``content`` atomically: write a
-    sibling temp file, flush + fsync, ``os.replace`` — a crash leaves
-    either no file or the complete file, never a partial one. THE
-    single definition of the commit-file shape (pointer flips, index
-    manifests, staged-batch commit markers all use it — four private
-    copies had already started to diverge on fsync)."""
+    """Create/replace ``path`` with ``content`` atomically AND
+    durably: write a sibling temp file, flush + fsync, ``os.replace``,
+    fsync the parent dir — a crash leaves either no file or the
+    complete file, and once this returns the file survives power
+    loss. THE single definition of the commit-file shape (pointer
+    flips, index manifests, staged-batch commit markers all use it —
+    four private copies had already started to diverge on fsync)."""
     import os as _os
 
     tmp = path + ".tmp"
@@ -217,6 +231,7 @@ def atomic_write_file(path: str, content: str) -> None:
         f.flush()
         _os.fsync(f.fileno())
     _os.replace(tmp, path)
+    fsync_dir(_os.path.dirname(path) or ".")
 
 
 def _shape_for_write(
@@ -354,6 +369,26 @@ def acquire_compaction_lock(path: str) -> str:
 def release_compaction_lock(lock: str) -> None:
     """Release a lock returned by :func:`acquire_compaction_lock`."""
     release_flock(lock)
+
+
+def acquire_compaction_lock_patiently(
+    path: str, attempts: int = 40, wait: float = 0.25
+) -> str:
+    """acquire_compaction_lock with ~10 s of patience — for callers
+    whose critical section is milliseconds (publish renames, daily
+    appends): brief contention with a sibling should wait, not abort
+    an already-computed batch; a genuinely long hold (a real
+    compaction) still surfaces as the loud error."""
+    import time as _time
+
+    for attempt in range(attempts):
+        try:
+            return acquire_compaction_lock(path)
+        except RuntimeError:
+            if attempt == attempts - 1:
+                raise
+            _time.sleep(wait)
+    raise AssertionError("unreachable")
 
 
 def check_not_compacting(path: str) -> None:
