@@ -309,19 +309,28 @@ def main() -> None:
     # the r7 artifacts (0.24-0.26 s band; definition in SCALE.md).
     CANARY_REF_SEC = 0.250
     # the interleaved series bounds the normalization honestly: the
-    # subset ran under machine speeds spanning [min, max] of the
-    # series, so the normalized subset is an INTERVAL, not a point —
-    # and median-of-series is the sustained-speed point estimate
-    all_canaries = sorted([canary, *canary_series.values()])
-    c_min = all_canaries[0]
-    c_max = all_canaries[-1]
-    c_med = all_canaries[len(all_canaries) // 2]
+    # subset ran under machine speeds spanning [min, max], so the
+    # normalized subset is an INTERVAL, not a point. The first few
+    # samples ride the JVM's JIT warm-up ramp (measured idle-host
+    # series: 0.398 → 0.359 → 0.288 → 0.225 → steady ~0.18), so the
+    # sustained-speed statistics use the STEADY TAIL — everything
+    # after the first 5 queries — or the warm-up alone would flag
+    # every run and skew the median. The headline machine_canary_sec
+    # stays the upfront min-of-3 (the r7-r9 methodology the frozen
+    # 0.250 reference was calibrated against — cross-round
+    # comparisons must not silently change metric).
+    steady = sorted(list(canary_series.values())[5:]) or sorted(
+        canary_series.values()
+    )
+    c_min = steady[0]
+    c_max = steady[-1]
+    c_med = steady[len(steady) // 2]
     # background load self-flag (r9: load_avg 9.8 behind a clean
     # canary) — a flagged artifact should not anchor cross-round claims
     LOAD_FLAG = 4.0
     # load_end is NOT part of the flag: the 1-min average at the end
     # mostly measures the bench's own 32-thread burn. Mid-run
-    # contention shows up as canary-series spread instead.
+    # contention shows up as steady-tail canary spread instead.
     load_flagged = load_start[0] > LOAD_FLAG or c_max > 2 * c_min
     with open(detail_path, "w") as fh:
         json.dump(
@@ -333,11 +342,17 @@ def main() -> None:
                     r01_subset * CANARY_REF_SEC / canary, 3
                 ),
                 "canary_series": canary_series,
-                "canary_median_sec": round(c_med, 3),
-                "subset_normalized_median_sec": round(
+                # steady-tail stats (post-warm-up); NOTE the hot-JIT
+                # canary runs ~1.5-2× faster than the upfront batch
+                # the 0.250 reference was calibrated on, so these
+                # normalized values are a SPREAD/consistency signal,
+                # not directly comparable to prior rounds' normalized
+                # subset (use subset_canary_normalized_sec for that)
+                "canary_steady_median_sec": round(c_med, 3),
+                "subset_normalized_steady_median_sec": round(
                     r01_subset * CANARY_REF_SEC / c_med, 3
                 ),
-                "subset_normalized_bounds_sec": [
+                "subset_normalized_steady_bounds_sec": [
                     round(r01_subset * CANARY_REF_SEC / c_max, 3),
                     round(r01_subset * CANARY_REF_SEC / c_min, 3),
                 ],
@@ -370,11 +385,12 @@ def main() -> None:
                 "transient_count": len(transients),
                 # fixed-work JVM canary (see above): normalize
                 # cross-round totals as value / machine_canary_sec;
-                # the median is over the per-query interleaved series
-                # (sustained speed), and load_flagged marks artifacts
-                # run under contention — don't anchor claims on them
+                # the steady median is over the per-query interleaved
+                # series' post-warm-up tail, and load_flagged marks
+                # artifacts run under contention — don't anchor
+                # cross-round claims on flagged runs
                 "machine_canary_sec": canary,
-                "canary_median_sec": round(c_med, 3),
+                "canary_steady_median_sec": round(c_med, 3),
                 "load_flagged": load_flagged,
                 "detail": os.path.basename(detail_path),
                 "sf": sf_dir,
