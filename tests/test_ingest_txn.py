@@ -259,6 +259,40 @@ def test_publish_recovers_crashed_corpus_swap_first(spark, tmp_path):
     assert not os.path.exists(clean + "._compact_old")
 
 
+def test_committed_staging_without_plan_is_garbage_collected(
+    spark, tmp_path
+):
+    """A crash mid-final-rmtree can delete the publish plan before the
+    _committed marker (rmtree deletion order is arbitrary). The plan
+    is written before the marker and read before every move, so
+    committed-without-plan can only mean cleanup was underway —
+    recovery must finish the GC, not loop on it forever."""
+    idx, _ = _setup(spark, tmp_path)
+    zombie = os.path.join(idx, "_staged", "deadbeef00_9")
+    os.makedirs(zombie)
+    with open(os.path.join(zombie, "_committed"), "w") as f:
+        f.write("committed\n")
+    out = recover_staged_batches(idx)
+    assert not os.path.isdir(zombie)
+    # a second pass finds nothing left to do
+    out2 = recover_staged_batches(idx)
+    assert out2 == {"rolled_forward": 0, "discarded": 0, "in_flight": 0}
+    assert out["rolled_forward"] + out["discarded"] >= 1
+
+
+def test_unkeyed_ingest_leaves_no_lock_litter(spark, tmp_path):
+    """Unkeyed (uuid-named) staging must not leak one lock file per
+    batch forever — the address is never re-acquired."""
+    idx, out = _setup(spark, tmp_path)
+    m = ingest_batch(spark, _frame(spark, T_BATCH), idx, out)
+    assert m["appended"] == 2
+    staged = os.path.join(idx, "_staged")
+    litter = [
+        n for n in os.listdir(staged) if n.startswith("nokey_")
+    ] if os.path.isdir(staged) else []
+    assert litter == []
+
+
 def test_manifest_replay_is_deterministic(spark, tmp_path):
     """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must
     replay the ORIGINAL row (appended desc), not an arbitrary one —
