@@ -700,7 +700,10 @@ def _acquire_patiently(
     return acquire_compaction_lock_patiently(path, attempts, wait)
 
 
-def _move_file(src: str, dst: str) -> None:
+def _move_file(src: str, dst: str) -> str | None:
+    """Move one staged file into place. Returns the destination dir
+    when its fsync is the CALLER's to batch (rename path), or None
+    when durability was already settled here (cross-device path)."""
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         fsync_dir,
     )
@@ -715,8 +718,10 @@ def _move_file(src: str, dst: str) -> None:
     finally:
         os.close(fd)
     try:
+        # ONLY the rename is in the try: a directory-fsync error must
+        # surface as itself, not misroute into the copy fallback
+        # (which would reopen the already-renamed src and crash)
         os.rename(src, dst)
-        fsync_dir(os.path.dirname(dst))
     except OSError:
         # cross-device staging (corpus on another mount): copy to a
         # hidden temp name, fsync, atomic-replace, fsync the DEST
@@ -737,15 +742,26 @@ def _move_file(src: str, dst: str) -> None:
         os.replace(tmp, dst)
         fsync_dir(os.path.dirname(dst))
         os.unlink(src)
+        return None
+    return os.path.dirname(dst)
 
 
 def _move_staged_files(src: str, dst: str) -> None:
     """Move every staged parquet data file into the live dir,
     preserving hive subdirs. Idempotent: files already moved by an
     earlier crashed attempt are simply absent from ``src``; each
-    remaining move is one atomic rename."""
+    remaining move is one atomic rename. Destination-dir fsyncs are
+    BATCHED — once per touched dir after the moves, not once per file
+    (a directory fsync is a real disk barrier, and the only ordering
+    that matters is all-dir-fsyncs BEFORE the staging rmtree that
+    drops the sources)."""
     if not os.path.isdir(src):
         return  # fully moved by an earlier attempt
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        fsync_dir,
+    )
+
+    touched: set[str] = set()
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         for name in files:
@@ -753,9 +769,13 @@ def _move_staged_files(src: str, dst: str) -> None:
                 continue  # _SUCCESS / .crc bookkeeping stays behind
             out_dir = dst if rel == "." else os.path.join(dst, rel)
             os.makedirs(out_dir, exist_ok=True)
-            _move_file(
+            d = _move_file(
                 os.path.join(root, name), os.path.join(out_dir, name)
             )
+            if d is not None:
+                touched.add(d)
+    for d in sorted(touched):
+        fsync_dir(d)
 
 
 def _publish_staged(
@@ -826,7 +846,11 @@ def _publish_staged(
         if plan["batch_id"] is not None:
             _touch_marker(index_dir, plan["batch_id"], plan["stream"])
         _crash_if(_test_crash_after, "marker")
-        shutil.rmtree(staging)
+        # ignore_errors: a sibling's committed-without-plan GC can
+        # interleave with this rmtree (both deleters are cleaning the
+        # same fully-published dir) — neither must crash on the
+        # other's progress
+        shutil.rmtree(staging, ignore_errors=True)
     finally:
         for lock in reversed(locks):
             release_compaction_lock(lock)
@@ -867,18 +891,27 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
         d = os.path.join(base, name)
         if not os.path.isdir(d):
             # unkeyed (uuid-named) staging leaves its sibling lock
-            # file behind forever — the address is never re-acquired,
-            # so GC it once its dir is gone and nothing live holds it
-            if (
-                name.startswith("nokey_")
-                and name.endswith("._alive.lock")
-                and not os.path.isdir(d[: -len("._alive.lock")])
-                and not flock_is_live(d)
+            # file behind when its ingest crashed — the address is
+            # never re-acquired, so GC it once its dir is gone.
+            # ACQUIRE-then-unlink-while-held, never probe-then-unlink:
+            # a bare unlink could erase the directory entry of a lock
+            # a concurrent acquirer just flocked, making their live
+            # lock invisible to every later checker.
+            if name.startswith("nokey_") and name.endswith(
+                "._alive.lock"
             ):
                 try:
-                    os.unlink(d)
-                except FileNotFoundError:
-                    pass
+                    held = acquire_flock(d, purpose="GC'd")
+                except (RuntimeError, FileNotFoundError):
+                    continue  # live holder, or already GC'd
+                try:
+                    if not os.path.isdir(d[: -len("._alive.lock")]):
+                        try:
+                            os.unlink(d)
+                        except FileNotFoundError:
+                            pass
+                finally:
+                    release_flock(held)
             continue
         if os.path.exists(os.path.join(d, _COMMITTED)):
             _publish_staged(d)
@@ -899,13 +932,24 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
             continue
         try:
             # re-check under the held lock: the owner may have
-            # committed between the probe and our acquisition
+            # committed — or a LEGACY in-dir-lock holder (which our
+            # sibling flock does not exclude) may have gone live —
+            # between the probe and our acquisition
             if os.path.exists(os.path.join(d, _COMMITTED)):
                 _publish_staged(d)
                 out["rolled_forward"] += 1
+            elif flock_is_live(os.path.join(d, "_alive.lock")):
+                out["in_flight"] += 1
             elif os.path.isdir(d):
                 shutil.rmtree(d)
                 out["discarded"] += 1
+                if name.startswith("nokey_"):
+                    # dead unkeyed staging: drop its never-reused
+                    # lock address too, while still holding it
+                    try:
+                        os.unlink(_alive_lock_path(d))
+                    except FileNotFoundError:
+                        pass
         finally:
             release_flock(held)
     return out
