@@ -171,13 +171,33 @@ def _shaped_rows(emb: DataFrame, bits: int) -> DataFrame:
 
 
 def _write_rows(
-    emb: DataFrame, index_dir: str, bits: int, mode: str = "overwrite"
+    emb: DataFrame, index_dir: str, bits: int, data: str,
+    mode: str = "overwrite",
 ) -> str:
-    data = f"rows_h{bits}"
     _shaped_rows(emb, bits).write.mode(mode).partitionBy(
         "tbl", "pb"
     ).parquet(os.path.join(index_dir, data))
     return data
+
+
+def _next_data_name(index_dir: str, bits: int) -> tuple[str, int]:
+    """Versioned data-dir name for a build/resize: ``rows_h{H}_v{N}``
+    with N = live data_version + 1 (IVF's discipline). Versioning the
+    name — not just the bits — means a rebuild NEVER writes into the
+    dir the live manifest references, even when the recomputed H
+    equals the stored bits: without it, Spark's overwrite
+    deletes-then-rewrites the LIVE dir in place, so a crash mid-build
+    leaves the committed manifest pointing at a missing/partial dir
+    and concurrent (lock-free) probes read a half-built index."""
+    prior = 0
+    if os.path.exists(_manifest_path(index_dir)):
+        # raw read, NOT read_ann_manifest: a full build exists to
+        # replace an index — including one whose constants no longer
+        # validate
+        with open(_manifest_path(index_dir)) as f:
+            prior = int(json.load(f).get("data_version", 0))
+    n = prior + 1
+    return f"rows_h{bits}_v{n}", n
 
 
 def build_ann_index(
@@ -197,7 +217,8 @@ def build_ann_index(
     os.makedirs(index_dir, exist_ok=True)
     lock = acquire_compaction_lock(index_dir)
     try:
-        data = _write_rows(emb, index_dir, h)
+        data, n = _next_data_name(index_dir, h)
+        _write_rows(emb, index_dir, h, data)
         manifest = {
             "version": ANN_INDEX_VERSION,
             "family": "hyperplane-lsh",
@@ -206,6 +227,7 @@ def build_ann_index(
             "dim": EMB_DIM,
             "bits": h,
             "data": data,
+            "data_version": n,
             "rows": rows,
             "bucket_target": bucket_target,
         }
@@ -230,7 +252,7 @@ def append_ann_index(
     lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ann_manifest(index_dir)
-        _write_rows(emb, index_dir, m["bits"], mode="append")
+        _write_rows(emb, index_dir, m["bits"], m["data"], mode="append")
         n = emb.count()
         _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
         return n
@@ -293,13 +315,15 @@ def resize_ann_index(
     bucket_target: int | None = None,
 ) -> dict:
     """Maintenance: recount the corpus from the stored rows, re-derive
-    H from the sizing rule, and if it changed rebuild the signatures
-    at the new width — new data dir written completely FIRST, then one
-    atomic manifest flip, then the old dir dropped. Also collapses
-    duplicate appends of the same vec_id (keep-one), so the pass
-    doubles as the index's dedup compaction. Probe cost after this is
-    ~bucket_target rows per bucket again, regardless of how far the
-    corpus outgrew the old width."""
+    H from the sizing rule, and rewrite the signatures whenever the
+    width changed OR duplicate appends of the same vec_id exist
+    (keep-one — so the pass truly doubles as the index's dedup
+    compaction; a same-H pass with no duplicates is a pure manifest
+    refresh). The rewrite goes to a NEW versioned data dir written
+    completely FIRST, then one atomic manifest flip, then the old dir
+    dropped — never in place, even at the same H. Probe cost after
+    this is ~bucket_target rows per bucket again, regardless of how
+    far the corpus outgrew the old width."""
     lock = acquire_compaction_lock(index_dir)
     try:
         m = read_ann_manifest(index_dir)
@@ -318,18 +342,20 @@ def resize_ann_index(
         rows = vecs.count()
         bt = bucket_target or m["bucket_target"]
         h2 = target_bits(rows, bt)
-        if h2 == m["bits"]:
-            _write_manifest(
-                index_dir, {**m, "rows": rows, "bucket_target": bt}
-            )
+        if h2 == m["bits"] and rows == m["rows"]:
+            # no width change and no duplicates to collapse — the
+            # manifest's advisory fields are the only thing to refresh
+            _write_manifest(index_dir, {**m, "bucket_target": bt})
             return {"bits": h2, "resized": False, "rows": rows}
-        data2 = _write_rows(vecs, index_dir, h2)
+        data2, n2 = _next_data_name(index_dir, h2)
+        _write_rows(vecs, index_dir, h2, data2)
         _write_manifest(
             index_dir,
             {
                 **m,
                 "bits": h2,
                 "data": data2,
+                "data_version": n2,
                 "rows": rows,
                 "bucket_target": bt,
             },
@@ -338,7 +364,8 @@ def resize_ann_index(
         return {
             "bits_before": m["bits"],
             "bits": h2,
-            "resized": True,
+            "resized": h2 != m["bits"],
+            "compacted": rows != m["rows"],
             "rows": rows,
         }
     finally:

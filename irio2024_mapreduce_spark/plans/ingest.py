@@ -51,6 +51,7 @@ attribution for it.
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import json
 import os
@@ -722,7 +723,13 @@ def _move_file(src: str, dst: str) -> str | None:
         # surface as itself, not misroute into the copy fallback
         # (which would reopen the already-renamed src and crash)
         os.rename(src, dst)
-    except OSError:
+    except OSError as e:
+        # the fallback is for CROSS-DEVICE staging only: any other
+        # OSError (EACCES, ENOSPC, read-only fs, ...) is a genuine
+        # publish failure that must surface as itself, not be masked
+        # behind a copy attempt whose own error obscures the root cause
+        if e.errno != errno.EXDEV:
+            raise
         # cross-device staging (corpus on another mount): copy to a
         # hidden temp name, fsync, atomic-replace, fsync the DEST
         # dir, and only then drop the source — the unlink (source fs)
@@ -890,22 +897,31 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
     for name in sorted(os.listdir(base)):
         d = os.path.join(base, name)
         if not os.path.isdir(d):
-            # unkeyed (uuid-named) staging leaves its sibling lock
-            # file behind when its ingest crashed — the address is
-            # never re-acquired, so GC it once its dir is gone.
-            # ACQUIRE-then-unlink-while-held, never probe-then-unlink:
-            # a bare unlink could erase the directory entry of a lock
-            # a concurrent acquirer just flocked, making their live
-            # lock invisible to every later checker.
-            if name.startswith("nokey_") and name.endswith(
-                "._alive.lock"
-            ):
+            # leftover sibling lock files are GC'd once their address
+            # can never be re-acquired: an unkeyed (uuid-named)
+            # address is never reused at all, and a KEYED address
+            # whose commit marker exists is short-circuited by the
+            # manifest replay before any re-acquire (without this, a
+            # long-running stream leaves one lock file per batch
+            # forever and every recovery pays a listdir over the
+            # ever-growing set). ACQUIRE-then-unlink-while-held,
+            # never probe-then-unlink: a bare unlink could erase the
+            # directory entry of a lock a concurrent acquirer just
+            # flocked, making their live lock invisible to every
+            # later checker.
+            if name.endswith("._alive.lock"):
+                stem = name[: -len("._alive.lock")]
+                committed_key = os.path.exists(
+                    os.path.join(index_dir, "_commit_markers", stem)
+                )
+                if not (stem.startswith("nokey_") or committed_key):
+                    continue  # keyed, uncommitted: address may be reused
                 try:
                     held = acquire_flock(d, purpose="GC'd")
                 except (RuntimeError, FileNotFoundError):
                     continue  # live holder, or already GC'd
                 try:
-                    if not os.path.isdir(d[: -len("._alive.lock")]):
+                    if not os.path.isdir(os.path.join(base, stem)):
                         try:
                             os.unlink(d)
                         except FileNotFoundError:
@@ -914,7 +930,17 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
                     release_flock(held)
             continue
         if os.path.exists(os.path.join(d, _COMMITTED)):
-            _publish_staged(d)
+            try:
+                _publish_staged(d)
+            except RuntimeError:
+                # patience exhausted inside the publish (the staging's
+                # live owner is mid-publish, or a long compaction holds
+                # the index/corpus lock): the batch is committed and
+                # WILL roll forward on the next touch — aborting an
+                # unrelated caller's entry recovery over it would turn
+                # a transient lock hold into a spurious failure
+                out["in_flight"] += 1
+                continue
             out["rolled_forward"] += 1
             continue
         # in-flight probe checks BOTH lock locations (the in-dir path
@@ -936,8 +962,11 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
             # sibling flock does not exclude) may have gone live —
             # between the probe and our acquisition
             if os.path.exists(os.path.join(d, _COMMITTED)):
-                _publish_staged(d)
-                out["rolled_forward"] += 1
+                try:
+                    _publish_staged(d)
+                    out["rolled_forward"] += 1
+                except RuntimeError:
+                    out["in_flight"] += 1  # lock patience exhausted
             elif flock_is_live(os.path.join(d, "_alive.lock")):
                 out["in_flight"] += 1
             elif os.path.isdir(d):

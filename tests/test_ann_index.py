@@ -59,7 +59,7 @@ def test_build_probe_parity_with_fly(spark, emb, tmp_path):
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     m = build_ann_index(spark, corpus, idx, bits=8)
-    assert m["bits"] == 8 and m["data"] == "rows_h8"
+    assert m["bits"] == 8 and m["data"] == "rows_h8_v1"
     stored = _rows(probe_ann_index(spark, queries, idx))
     fly = _rows(_ann_topk(emb, bits=8))
     assert stored == fly and len(stored) > 0
@@ -108,7 +108,7 @@ def test_append_then_resize_restores_bucket_target(spark, emb, tmp_path):
     assert out["bits"] > 4
     m = read_ann_manifest(idx)
     assert m["bits"] == out["bits"]
-    assert not os.path.isdir(os.path.join(idx, "rows_h4"))
+    assert not os.path.isdir(os.path.join(idx, "rows_h4_v1"))
 
     # parity with on-the-fly over the SAME grown corpus at the new H
     grown = emb.filter(F.col("vec_id") < N_QUERIES).unionByName(
@@ -132,6 +132,62 @@ def test_resize_is_noop_at_the_right_width(spark, emb, tmp_path):
     m0 = read_ann_manifest(idx)
     out = resize_ann_index(spark, idx)
     assert not out["resized"] and out["bits"] == m0["bits"]
+
+
+def test_rebuild_same_width_never_writes_into_live_dir(
+    spark, emb, tmp_path
+):
+    """r10 advice (medium): a rebuild whose recomputed H equals the
+    live index's bits must NOT overwrite the live data dir in place —
+    the dir name is versioned, so the old dir survives until the new
+    manifest flip, and lock-free probes never see a half-built index."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    m1 = build_ann_index(spark, corpus, idx, bits=8)
+    assert m1["data"] == "rows_h8_v1" and m1["data_version"] == 1
+    before = _rows(probe_ann_index(spark, queries, idx))
+
+    m2 = build_ann_index(spark, corpus, idx, bits=8)
+    assert m2["data"] == "rows_h8_v2" and m2["data_version"] == 2
+    assert not os.path.isdir(os.path.join(idx, "rows_h8_v1"))  # GC'd
+    assert _rows(probe_ann_index(spark, queries, idx)) == before
+
+
+def test_same_width_resize_compacts_duplicate_appends(
+    spark, emb, tmp_path
+):
+    """r10 advice (low): the docstring's 'doubles as dedup compaction'
+    claim must hold even when H doesn't change — duplicate appended
+    rows are physically collapsed, to a NEW versioned dir."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    n0 = corpus.count()
+    # auto-sized, so the post-dedup recount (n0) re-derives the SAME H
+    build_ann_index(spark, corpus, idx)
+    before = _rows(probe_ann_index(spark, queries, idx))
+
+    # redeliver the whole corpus: same vec_ids → pure duplicates, so
+    # the recomputed H is unchanged but physical rows doubled
+    append_ann_index(spark, corpus, idx)
+    m = read_ann_manifest(idx)
+    assert m["rows"] == 2 * n0  # advisory count includes the dupes
+    data = os.path.join(idx, m["data"])
+    phys0 = spark.read.parquet(data).filter(F.col("tbl") == 0).count()
+    assert phys0 == 2 * n0
+
+    out = resize_ann_index(spark, idx)
+    assert not out["resized"] and out["compacted"]
+    assert out["rows"] == n0
+    m2 = read_ann_manifest(idx)
+    assert m2["bits"] == m["bits"] and m2["rows"] == n0
+    assert m2["data"] != m["data"]  # rewrite went to a new version
+    data2 = os.path.join(idx, m2["data"])
+    assert (
+        spark.read.parquet(data2).filter(F.col("tbl") == 0).count() == n0
+    )
+    assert _rows(probe_ann_index(spark, queries, idx)) == before
 
 
 def test_crashed_resize_leaves_old_index_live(spark, emb, tmp_path):

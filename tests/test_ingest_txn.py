@@ -293,6 +293,79 @@ def test_unkeyed_ingest_leaves_no_lock_litter(spark, tmp_path):
     assert litter == []
 
 
+def test_keyed_committed_lock_litter_is_gcd(spark, tmp_path):
+    """ADVICE r10 (low): keyed staging lock files whose (stream,
+    batch_id) committed are never re-acquired (the manifest replay
+    short-circuits first), so recovery GCs them — a long-running
+    stream must not leave one lock file per batch forever. An
+    UNCOMMITTED keyed lock address may still be reused by a
+    redelivery and must survive the GC."""
+    idx, out = _setup(spark, tmp_path)
+    ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out, batch_id=7, stream="s"
+    )
+    staged = os.path.join(idx, "_staged")
+    keyed = [n for n in os.listdir(staged) if n.endswith("._alive.lock")]
+    assert keyed  # the committed batch's lock file is still there
+
+    # an uncommitted keyed address (crashed pre-commit, marker absent)
+    uncommitted = os.path.join(staged, "feedface00_3._alive.lock")
+    with open(uncommitted, "w") as f:
+        f.write("")
+
+    recover_staged_batches(idx)
+    left = [n for n in os.listdir(staged) if n.endswith("._alive.lock")]
+    assert left == ["feedface00_3._alive.lock"]
+
+
+def test_recovery_tolerates_patience_exhausted_publish(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (low): a committed staging whose publish cannot take
+    the index/corpus lock right now (live owner mid-publish, long
+    compaction) must be counted in_flight by recovery — it rolls
+    forward on the next touch — not abort the unrelated caller."""
+    from irio2024_mapreduce_spark.sources.sinks import (
+        acquire_compaction_lock_patiently,
+    )
+
+    idx, out = _setup(spark, tmp_path)
+    with pytest.raises(SimulatedCrash):
+        ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=8, stream="s", _test_crash_after="commit",
+        )
+    monkeypatch.setattr(
+        ingest_mod,
+        "_acquire_patiently",
+        lambda path: acquire_compaction_lock_patiently(path, 2, 0.05),
+    )
+    lock = acquire_compaction_lock(idx)
+    try:
+        res = recover_staged_batches(idx)  # must not raise
+        assert res["in_flight"] >= 1 and res["rolled_forward"] == 0
+    finally:
+        release_compaction_lock(lock)
+    res2 = recover_staged_batches(idx)
+    assert res2["rolled_forward"] == 1
+    assert read_recorded_manifest(spark, idx, 8, stream="s") is not None
+
+
+def test_move_file_non_exdev_oserror_surfaces(tmp_path):
+    """ADVICE r10 (low): only EXDEV routes into the copy fallback; any
+    other rename failure is a genuine publish error and must surface
+    as ITSELF, not as the fallback's own confusing failure."""
+    src = str(tmp_path / "part-0.parquet")
+    with open(src, "wb") as f:
+        f.write(b"bytes")
+    missing_dst = str(tmp_path / "no_such_dir" / "part-0.parquet")
+    with pytest.raises(OSError) as e:
+        ingest_mod._move_file(src, missing_dst)
+    # the original rename error, not the fallback's tmp-file error
+    assert "._publish_tmp" not in str(e.value.filename)
+    assert os.path.exists(src)  # the staged source is untouched
+
+
 def test_manifest_replay_is_deterministic(spark, tmp_path):
     """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must
     replay the ORIGINAL row (appended desc), not an arbitrary one —

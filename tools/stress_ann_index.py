@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from irio2024_mapreduce_spark.operators.ann_index import (
     build_ann_index,
     probe_ann_index,
+    read_ann_manifest,
     resize_ann_index,
 )
 from irio2024_mapreduce_spark.operators.similarity import (
@@ -144,12 +145,11 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
     queries_emb = emb.filter(F.col("vec_id") < N_QUERIES)
     build_ann_index(spark, corpus_emb, idx2, bits=8)
     r = resize_ann_index(spark, idx2)
-    data2 = spark.read.parquet(
-        os.path.join(idx2, f"rows_h{r['bits']}")
-    )
-    rows_per_bucket = data2.count() / max(
-        data2.select("tbl", "cb").distinct().count(), 1
-    )
+    m2 = read_ann_manifest(idx2)
+    data2 = spark.read.parquet(os.path.join(idx2, m2["data"]))
+    total_rows2 = data2.count()
+    total_buckets2 = data2.select("tbl", "cb").distinct().count()
+    rows_per_bucket = total_rows2 / max(total_buckets2, 1)
     drain_driver_backlog(spark)
     t0 = time.perf_counter()
     resized_rows = [
@@ -164,11 +164,46 @@ def run_scale(spark, sf_dir: str, n: int) -> dict:
         f"resized stored-index answers diverge from on-the-fly at {n}x"
     )
 
+    # POST-resize probe selectivity (r10 verdict item 2): the resized
+    # probe's row mass shown in rows — the O(1)-per-probe claim that
+    # fixture-scale WALLS (overhead-dominated) cannot show. Probed
+    # (tbl, cb) pairs come from the same bounded list the probe
+    # builds; rows_read is the mass of the probed-and-present buckets.
+    probes2 = _ann_query_probes(
+        _ann_sigs(queries_emb, m2["bits"]), m2["bits"], max_id=None
+    )
+    pairs2 = {
+        (x["qtbl"], x["probe"])
+        for x in probes2.select("qtbl", "probe").distinct().collect()
+    }
+    probe_pairs_df = spark.createDataFrame(
+        [(int(t), int(b)) for t, b in sorted(pairs2)], "tbl int, cb long"
+    )
+    present = data2.select(
+        F.col("tbl").cast("int").alias("tbl"),
+        F.col("cb").cast("long").alias("cb"),
+    ).join(F.broadcast(probe_pairs_df), ["tbl", "cb"], "inner")
+    rows_read2 = present.count()
+    buckets_probed2 = present.select("tbl", "cb").distinct().count()
+
     return {
         "resized_bits": r["bits"],
         "rows_per_bucket_after_resize": round(rows_per_bucket, 1),
         "index_probe_resized_sec": probe_resized_sec,
         "parity_resized": True,
+        "resized_index_rows": total_rows2,
+        "resized_total_buckets": total_buckets2,
+        "resized_buckets_probed_present": buckets_probed2,
+        "resized_bucket_touched_frac": round(
+            buckets_probed2 / max(total_buckets2, 1), 4
+        ),
+        "resized_rows_read": rows_read2,
+        "resized_rows_touched_frac": round(
+            rows_read2 / max(total_rows2, 1), 4
+        ),
+        "resized_rows_read_per_probed_bucket": round(
+            rows_read2 / max(buckets_probed2, 1), 1
+        ),
         "corpus_rows": corpus_rows,
         "index_rows": index_rows,
         "total_buckets": total_buckets,
@@ -289,6 +324,17 @@ def main() -> None:
     out["probe_ratio_after_resize"] = round(
         sn["index_probe_resized_sec"]
         / max(s1["index_probe_resized_sec"], 0.01),
+        1,
+    )
+    # the structural claim (r10 verdict item 2): post-resize rows_read
+    # per probed bucket ≈ bucket_target at BOTH scales — the probe's
+    # row mass is corpus-size independent after maintenance
+    out["resized_rows_read_ratio"] = round(
+        sn["resized_rows_read"] / max(s1["resized_rows_read"], 1), 2
+    )
+    out["resized_touched_frac_shrink"] = round(
+        s1["resized_rows_touched_frac"]
+        / max(sn["resized_rows_touched_frac"], 1e-9),
         1,
     )
     out["bits_curve"] = bits_curve(spark)
