@@ -333,7 +333,15 @@ def probe_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
-    stored = spark.read.option("basePath", data_dir).parquet(*paths)
+    # keep-one on vec_id: a crash-replayed ingest roll-forward can
+    # re-append rows (at-least-once in its rare re-shape path); the
+    # dedup runs on the PROBED subset only — bounded row mass — and
+    # is a no-op hash-agg when no duplicates exist
+    stored = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*paths)
+        .dropDuplicates(["vec_id"])
+    )
     if m["quantized"]:
         stored = stored.select(
             "vec_id",

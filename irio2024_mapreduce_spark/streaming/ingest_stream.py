@@ -71,6 +71,9 @@ def run_ingest_stream(
     files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
     family: str = "ngram",
+    emb_col: str | None = None,
+    ann_index_dir: str | None = None,
+    ivf_index_dir: str | None = None,
 ) -> list[dict]:
     """Drain ``source_dir`` (availableNow) through the ingest driver,
     one ``ingest_batch`` call per micro-batch; ``family`` must match
@@ -79,7 +82,14 @@ def run_ingest_stream(
     ``index_dir`` (:func:`default_checkpoint_dir`) so a rerun resumes
     instead of re-delivering every file. Returns the per-batch
     manifests in processing order (replayed batches return their
-    recorded manifest)."""
+    recorded manifest).
+
+    ``emb_col`` names the batch schema's embedding column
+    (``array<float/double>``); with ``ann_index_dir`` /
+    ``ivf_index_dir`` each micro-batch's admitted vectors join the
+    stored similarity indexes inside the batch's own transactional
+    commit — the stream keeps corpus AND indexes consistent with
+    no separate backfill job."""
     manifests: list[dict] = []
     ckpt = checkpoint_dir or default_checkpoint_dir(index_dir, source_dir)
     # Structured Streaming numbers batches from 0 PER CHECKPOINT —
@@ -91,14 +101,27 @@ def run_ingest_stream(
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_emb = None
+        docs = batch_df
+        if emb_col is not None:
+            import pyspark.sql.functions as F  # noqa: PLC0415
+
+            batch_emb = batch_df.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col(emb_col).alias("v"),
+            )
+            docs = batch_df.drop(emb_col)
         m = ingest_batch(
             spark,
-            batch_df,
+            docs,
             index_dir,
             corpus_dir,
             family=family,
             batch_id=int(batch_id),
             stream=stream_key,
+            batch_emb=batch_emb,
+            ann_index_dir=ann_index_dir,
+            ivf_index_dir=ivf_index_dir,
         )
         m["batch_id"] = int(batch_id)
         manifests.append(m)

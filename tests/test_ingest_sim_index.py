@@ -1,0 +1,262 @@
+"""Ingest-integrated stored similarity indexes (r10 verdict item 1):
+``ingest_batch(..., batch_emb=, ann_index_dir=, ivf_index_dir=)``
+stages the admitted survivors' vectors beside the other batch parts,
+and the ONE ``_committed`` marker covers them — a crash at any publish
+step leaves dedup halves, corpus, stats, manifest AND both similarity
+indexes consistent (all-or-nothing), matching the reference's
+all-steps-of-one-job model
+(/root/reference/mapreduce/coordinator/update_loop.py:149-154).
+Covers: happy path (+ probe parity with on-the-fly), the extended
+kill matrix, redelivery exactly-once, and the geometry-change crash
+window (a resize/rebuild committing between the batch's commit and
+its roll-forward)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.ann_index import (
+    build_ann_index,
+    probe_ann_index,
+    read_ann_manifest,
+    resize_ann_index,
+)
+from irio2024_mapreduce_spark.operators.ivf_index import (
+    build_ivf_index,
+    probe_ivf_index,
+    read_ivf_manifest,
+    rebuild_ivf_index,
+)
+from irio2024_mapreduce_spark.operators.similarity import (
+    EMB_DIM,
+    _ann_topk,
+)
+from irio2024_mapreduce_spark.plans.ingest import (
+    SimulatedCrash,
+    build_corpus_index,
+    ingest_batch,
+    read_recorded_manifest,
+    recover_staged_batches,
+)
+
+T_CORPUS = [
+    (100, "the ancient library kept thousands of scrolls catalogued "
+          "by patient scribes over centuries"),
+    (101, "the fishing village woke before dawn as boats slipped "
+          "quietly into the grey harbor water"),
+]
+T_BATCH = [
+    (200, "the mountain trail crossed seven wooden bridges before "
+          "reaching the snowy summit ridge"),
+    (201, "the ancient library kept thousands of scrolls catalogued "
+          "by patient scribes over centuries"),  # exact dup of 100
+    (202, "the night train rattled past sleeping towns carrying mail "
+          "and quiet travellers north"),
+]
+SEED_IDS = [100, 101]
+# 201 is an exact duplicate: its vector must NOT enter the indexes
+ADMITTED = sorted(SEED_IDS + [200, 202])
+
+CRASH_POINTS = [
+    "stage",
+    "commit",
+    "move:hashes",
+    "move:corpus",
+    "move:ann_index",  # new: after the ANN part published
+    "move:ivf_index",  # new: after the IVF part published
+    "marker",
+]
+PRE_COMMIT = {"stage"}
+
+
+def _vec(seed: int) -> list[float]:
+    rng = random.Random(seed)
+    return [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), _vec(i)) for i in ids],
+        f"vec_id long, v array<double>",
+    )
+
+
+def _setup(spark, root):
+    """Corpus index over the seed docs + stored ANN/IVF indexes over
+    the seed docs' vectors — the state a one-shot build leaves."""
+    idx = str(root / "idx")
+    out = str(root / "corpus")
+    ann = str(root / "ann")
+    ivf = str(root / "ivf")
+    build_corpus_index(spark, _frame(spark, T_CORPUS), idx)
+    build_ann_index(spark, _emb(spark, SEED_IDS), ann, bits=8)
+    build_ivf_index(spark, _emb(spark, SEED_IDS), ivf, k_cells=2)
+    return idx, out, ann, ivf
+
+
+def _ingest(spark, idx, out, ann, ivf, crash=None):
+    return ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out,
+        batch_id=5, stream="s",
+        batch_emb=_emb(spark, [i for i, _ in T_BATCH]),
+        ann_index_dir=ann, ivf_index_dir=ivf,
+        _test_crash_after=crash,
+    )
+
+
+def _ann_ids(spark, ann):
+    m = read_ann_manifest(ann)
+    df = spark.read.parquet(os.path.join(ann, m["data"]))
+    return sorted(
+        r["neighbor_id"]
+        for r in df.filter(F.col("tbl") == 0)
+        .select("neighbor_id")
+        .collect()
+    )
+
+
+def _ivf_ids(spark, ivf):
+    m = read_ivf_manifest(ivf)
+    df = spark.read.parquet(
+        os.path.join(ivf, f"cells_v{m['data_version']}")
+    )
+    return sorted(r["vec_id"] for r in df.select("vec_id").collect())
+
+
+def _probe_top1(spark, probe_fn, index_dir, doc_id):
+    """Probe with the exact stored vector: top-1 must be the doc
+    itself at cosine 1.0 — the index answers over the FULL corpus."""
+    q = spark.createDataFrame(
+        [(0, _vec(doc_id))], "vec_id long, v array<double>"
+    )
+    top = (
+        probe_fn(spark, q, index_dir)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == doc_id
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_happy_path_appends_and_probes(spark, tmp_path):
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    m = _ingest(spark, idx, out, ann, ivf)
+    assert m["appended"] == 2 and m["exact_dups"] == 1
+    assert _ann_ids(spark, ann) == ADMITTED
+    assert _ivf_ids(spark, ivf) == ADMITTED
+    assert read_ann_manifest(ann)["rows"] == len(ADMITTED)
+    assert read_ivf_manifest(ivf)["rows"] == len(ADMITTED)
+
+    # stored-ANN probe == on-the-fly over the FULL grown corpus, at
+    # the manifest's own bits (the verdict's done-bar)
+    queries = _emb(spark, [0, 1, 2])
+    emb_all = queries.unionByName(_emb(spark, ADMITTED))
+    stored = sorted(
+        tuple(r) for r in probe_ann_index(spark, queries, ann).collect()
+    )
+    fly = sorted(
+        tuple(r)
+        for r in _ann_topk(
+            emb_all, bits=read_ann_manifest(ann)["bits"]
+        ).collect()
+    )
+    assert stored == fly and len(stored) > 0
+    # IVF centroids are the BUILD-time quantizer (append assigns to
+    # them), so the check is self-probe exactness, not fly parity
+    for d in ADMITTED:
+        _probe_top1(spark, probe_ivf_index, ivf, d)
+
+
+def test_kill_matrix_covers_similarity_indexes(spark, tmp_path):
+    """Extended kill matrix: at every publish step, either NOTHING of
+    the batch is visible in the similarity indexes (pre-commit) or
+    recovery makes ALL of it visible (post-commit); redelivery is
+    exactly-once — no duplicate physical index rows."""
+    for i, point in enumerate(CRASH_POINTS):
+        root = tmp_path / f"p{i}"
+        root.mkdir()
+        idx, out, ann, ivf = _setup(spark, root)
+        with pytest.raises(SimulatedCrash):
+            _ingest(spark, idx, out, ann, ivf, crash=point)
+
+        if point in PRE_COMMIT:
+            # atomicity: nothing of the batch in either index
+            assert _ann_ids(spark, ann) == SEED_IDS, point
+            assert _ivf_ids(spark, ivf) == SEED_IDS, point
+            recover_staged_batches(idx)
+            assert _ann_ids(spark, ann) == SEED_IDS, point
+            # redelivery admits normally — lossless
+            m = _ingest(spark, idx, out, ann, ivf)
+        else:
+            recover_staged_batches(idx)
+            m = read_recorded_manifest(spark, idx, 5, stream="s")
+            assert m is not None, point
+            # a redelivery after recovery replays, never re-appends
+            m2 = _ingest(spark, idx, out, ann, ivf)
+            assert m2 == m, point
+        assert m["appended"] == 2, point
+        # exactly-once: the PHYSICAL row sets equal the admitted set
+        assert _ann_ids(spark, ann) == ADMITTED, point
+        assert _ivf_ids(spark, ivf) == ADMITTED, point
+        assert read_recorded_manifest(spark, idx, 5, stream="s") == m
+        _probe_top1(spark, probe_ann_index, ann, 200)
+        _probe_top1(spark, probe_ivf_index, ivf, 202)
+
+
+def test_geometry_change_in_crash_window(spark, tmp_path):
+    """The slow path: a batch commits, crashes before its index parts
+    move, and maintenance (ANN resize + IVF rebuild) runs BEFORE the
+    roll-forward — the staged rows target dead data dirs, so recovery
+    re-shapes them at the CURRENT geometry. Nothing is lost, nothing
+    doubles, probes answer over the full corpus."""
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    with pytest.raises(SimulatedCrash):
+        _ingest(spark, idx, out, ann, ivf, crash="move:corpus")
+
+    # maintenance commits new geometry from the LIVE (seed-only) rows
+    r = resize_ann_index(spark, ann)  # 2 rows → width drops to BITS_MIN
+    assert r["resized"]
+    rb = rebuild_ivf_index(spark, ivf, k_cells=3)
+    assert rb["rebuilt"]
+
+    recover_staged_batches(idx)
+    assert _ann_ids(spark, ann) == ADMITTED
+    assert _ivf_ids(spark, ivf) == ADMITTED
+    # advisory counts bumped exactly once despite the detour
+    assert read_ann_manifest(ann)["rows"] == len(ADMITTED)
+    assert read_ivf_manifest(ivf)["rows"] == len(ADMITTED)
+    _probe_top1(spark, probe_ann_index, ann, 200)
+    _probe_top1(spark, probe_ivf_index, ivf, 200)
+    # idempotent: a second recovery pass finds nothing to do
+    res = recover_staged_batches(idx)
+    assert res == {"rolled_forward": 0, "discarded": 0, "in_flight": 0}
+    assert _ann_ids(spark, ann) == ADMITTED
+
+
+def test_missing_batch_emb_fails_loudly(spark, tmp_path):
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="batch_emb"):
+        ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=5, stream="s", ann_index_dir=ann,
+        )
+    with pytest.raises(ValueError, match="distinct"):
+        ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=5, stream="s",
+            batch_emb=_emb(spark, [200]),
+            ann_index_dir=ann, ivf_index_dir=ann,
+        )

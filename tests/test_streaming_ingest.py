@@ -45,6 +45,101 @@ def _write_batch(path, rows):
     ).to_parquet(path)
 
 
+def test_stream_keeps_similarity_indexes_fresh(spark, tmp_path):
+    """emb_col + ann/ivf dirs: every micro-batch's ADMITTED vectors
+    join the stored indexes inside the batch's transactional commit —
+    duplicates' and killed docs' vectors never enter; a probe after
+    the stream answers over the full corpus."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        build_ann_index,
+        probe_ann_index,
+        read_ann_manifest,
+    )
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        build_ivf_index,
+        probe_ivf_index,
+        read_ivf_manifest,
+    )
+    from irio2024_mapreduce_spark.operators.similarity import EMB_DIM
+
+    def vec(seed):
+        rng = random.Random(seed)
+        return [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+    def write_batch_emb(path, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["src0"] * len(rows),
+                "n_chars": [len(t or "") for _, t in rows],
+                "emb": [vec(i) for i, _ in rows],
+            }
+        ).to_parquet(path)
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    ann, ivf = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    seed = spark.createDataFrame(
+        [(100, T_CORPUS0, "en", "src0", len(T_CORPUS0))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    build_corpus_index(spark, seed, idx)
+    seed_emb = spark.createDataFrame(
+        [(100, vec(100))], "vec_id long, v array<double>"
+    )
+    build_ann_index(spark, seed_emb, ann, bits=8)
+    build_ivf_index(spark, seed_emb, ivf, k_cells=1)
+
+    write_batch_emb(
+        src / "day1.parquet",
+        [(200, T_FRESH1), (201, T_CORPUS0), (202, None)],
+    )
+    write_batch_emb(src / "day2.parquet", [(300, T_FRESH1), (302, T_FRESH2)])
+    schema = spark.read.parquet(str(src)).schema
+    manifests = run_ingest_stream(
+        spark, str(src), schema, idx, out, files_per_trigger=1,
+        emb_col="emb", ann_index_dir=ann, ivf_index_dir=ivf,
+    )
+    assert [m["appended"] for m in manifests] == [1, 1]
+
+    m_ann, m_ivf = read_ann_manifest(ann), read_ivf_manifest(ivf)
+    ann_ids = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(os.path.join(ann, m_ann["data"]))
+        .filter(F.col("tbl") == 0)
+        .select("neighbor_id")
+        .collect()
+    }
+    ivf_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            os.path.join(ivf, f"cells_v{m_ivf['data_version']}")
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert ann_ids == {100, 200, 302} == ivf_ids
+    assert m_ann["rows"] == 3 and m_ivf["rows"] == 3
+
+    q = spark.createDataFrame(
+        [(0, vec(302))], "vec_id long, v array<double>"
+    )
+    for probe in (probe_ann_index, probe_ivf_index):
+        top = probe(spark, q, ann if probe is probe_ann_index else ivf)
+        top1 = top.filter(F.col("rank") == 1).collect()[0]
+        assert top1["neighbor_id"] == 302
+        assert top1["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_stream_batches_dedup_in_file_order(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "corpus")
