@@ -115,6 +115,69 @@ R01_COMPARABLE = [
 # report min of N — steady-state, post-JIT, robust to background load
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+# canary-normalization constants (shared by compute_load_flags and the
+# artifact writer): CANARY_REF_SEC is the frozen reference point — the
+# median idle-host COLD canary observed across the r7 artifacts
+# (0.24-0.26 s band; definition in SCALE.md). Idle-host cold canaries
+# across r7-r10 artifacts measured 0.252-0.322, so 1.5× the reference
+# separates host-speed jitter from genuine contention.
+CANARY_REF_SEC = 0.250
+LOAD_FLAG = 4.0
+COLD_DEVIATION = 1.5
+DRIFT_FLAG = 1.35
+WARMUP_SAMPLES = 5
+
+
+def compute_load_flags(
+    load_start1: float, canary: float, series_vals: list[float]
+) -> dict:
+    """The bench's contention self-flag — pure so tests can drive it
+    with synthetic profiles. r10 verdict item 3: the old criterion
+    (steady-tail max/min spread > 2×) fired on EVERY run including
+    idle ones (single canary samples that land beside a heavy query's
+    GC spike 2-3× routinely), so it protected nothing. The new
+    criteria are each robust to single-sample noise:
+
+    * ``load_start`` — the pre-session 1-min load average (sustained
+      load already present);
+    * ``cold_dev`` — the upfront min-of-3 COLD canary deviates > 1.5×
+      from the frozen idle-host reference (sustained load at start,
+      or a genuinely slower machine — either way the raw seconds are
+      not comparable);
+    * ``midrun_drift`` — the MEDIANS of the steady tail's two
+      chronological halves diverge > 1.35× (load that arrived
+      mid-battery; medians, not extremes, so one GC-adjacent sample
+      cannot fire it — idle-host halves measure within ~1.1×);
+    * ``early_contended`` — the warm-up window's worst sample exceeds
+      3× the steady median (JIT warm-up measures ≤ ~2.2× steady on an
+      idle host; 3× means something else was running during the only
+      window the tail excludes).
+
+    Returns the per-criterion booleans, the combined flag, and the
+    half-medians (the drift bounds the normalized interval)."""
+    steady = series_vals[WARMUP_SAMPLES:] or list(series_vals)
+    s_sorted = sorted(steady)
+    c_med = s_sorted[len(s_sorted) // 2] if s_sorted else canary
+    half = len(steady) // 2
+    first, second = steady[:half] or steady, steady[half:] or steady
+    m1 = sorted(first)[len(first) // 2]
+    m2 = sorted(second)[len(second) // 2]
+    drift = max(m1, m2) / max(min(m1, m2), 1e-9)
+    early = series_vals[:WARMUP_SAMPLES]
+    flags = {
+        "load_start": load_start1 > LOAD_FLAG,
+        "cold_dev": canary > COLD_DEVIATION * CANARY_REF_SEC,
+        "midrun_drift": drift > DRIFT_FLAG,
+        "early_contended": bool(early) and max(early) > 3 * c_med,
+    }
+    return {
+        **flags,
+        "flagged": any(flags.values()),
+        "steady_median": round(c_med, 3),
+        "half_medians": [round(m1, 3), round(m2, 3)],
+        "drift": round(drift, 3),
+    }
+
 
 def run_once(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -304,68 +367,48 @@ def main() -> None:
     )
     # canary-normalized subset (VERDICT r7 item 7): subset scaled by
     # canary_ref/canary so cross-round comparisons don't depend on
-    # prose arguments about host noise. CANARY_REF_SEC is the frozen
-    # reference point — the median idle-host canary observed across
-    # the r7 artifacts (0.24-0.26 s band; definition in SCALE.md).
-    CANARY_REF_SEC = 0.250
-    # the interleaved series bounds the normalization honestly: the
-    # subset ran under machine speeds spanning [min, max], so the
-    # normalized subset is an INTERVAL, not a point. The first few
-    # samples ride the JVM's JIT warm-up ramp (measured idle-host
-    # series: 0.398 → 0.359 → 0.288 → 0.225 → steady ~0.18), so the
-    # sustained-speed statistics use the STEADY TAIL — everything
-    # after the first 5 queries — or the warm-up alone would flag
-    # every run and skew the median. The headline machine_canary_sec
-    # stays the upfront min-of-3 (the r7-r9 methodology the frozen
-    # 0.250 reference was calibrated against — cross-round
-    # comparisons must not silently change metric).
+    # prose arguments about host noise. COLD/COLD only: the upfront
+    # min-of-3 cold canary against the frozen cold reference — the
+    # r7-r9 methodology the 0.250 was calibrated on. (The old sidecar
+    # also divided the WARM-tail median by the cold reference, which
+    # produced a nonsense 16.9 s "normalized" reading of a 10 s run —
+    # r10 verdict item 3; that field is gone.)
     series_vals = list(canary_series.values())
-    steady = sorted(series_vals[5:]) or sorted(series_vals)
-    c_min = steady[0]
-    c_max = steady[-1]
-    c_med = steady[len(steady) // 2]
-    # background load self-flag (r9: load_avg 9.8 behind a clean
-    # canary) — a flagged artifact should not anchor cross-round claims
-    LOAD_FLAG = 4.0
-    # load_end is NOT part of the flag: the 1-min average at the end
-    # mostly measures the bench's own 32-thread burn. Mid-run
-    # contention shows up as steady-tail canary spread; contention
-    # confined to the WARM-UP window (which the tail excludes) is
-    # caught by comparing the early samples against the steady median
-    # with a generous JIT allowance (warm-up measures ≤ ~2.2× steady
-    # on an idle host — 3× means something else was running)
-    early_contended = bool(series_vals) and max(series_vals[:5]) > (
-        3 * c_med
-    )
-    load_flagged = (
-        load_start[0] > LOAD_FLAG
-        or c_max > 2 * c_min
-        or early_contended
-    )
+    lf = compute_load_flags(load_start[0], canary, series_vals)
+    load_flagged = lf["flagged"]
+    normalized = round(r01_subset * CANARY_REF_SEC / canary, 3)
+    # the normalized interval: the cold-anchored point widened by the
+    # measured SUSTAINED mid-run speed drift (the steady tail's
+    # half-medians' ratio). Idle-host drift is ~1.1×, so the interval
+    # stays tight; a drifting run widens it AND flags itself.
+    bounds = [
+        round(normalized / lf["drift"], 3),
+        round(normalized * lf["drift"], 3),
+    ]
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "iterations": ITERATIONS,
                 "machine_canary_sec": canary,
                 "canary_ref_sec": CANARY_REF_SEC,
-                "subset_canary_normalized_sec": round(
-                    r01_subset * CANARY_REF_SEC / canary, 3
-                ),
+                "subset_canary_normalized_sec": normalized,
+                "subset_normalized_bounds_sec": bounds,
                 "canary_series": canary_series,
-                # steady-tail stats (post-warm-up); NOTE the hot-JIT
-                # canary runs ~1.5-2× faster than the upfront batch
-                # the 0.250 reference was calibrated on, so these
-                # normalized values are a SPREAD/consistency signal,
-                # not directly comparable to prior rounds' normalized
-                # subset (use subset_canary_normalized_sec for that)
-                "canary_steady_median_sec": round(c_med, 3),
-                "subset_normalized_steady_median_sec": round(
-                    r01_subset * CANARY_REF_SEC / c_med, 3
-                ),
-                "subset_normalized_steady_bounds_sec": [
-                    round(r01_subset * CANARY_REF_SEC / c_max, 3),
-                    round(r01_subset * CANARY_REF_SEC / c_min, 3),
-                ],
+                # steady-tail diagnostics (warm-JIT scale — NOT
+                # comparable to the cold reference; never divide one
+                # by the other)
+                "canary_steady_median_sec": lf["steady_median"],
+                "canary_half_medians_sec": lf["half_medians"],
+                "canary_midrun_drift": lf["drift"],
+                "load_flag_criteria": {
+                    k: lf[k]
+                    for k in (
+                        "load_start",
+                        "cold_dev",
+                        "midrun_drift",
+                        "early_contended",
+                    )
+                },
                 "load_flagged": load_flagged,
                 "iteration_times": iteration_times,
                 "iteration_gc_ms": iteration_gc_ms,
@@ -395,12 +438,12 @@ def main() -> None:
                 "transient_count": len(transients),
                 # fixed-work JVM canary (see above): normalize
                 # cross-round totals as value / machine_canary_sec;
-                # the steady median is over the per-query interleaved
-                # series' post-warm-up tail, and load_flagged marks
-                # artifacts run under contention — don't anchor
+                # load_flagged marks artifacts run under contention
+                # (pre-session load, cold-canary deviation, mid-run
+                # drift, warm-up contention) — don't anchor
                 # cross-round claims on flagged runs
                 "machine_canary_sec": canary,
-                "canary_steady_median_sec": round(c_med, 3),
+                "subset_canary_normalized_sec": normalized,
                 "load_flagged": load_flagged,
                 "detail": os.path.basename(detail_path),
                 "sf": sf_dir,

@@ -329,23 +329,30 @@ def resize_ann_index(
         m = read_ann_manifest(index_dir)
         _gc_orphan_data_dirs(index_dir, m["data"])
         data_dir = os.path.join(index_dir, m["data"])
-        vecs = (
+        stored0 = (
             spark.read.parquet(data_dir)
             .filter(F.col("tbl") == 0)
             .select(
                 F.col("neighbor_id").alias("vec_id"),
                 F.col("cv").alias("v"),
             )
-            .dropDuplicates(["vec_id"])
-            .localCheckpoint(eager=True)
+        )
+        # physical vs deduped count IS the duplicate signal (the
+        # manifest's advisory count can already equal the unique
+        # count while the data dir holds crash-replayed copies)
+        physical = stored0.count()
+        vecs = stored0.dropDuplicates(["vec_id"]).localCheckpoint(
+            eager=True
         )
         rows = vecs.count()
         bt = bucket_target or m["bucket_target"]
         h2 = target_bits(rows, bt)
-        if h2 == m["bits"] and rows == m["rows"]:
-            # no width change and no duplicates to collapse — the
-            # manifest's advisory fields are the only thing to refresh
-            _write_manifest(index_dir, {**m, "bucket_target": bt})
+        if h2 == m["bits"] and rows == physical:
+            # no width change and no duplicates to collapse — true up
+            # the advisory fields only
+            _write_manifest(
+                index_dir, {**m, "rows": rows, "bucket_target": bt}
+            )
             return {"bits": h2, "resized": False, "rows": rows}
         data2, n2 = _next_data_name(index_dir, h2)
         _write_rows(vecs, index_dir, h2, data2)
@@ -365,7 +372,7 @@ def resize_ann_index(
             "bits_before": m["bits"],
             "bits": h2,
             "resized": h2 != m["bits"],
-            "compacted": rows != m["rows"],
+            "compacted": rows != physical,
             "rows": rows,
         }
     finally:

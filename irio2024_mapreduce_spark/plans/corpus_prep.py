@@ -69,6 +69,210 @@ from irio2024_mapreduce_spark.sources.tables import load_table
 # oracle is hash-checked with
 BENCHMARK_STRIPE = 8
 
+# ---------------------------------------------- transactional publish
+# The staged-generation protocol (r10 verdict item 5) — the ingest
+# commit's shape applied to prepare_corpus's three artifacts: corpus,
+# packs, and the seeded ingest index are all written under
+# `{out_dir}/_staged/prep_{uuid}/`, ONE atomic `_committed` file is
+# the commit point, and publication swaps each target into place with
+# roll-forwardable renames (tmp/old suffixes, deterministic crash
+# classification). Pre-commit crash → every live target is the
+# complete OLD generation and the staging is discarded; post-commit
+# crash → `recover_prepared` (run on every prepare_corpus entry)
+# finishes the swaps — the targets become the complete NEW generation
+# together. The old behavior (three independent overwrite calls)
+# could ship new packs beside old docs.
+#
+# Same-filesystem requirement: the swaps are directory renames, so
+# out_dir and index_dir must live on one filesystem (EXDEV surfaces
+# loudly; a committed generation retries after the operator moves the
+# target).
+_PREP_COMMITTED = "_committed"
+_PREP_PLAN = "_publish_plan.json"
+_PREP_TMP = "._prep_tmp"
+_PREP_OLD = "._prep_old"
+
+
+class SimulatedCrash(RuntimeError):
+    """Fault injection for the publish kill matrix — test-only."""
+
+
+def _crash_if(point: str | None, here: str) -> None:
+    if point == here:
+        raise SimulatedCrash(here)
+
+
+def _new_prep_staging(out_dir: str) -> tuple[str, object]:
+    """Private staging dir + held sibling liveness flock (the ingest
+    convention: lock BEFORE mkdir so recovery can never discard a
+    just-created live staging)."""
+    import uuid  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_flock,
+    )
+
+    base = os.path.join(out_dir, "_staged")
+    os.makedirs(base, exist_ok=True)
+    staging = os.path.join(base, "prep_" + uuid.uuid4().hex[:16])
+    alive = acquire_flock(staging + "._alive.lock", purpose="being prepared")
+    os.makedirs(staging)
+    return staging, alive
+
+
+def _commit_and_publish(
+    staging: str,
+    clean_path: str,
+    packs_path: str,
+    index_dir: str | None,
+    _test_crash_after: str | None = None,
+) -> None:
+    import json  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        atomic_write_file,
+    )
+
+    targets = [
+        ["corpus", os.path.abspath(clean_path)],
+        ["packs", os.path.abspath(packs_path)],
+    ]
+    if index_dir is not None:
+        targets.append(["index", os.path.abspath(index_dir)])
+    plan = {"targets": targets}
+    atomic_write_file(
+        os.path.join(staging, _PREP_PLAN), json.dumps(plan, indent=1)
+    )
+    _crash_if(_test_crash_after, "stage")
+    atomic_write_file(
+        os.path.join(staging, _PREP_COMMITTED), "committed\n"
+    )  # THE commit point
+    _crash_if(_test_crash_after, "commit")
+    _publish_prepared(staging, plan, _test_crash_after)
+
+
+def _publish_prepared(
+    staging: str, plan: dict, _test_crash_after: str | None = None
+) -> None:
+    """Swap every staged artifact into place — idempotent, so a crash
+    at any rename resumes here on the next roll-forward. Per-target
+    protocol (deterministic state classification; at most one of the
+    impossible combinations can ever exist):
+
+      rename(staged → target._prep_tmp)     # skipped if already done
+      rename(target → target._prep_old)     # skipped for gen 1 / done
+      rename(target._prep_tmp → target)
+      rmtree(target._prep_old)
+
+    Each target's swap runs under its advisory compaction lock, so a
+    concurrent ingest append or compaction of the same corpus fails
+    loudly instead of interleaving with the generation flip."""
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_compaction_lock_patiently,
+        fsync_dir,
+        release_compaction_lock,
+    )
+
+    for name, target in plan["targets"]:
+        src = os.path.join(staging, name)
+        tmp, old = target + _PREP_TMP, target + _PREP_OLD
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        lock = acquire_compaction_lock_patiently(target)
+        try:
+            if os.path.isdir(src) and not os.path.exists(tmp):
+                os.rename(src, tmp)
+            if os.path.exists(tmp):
+                if os.path.exists(target):
+                    if os.path.exists(old):  # defensive; unreachable
+                        shutil.rmtree(old)
+                    os.rename(target, old)
+                os.rename(tmp, target)
+                fsync_dir(os.path.dirname(target))
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        finally:
+            release_compaction_lock(lock)
+        _crash_if(_test_crash_after, f"swap:{name}")
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_prepared(out_dir: str) -> dict[str, int]:
+    """Classify leftover prepare_corpus stagings under
+    ``{out_dir}/_staged``: committed → finish the swaps (idempotent);
+    uncommitted with a dead holder → discard wholesale (no target was
+    touched pre-commit); live holder → leave alone. Lock-file litter
+    of dead uuid stagings is GC'd with the acquire-then-unlink-
+    while-held discipline. Returns
+    {rolled_forward, discarded, in_flight}."""
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_flock,
+        flock_is_live,
+        release_flock,
+    )
+
+    out = {"rolled_forward": 0, "discarded": 0, "in_flight": 0}
+    base = os.path.join(out_dir, "_staged")
+    if not os.path.isdir(base):
+        return out
+    for name in sorted(os.listdir(base)):
+        d = os.path.join(base, name)
+        if not name.startswith("prep_"):
+            continue
+        if not os.path.isdir(d):
+            if name.endswith("._alive.lock"):
+                try:
+                    held = acquire_flock(d, purpose="GC'd")
+                except (RuntimeError, FileNotFoundError):
+                    continue
+                try:
+                    if not os.path.isdir(d[: -len("._alive.lock")]):
+                        try:
+                            os.unlink(d)
+                        except FileNotFoundError:
+                            pass
+                finally:
+                    release_flock(held)
+            continue
+        if os.path.exists(os.path.join(d, _PREP_COMMITTED)):
+            try:
+                with open(os.path.join(d, _PREP_PLAN)) as f:
+                    plan = json.load(f)
+            except FileNotFoundError:
+                # plan is written before the marker; committed-without-
+                # plan means final cleanup was already underway
+                shutil.rmtree(d, ignore_errors=True)
+                continue
+            _publish_prepared(d, plan)
+            out["rolled_forward"] += 1
+        elif flock_is_live(d + "._alive.lock"):
+            out["in_flight"] += 1
+        else:
+            try:
+                held = acquire_flock(d + "._alive.lock", purpose="recovered")
+            except RuntimeError:
+                out["in_flight"] += 1
+                continue
+            try:
+                if os.path.exists(os.path.join(d, _PREP_COMMITTED)):
+                    with open(os.path.join(d, _PREP_PLAN)) as f:
+                        _publish_prepared(d, json.load(f))
+                    out["rolled_forward"] += 1
+                elif os.path.isdir(d):
+                    shutil.rmtree(d)
+                    out["discarded"] += 1
+                    try:
+                        os.unlink(d + "._alive.lock")
+                    except FileNotFoundError:
+                        pass
+            finally:
+                release_flock(held)
+    return out
+
 
 def prepare_corpus(
     spark: SparkSession,
@@ -79,6 +283,7 @@ def prepare_corpus(
     near_family: str = "ngram",
     holdout_split: bool = False,
     quarantine_leaks: bool = False,
+    _test_crash_after: str | None = None,
 ) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
@@ -122,7 +327,23 @@ def prepare_corpus(
     ingest indexes (md5 hashes + capped postings over the PRE-scrub
     text — the bytes tomorrow's duplicates will carry) plus the
     mergeable stats row are written there, so ``plans.ingest`` can
-    continue this corpus batch-by-batch from day one."""
+    continue this corpus batch-by-batch from day one.
+
+    PUBLICATION IS TRANSACTIONAL (r10 verdict item 5): the cleaned
+    corpus, the packs, and the seeded index are all written to a
+    private staging dir under ``{out_dir}/_staged/``, ONE atomic
+    ``_committed`` marker is the commit point, and publication swaps
+    each target into place with roll-forwardable renames. A crash at
+    ANY point leaves the output dirs either the complete OLD
+    generation (pre-commit; the staging is discarded) or — after
+    :func:`recover_prepared` runs, which every ``prepare_corpus``
+    call does on entry — the complete NEW one. Never mixed (the old
+    behavior: three independent ``overwrite`` calls, a crash between
+    them shipping new packs beside old docs).
+
+    ``_test_crash_after`` is fault injection for the
+    kill-at-every-step test — production callers never pass it."""
+    recover_prepared(out_dir)
     docs = load_table(spark, sf_dir, "documents")
     docs_in = docs.count()
 
@@ -189,60 +410,93 @@ def prepare_corpus(
     clean_path = os.path.join(out_dir, "clean_documents.parquet")
     if quarantine_leaks and not holdout_split:
         raise ValueError("quarantine_leaks requires holdout_split=True")
-    if holdout_split:
-        # stage 5.5: append-stable train/val/test tag; the partitioned
-        # layout lets a trainer's scan prune val/test without reading
-        # a row of them. With quarantine_leaks, train-side straddlers
-        # are re-tagged 'quarantined' before the write.
-        tag = (
-            quarantine_split_docs(cleaned)
-            if quarantine_leaks
-            else split_docs(cleaned)
-        )
-        tag.write.mode("overwrite").partitionBy(
-            "split"
-        ).parquet(clean_path)
-    else:
-        cleaned.write.mode("overwrite").parquet(clean_path)
-    cleaned = spark.read.parquet(clean_path)  # packing reads the artifact
+    # every artifact goes to PRIVATE staging first (no reader sees a
+    # partial generation); the downstream stages read the STAGED
+    # artifacts, exactly as they used to read the live ones
+    staging, alive = _new_prep_staging(out_dir)
+    staged_corpus = os.path.join(staging, "corpus")
+    try:
+        if holdout_split:
+            # stage 5.5: append-stable train/val/test tag; the
+            # partitioned layout lets a trainer's scan prune val/test
+            # without reading a row of them. With quarantine_leaks,
+            # train-side straddlers are re-tagged 'quarantined' before
+            # the write.
+            tag = (
+                quarantine_split_docs(cleaned)
+                if quarantine_leaks
+                else split_docs(cleaned)
+            )
+            tag.write.mode("overwrite").partitionBy(
+                "split"
+            ).parquet(staged_corpus)
+        else:
+            cleaned.write.mode("overwrite").parquet(staged_corpus)
+        cleaned = spark.read.parquet(staged_corpus)  # packing reads it
 
-    # stage 6: pack the cleaned corpus (by tokenizer output when a
-    # merge table is supplied). Under holdout_split only the train
-    # split is packed — eval docs must never enter the token stream.
-    pack_input = (
-        cleaned.filter(F.col("split") == "train")
-        if holdout_split
-        else cleaned
-    )
-    if tokenizer_merges is not None:
-        packs = pack_docs_bpe(spark, pack_input, tokenizer_merges)
-    else:
-        packs = pack_docs(spark, pack_input)
-    packs_path = os.path.join(out_dir, "packs.parquet")
-    packs.write.mode("overwrite").parquet(packs_path)
-    packs = spark.read.parquet(packs_path)
+        # stage 6: pack the cleaned corpus (by tokenizer output when a
+        # merge table is supplied). Under holdout_split only the train
+        # split is packed — eval docs must never enter the token
+        # stream.
+        pack_input = (
+            cleaned.filter(F.col("split") == "train")
+            if holdout_split
+            else cleaned
+        )
+        if tokenizer_merges is not None:
+            packs = pack_docs_bpe(spark, pack_input, tokenizer_merges)
+        else:
+            packs = pack_docs(spark, pack_input)
+        packs.write.mode("overwrite").parquet(
+            os.path.join(staging, "packs")
+        )
+        packs = spark.read.parquet(os.path.join(staging, "packs"))
 
-    if index_dir is not None:
-        # seed the ingest index from the SHIPPED corpus: dedup keys
-        # over the pre-scrub text (ingest's convention), stats row
-        # over the shipped bytes. Import here to keep the one-shot
-        # driver importable without the ingest module.
-        from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
-            seed_index_from_prepared,
+        if index_dir is not None:
+            # seed the ingest index from the SHIPPED corpus: dedup
+            # keys over the pre-scrub text (ingest's convention),
+            # stats row over the shipped bytes — seeded into STAGING
+            # as a complete index dir, swapped in with the others.
+            # Import here to keep the one-shot driver importable
+            # without the ingest module.
+            from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+                seed_index_from_prepared,
+            )
+
+            seed_index_from_prepared(
+                spark,
+                decontaminated,
+                cleaned,
+                os.path.join(staging, "index"),
+                family=near_family,
+                # the held-out eval stripe's digest set rides along so
+                # the DAILY pipeline keeps the decontamination
+                # guarantee — without it, ingested batches could
+                # reintroduce eval-set 13-grams that stage 4 just
+                # removed (ADVICE r8)
+                benchmark=benchmark,
+            )
+
+        _commit_and_publish(
+            staging, clean_path,
+            os.path.join(out_dir, "packs.parquet"),
+            index_dir, _test_crash_after,
+        )
+        # the staged frames were just renamed away — rebind the two
+        # frames the manifest aggregation below reads to the LIVE
+        # artifacts
+        cleaned = spark.read.parquet(clean_path)
+        packs = spark.read.parquet(os.path.join(out_dir, "packs.parquet"))
+    finally:
+        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+            release_flock,
         )
 
-        seed_index_from_prepared(
-            spark,
-            decontaminated,
-            cleaned,
-            index_dir,
-            family=near_family,
-            # the held-out eval stripe's digest set rides along so the
-            # DAILY pipeline keeps the decontamination guarantee —
-            # without it, ingested batches could reintroduce eval-set
-            # 13-grams that stage 4 just removed (ADVICE r8)
-            benchmark=benchmark,
-        )
+        try:
+            os.unlink(staging + "._alive.lock")
+        except FileNotFoundError:
+            pass
+        release_flock(alive)
 
     agg = packs.agg(
         F.count("*").alias("docs"),

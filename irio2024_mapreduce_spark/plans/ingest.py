@@ -1536,11 +1536,20 @@ def seed_index_from_prepared(
     stats row here would double-count corpus_stats on every build
     retry) — including the exactly-once manifests and the stream
     checkpoint, which belong to the replaced life
-    (:func:`_clear_prior_life`)."""
+    (:func:`_clear_prior_life`).
+
+    Quarantine lifecycle (r10 verdict item 6): docs tagged
+    ``split='quarantined'`` stay IN the dedup index (``raw_survivors``
+    carries them — they were admitted, and they must keep convicting
+    tomorrow's redelivered duplicates) but are EXCLUDED from the
+    stats census — ``corpus_stats`` drives training-size accounting,
+    and a quarantined doc is shipped for review, not trainable."""
     if family not in ("ngram", "lsh"):
         # validate BEFORE the destructive clear — a typo'd family must
         # not wipe the live index's exactly-once state
         raise ValueError(f"unknown index family: {family!r}")
+    if "split" in cleaned.columns:
+        cleaned = cleaned.filter(F.col("split") != "quarantined")
     _clear_prior_life(index_dir)
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")

@@ -1,0 +1,325 @@
+"""One maintenance entry point with thresholds (r10 verdict item 4).
+
+The repo grew five maintenance passes — ``compact_corpus_index``
+(dedup-index small files + crash-replay dups + cross-append bucket
+caps), fused ``compact_parquet(zorder_cols=...)`` (corpus small files
++ z-order decay in ONE rewrite), ``resize_ann_index`` (signature
+width vs corpus size), ``rebuild_ivf_index`` (k ≈ √rows re-train),
+and ``regenerate_commit_markers`` (the O(1) replay cache) — and
+nothing that decided WHEN to run which. :func:`maintain_corpus_index`
+is that decision: it reads the manifests/stats/layout each pass
+already exposes, runs — in dependency order, under each pass's own
+existing lock — exactly the passes whose thresholds tripped, and
+returns a per-pass report (ran / skipped + the measured signal), so
+one scheduled call restores every invariant and an idle corpus costs
+only the threshold probes.
+
+Threshold rationale (each calibrated by a measured artifact):
+
+* file-count fragmentation — an append-grown dataset of f tiny files
+  costs every reader f opens/tasks; trip when a part holds more than
+  ``max_files_per_part`` parquet files OR more than ``frag_ratio`` ×
+  its byte-ideal count (``ceil(bytes / target_file_bytes)``). The
+  z-order decay measurement (``tools/stress_zorder_r10.json``: skip
+  fraction 0.906 → 0.784 over five appended file sets → 0.908 after
+  ONE fused pass) calibrates the default: five file sets per
+  partition is where the decay became measurable, so the fused
+  corpus pass uses the same file-count trip wire — appends are
+  simultaneously what fragments the file set and what erodes the
+  clustering, one signal covers both;
+* crash-replay duplicates — manifests rows > distinct (stream,
+  batch_id) keys means a crash duplicated rows that every replay
+  re-reads; any excess trips the index compaction;
+* ANN width drift — ``target_bits`` (H = log2(rows/bucket_target),
+  the stored index's own sizing rule) re-derived at the CURRENT
+  physical row count differing from the manifest's bits is exactly a
+  >2× rows-per-bucket drift (the rule rounds log2, so ±1 bit ≡ 2×);
+  a physical-vs-manifest row-count mismatch (duplicate appends from
+  a crash-replayed roll-forward) trips the same pass — the rewrite
+  IS the index's dedup compaction;
+* IVF k drift — ``target_cells`` (k ≈ √rows) at the current physical
+  count off by ≥ ``size_drift`` (default 2×) from the manifest's
+  k_cells; smaller drifts leave nprobe/k within a factor the probe
+  cost tolerates, and the 2× hysteresis keeps the pass from
+  re-training on every append;
+* marker regeneration — any recorded (stream, batch_id) manifest key
+  missing its O(1) commit marker (e.g. markers created before the
+  cache existed, or a crash between row append and marker touch):
+  regenerate from the rows (the rows are the durable record).
+
+Reference parity note: the reference schedules ALL steps of a job to
+completion (/root/reference/mapreduce/coordinator/update_loop.py:149-154);
+this module is the analogous completeness guarantee for the engine's
+MAINTENANCE obligations — one call, every invariant.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# the index parts compact_corpus_index rewrites — file counts over
+# these are the fragmentation signal
+_INDEX_PARTS = (
+    "hashes",
+    "postings",
+    "bands",
+    "rep_shingles",
+    "stats",
+    "manifests",
+    "benchmark_ngrams",
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    """All data files of a (possibly hive-partitioned) dataset."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _frag_signal(
+    path: str, target_file_bytes: int
+) -> tuple[int, int, int]:
+    """(files, ideal_files, bytes) for one dataset dir."""
+    files = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    ideal = max(1, -(-total // target_file_bytes))
+    return len(files), ideal, total
+
+
+def maintain_corpus_index(
+    spark: SparkSession,
+    index_dir: str | None = None,
+    corpus_path: str | None = None,
+    partition_by: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    ann_index_dir: str | None = None,
+    ivf_index_dir: str | None = None,
+    max_files_per_part: int = 64,
+    frag_ratio: float = 4.0,
+    size_drift: float = 2.0,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Run every tripped maintenance pass over the given artifacts, in
+    dependency order: dedup-index compaction (which also regenerates
+    the commit markers) → standalone marker regeneration (only when
+    compaction did NOT run) → corpus compaction with fused z-order →
+    ANN resize → IVF rebuild. Each sub-pass takes its own advisory
+    lock exactly as when called directly; a pass whose threshold
+    isn't tripped is SKIPPED and says why. Idempotent: a second call
+    right after finds nothing tripped. Returns
+    ``{pass_name: {"ran": bool, "reason": str, ...pass_result}}``."""
+    report: dict[str, dict] = {}
+
+    if index_dir:
+        report["index_compaction"] = _maybe_compact_index(
+            spark, index_dir, max_files_per_part, frag_ratio,
+            target_file_bytes,
+        )
+        if not report["index_compaction"]["ran"]:
+            # compaction regenerates markers itself; only probe the
+            # cache separately when the big pass was skipped
+            report["commit_markers"] = _maybe_regen_markers(
+                spark, index_dir
+            )
+    if corpus_path:
+        report["corpus_compaction"] = _maybe_compact_corpus(
+            spark, corpus_path, partition_by, zorder_cols,
+            max_files_per_part, frag_ratio, target_file_bytes,
+        )
+    if ann_index_dir:
+        report["ann_resize"] = _maybe_resize_ann(spark, ann_index_dir)
+    if ivf_index_dir:
+        report["ivf_rebuild"] = _maybe_rebuild_ivf(
+            spark, ivf_index_dir, size_drift
+        )
+    return report
+
+
+def _maybe_compact_index(
+    spark, index_dir, max_files, frag_ratio, target_bytes
+) -> dict:
+    from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+        _read_manifest_rows,
+        compact_corpus_index,
+    )
+
+    worst = ("", 0, 0)
+    for part in _INDEX_PARTS:
+        p = os.path.join(index_dir, part)
+        if not os.path.isdir(p):
+            continue
+        n, ideal, _ = _frag_signal(p, target_bytes)
+        if n > max_files or n > frag_ratio * ideal:
+            worst = (part, n, ideal)
+            break
+    dup_keys = 0
+    if not worst[0] and os.path.isdir(os.path.join(index_dir, "manifests")):
+        mrows = _read_manifest_rows(spark, index_dir)
+        dup_keys = (
+            mrows.count()
+            - mrows.select("stream", "batch_id").distinct().count()
+        )
+    if not worst[0] and dup_keys == 0:
+        return {
+            "ran": False,
+            "reason": (
+                f"no part over {max_files} files or {frag_ratio}x "
+                "ideal; no crash-replay duplicate manifest keys"
+            ),
+        }
+    reason = (
+        f"part {worst[0]}: {worst[1]} files vs ideal {worst[2]}"
+        if worst[0]
+        else f"{dup_keys} crash-replay duplicate manifest keys"
+    )
+    out = compact_corpus_index(
+        spark, index_dir, target_file_bytes=target_bytes
+    )
+    return {"ran": True, "reason": reason, "parts": out}
+
+
+def _maybe_regen_markers(spark, index_dir) -> dict:
+    from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+        _commit_marker,
+        _read_manifest_rows,
+        regenerate_commit_markers,
+    )
+
+    if not os.path.isdir(os.path.join(index_dir, "manifests")):
+        return {"ran": False, "reason": "no manifests part"}
+    keys = (
+        _read_manifest_rows(spark, index_dir)
+        .select("stream", "batch_id")
+        .distinct()
+        .collect()
+    )
+    missing = sum(
+        1
+        for r in keys
+        if not os.path.exists(
+            _commit_marker(index_dir, r["batch_id"], r["stream"])
+        )
+    )
+    if missing == 0:
+        return {
+            "ran": False,
+            "reason": f"all {len(keys)} recorded keys have markers",
+        }
+    n = regenerate_commit_markers(spark, index_dir)
+    return {
+        "ran": True,
+        "reason": f"{missing} keys missing markers",
+        "markers": n,
+    }
+
+
+def _maybe_compact_corpus(
+    spark, corpus_path, partition_by, zorder_cols, max_files,
+    frag_ratio, target_bytes,
+) -> dict:
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        compact_parquet,
+        compact_parquet_versioned,
+        resolve_current,
+    )
+
+    versioned = os.path.exists(os.path.join(corpus_path, "_CURRENT"))
+    data = resolve_current(corpus_path) if versioned else corpus_path
+    if not os.path.isdir(data):
+        return {"ran": False, "reason": f"{data} does not exist"}
+    n, ideal, _ = _frag_signal(data, target_bytes)
+    if n <= max_files and n <= frag_ratio * ideal:
+        return {
+            "ran": False,
+            "reason": (
+                f"{n} files within {max_files} and {frag_ratio}x "
+                f"ideal ({ideal}) — clustering decay rides the same "
+                "append count (see module docstring calibration)"
+            ),
+        }
+    fn = compact_parquet_versioned if versioned else compact_parquet
+    out = fn(
+        spark,
+        corpus_path,
+        target_file_bytes=target_bytes,
+        partition_by=partition_by,
+        zorder_cols=zorder_cols,
+    )
+    return {
+        "ran": True,
+        "reason": f"{n} files vs ideal {ideal}",
+        **{k: v for k, v in out.items()},
+    }
+
+
+def _maybe_resize_ann(spark, ann_index_dir) -> dict:
+    from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
+        read_ann_manifest,
+        resize_ann_index,
+        target_bits,
+    )
+
+    m = read_ann_manifest(ann_index_dir)
+    data = os.path.join(ann_index_dir, m["data"])
+    # physical row count from parquet footers of the tbl=0 partition
+    # only (partition pruning) — metadata, not a data scan
+    physical = (
+        spark.read.parquet(data).filter(F.col("tbl") == 0).count()
+    )
+    want = target_bits(physical, m["bucket_target"])
+    if want == m["bits"] and physical == m["rows"]:
+        return {
+            "ran": False,
+            "reason": (
+                f"bits {m['bits']} == target at {physical} rows; "
+                "no duplicate appends (physical == manifest count)"
+            ),
+        }
+    reason = (
+        f"target bits {want} != stored {m['bits']} at {physical} rows"
+        if want != m["bits"]
+        else f"physical {physical} != manifest {m['rows']} (dups)"
+    )
+    out = resize_ann_index(spark, ann_index_dir)
+    return {"ran": True, "reason": reason, **out}
+
+
+def _maybe_rebuild_ivf(spark, ivf_index_dir, size_drift) -> dict:
+    from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
+        read_ivf_manifest,
+        rebuild_ivf_index,
+        target_cells,
+    )
+
+    m = read_ivf_manifest(ivf_index_dir)
+    data = os.path.join(ivf_index_dir, f"cells_v{m['data_version']}")
+    physical = spark.read.parquet(data).count()
+    want = target_cells(physical)
+    k = m["k_cells"]
+    drift = max(want, k) / max(min(want, k), 1)
+    if drift < size_drift:
+        return {
+            "ran": False,
+            "reason": (
+                f"k {k} within {size_drift}x of target {want} at "
+                f"{physical} rows (drift {round(drift, 2)})"
+            ),
+        }
+    out = rebuild_ivf_index(spark, ivf_index_dir)
+    return {
+        "ran": True,
+        "reason": f"target k {want} vs stored {k} (drift "
+        f"{round(drift, 2)})",
+        **out,
+    }

@@ -1,0 +1,82 @@
+"""bench.py's contention self-flag (r10 verdict item 3): the old
+steady-tail max/min spread criterion fired on every run — including
+fully idle ones — because single canary samples landing beside a heavy
+query's GC routinely spike 2-3×. The replacement must DISCRIMINATE:
+an idle-profile series (warm-up ramp + spiky-but-stable tail) passes;
+sustained load at start, load arriving mid-run, and warm-up-window
+contention each flag. No Spark needed — the logic is a pure function."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import CANARY_REF_SEC, compute_load_flags
+
+# a real idle-host profile shape: JIT warm-up ramp over the first 5
+# samples, then a steady ~0.16-0.20 tail with two GC-adjacent spikes
+# (the exact pattern that made the old spread criterion useless —
+# 0.527/0.152 = 3.5× "spread" on an idle box)
+IDLE_SERIES = (
+    [0.398, 0.359, 0.288, 0.225, 0.210]
+    + [0.165, 0.172, 0.158, 0.527, 0.163, 0.170, 0.152, 0.168,
+       0.161, 0.175, 0.166, 0.159, 0.490, 0.164, 0.171, 0.157,
+       0.169, 0.162, 0.173, 0.160]
+)
+
+
+def test_idle_run_is_unflagged():
+    out = compute_load_flags(0.2, 0.279, IDLE_SERIES)
+    assert not out["flagged"], out
+    # and the normalized interval stays tight: drift bounds ≤ 1.3×
+    assert out["drift"] <= 1.3, out
+
+
+def test_presession_load_flags():
+    out = compute_load_flags(9.8, 0.279, IDLE_SERIES)
+    assert out["flagged"] and out["load_start"]
+
+
+def test_cold_canary_deviation_flags():
+    # sustained contention at start: the cold canary itself slows
+    out = compute_load_flags(0.2, 0.55, IDLE_SERIES)
+    assert out["flagged"] and out["cold_dev"]
+
+
+def test_midrun_load_flags_via_half_median_drift():
+    # load arrives halfway through the battery: the tail's second
+    # half sustains ~2.5× the first — medians diverge, single spikes
+    # could never fake this
+    loaded_tail = (
+        [0.398, 0.359, 0.288, 0.225, 0.210]
+        + [0.165, 0.172, 0.158, 0.163, 0.170, 0.152, 0.168, 0.161,
+           0.175, 0.166]
+        + [0.420, 0.445, 0.410, 0.460, 0.430, 0.415, 0.450, 0.425,
+           0.440, 0.435]
+    )
+    out = compute_load_flags(0.2, 0.279, loaded_tail)
+    assert out["flagged"] and out["midrun_drift"]
+    assert out["drift"] > 1.35
+
+
+def test_single_spike_does_not_fake_drift():
+    # one 6× GC-adjacent sample in the second half: medians unmoved
+    series = list(IDLE_SERIES)
+    series[-3] = 1.0
+    out = compute_load_flags(0.2, 0.279, series)
+    assert not out["midrun_drift"]
+
+
+def test_warmup_window_contention_flags():
+    # contention confined to the warm-up window the tail excludes:
+    # 3× the steady median is beyond any JIT ramp (~2.2× measured)
+    series = [0.90, 0.80, 0.70, 0.30, 0.25] + IDLE_SERIES[5:]
+    out = compute_load_flags(0.2, 0.279, series)
+    assert out["flagged"] and out["early_contended"]
+
+
+def test_reference_constant_unchanged():
+    # the frozen cross-round anchor must never drift silently
+    assert CANARY_REF_SEC == 0.250

@@ -1,0 +1,215 @@
+"""maintain_corpus_index (r10 verdict item 4): ONE call restores
+every invariant on a corpus aged by synthetic batches — and each
+sub-pass is SKIPPED (with its measured signal in the report) when its
+threshold isn't tripped, so a scheduled call on an idle corpus costs
+only the probes. Idempotence: a second call right after finds nothing
+tripped."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.ann_index import (
+    append_ann_index,
+    build_ann_index,
+    probe_ann_index,
+    read_ann_manifest,
+)
+from irio2024_mapreduce_spark.operators.ivf_index import (
+    build_ivf_index,
+    read_ivf_manifest,
+)
+from irio2024_mapreduce_spark.operators.similarity import EMB_DIM
+from irio2024_mapreduce_spark.plans.ingest import (
+    build_corpus_index,
+    ingest_batch,
+)
+from irio2024_mapreduce_spark.plans.maintenance import (
+    maintain_corpus_index,
+)
+
+WORDS = (
+    "river stone bridge meadow lantern harbor forest signal copper "
+    "window letter march quiet garden motor saddle timber anchor"
+).split()
+
+
+def _text(seed: int) -> str:
+    # funnel-surviving and dedup-distinct by construction: ≥10 tokens,
+    # stopwords present, numbered tokens keep repetition ratio low and
+    # shingle overlap between docs negligible
+    rng = random.Random(seed)
+    body = " ".join(
+        f"{rng.choice(WORDS)}{rng.randint(0, 999)}" for _ in range(28)
+    )
+    return "the quick note and " + body
+
+
+def _docs(spark, ids):
+    rows = [(i, _text(i)) for i in ids]
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _vec(seed: int) -> list[float]:
+    rng = random.Random(seed)
+    return [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), _vec(i)) for i in ids], "vec_id long, v array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def aged(spark, tmp_path_factory):
+    """A corpus aged by 4 ingest batches: fragmented index parts and
+    corpus file sets, stored ANN/IVF indexes kept fresh per batch."""
+    root = tmp_path_factory.mktemp("maint")
+    idx, out = str(root / "idx"), str(root / "corpus")
+    ann, ivf = str(root / "ann"), str(root / "ivf")
+    seed_ids = list(range(100, 104))
+    build_corpus_index(spark, _docs(spark, seed_ids), idx)
+    build_ann_index(spark, _emb(spark, seed_ids), ann)
+    # k at the sizing rule's floor (target_cells clamps to
+    # IVF_CENTROIDS=8), so fixture-scale growth stays within the 2x
+    # drift hysteresis and the pass is legitimately skippable
+    build_ivf_index(spark, _emb(spark, seed_ids), ivf, k_cells=8)
+    for b in range(4):
+        ids = list(range(200 + b * 10, 200 + b * 10 + 4))
+        m = ingest_batch(
+            spark, _docs(spark, ids), idx, out,
+            batch_id=b, stream="s",
+            batch_emb=_emb(spark, ids),
+            ann_index_dir=ann, ivf_index_dir=ivf,
+        )
+        assert m["appended"] == len(ids)  # all synthetic docs admit
+    return idx, out, ann, ivf
+
+
+def test_one_call_restores_and_second_skips(spark, aged):
+    idx, out, ann, ivf = aged
+    corpus = os.path.join(out, "clean_documents.parquet")
+    ann_before = sorted(
+        tuple(r)
+        for r in probe_ann_index(
+            spark, _emb(spark, [0]), ann
+        ).collect()
+    )
+    # aggressive thresholds so the aged fixture trips the compactions
+    report = maintain_corpus_index(
+        spark,
+        index_dir=idx,
+        corpus_path=corpus,
+        ann_index_dir=ann,
+        ivf_index_dir=ivf,
+        max_files_per_part=2,
+        frag_ratio=1.5,
+    )
+    assert report["index_compaction"]["ran"]
+    assert report["corpus_compaction"]["ran"]
+    # the stored-index thresholds reflect SIZE drift, which 16 docs
+    # have not produced: both skipped, each with the measured signal
+    assert not report["ann_resize"]["ran"], report["ann_resize"]
+    assert "rows" in report["ann_resize"]["reason"]
+    assert not report["ivf_rebuild"]["ran"], report["ivf_rebuild"]
+
+    # invariants restored: compacted parts answer identically
+    assert sorted(
+        tuple(r)
+        for r in probe_ann_index(spark, _emb(spark, [0]), ann).collect()
+    ) == ann_before
+    docs = spark.read.parquet(corpus)
+    assert docs.select("doc_id").distinct().count() == docs.count()
+
+    # idempotent: nothing tripped on the immediate re-run
+    report2 = maintain_corpus_index(
+        spark,
+        index_dir=idx,
+        corpus_path=corpus,
+        ann_index_dir=ann,
+        ivf_index_dir=ivf,
+        max_files_per_part=2,
+        frag_ratio=1.5,
+    )
+    assert not report2["index_compaction"]["ran"]
+    assert not report2["corpus_compaction"]["ran"]
+    assert not report2["ann_resize"]["ran"]
+    assert not report2["ivf_rebuild"]["ran"]
+    # markers probe ran in place of the skipped compaction and found
+    # the cache complete
+    assert not report2["commit_markers"]["ran"]
+
+
+def test_ann_duplicate_appends_trip_the_resize_pass(spark, tmp_path):
+    """A crash-replayed roll-forward can duplicate index rows; the
+    physical-vs-manifest count mismatch trips the ANN pass, whose
+    rewrite IS the dedup compaction."""
+    ann = str(tmp_path / "ann")
+    ids = list(range(100, 120))
+    build_ann_index(spark, _emb(spark, ids), ann)
+    # simulate the duplicate: a raw re-append of the same vectors
+    append_ann_index(spark, _emb(spark, ids), ann)
+    m = read_ann_manifest(ann)
+    # make the manifest reflect the TRUE unique count the way the
+    # ingest bump does (rows were counted once) — physical now 2x
+    import json
+
+    with open(os.path.join(ann, "_ann_manifest.json"), "w") as f:
+        json.dump({**m, "rows": len(ids)}, f)
+
+    report = maintain_corpus_index(spark, ann_index_dir=ann)
+    assert report["ann_resize"]["ran"]
+    assert "dups" in report["ann_resize"]["reason"]
+    m2 = read_ann_manifest(ann)
+    data = os.path.join(ann, m2["data"])
+    physical = (
+        spark.read.parquet(data).filter(F.col("tbl") == 0).count()
+    )
+    assert physical == len(ids) and m2["rows"] == len(ids)
+    # second call: nothing tripped
+    report2 = maintain_corpus_index(spark, ann_index_dir=ann)
+    assert not report2["ann_resize"]["ran"]
+
+
+def test_ivf_growth_trips_the_rebuild_pass(spark, tmp_path):
+    """k ≈ √rows drift ≥ 2× trips the re-train; a fresh index with
+    matching k is skipped."""
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        append_ivf_index,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, _emb(spark, range(100, 116)), ivf, k_cells=2)
+    # 16 → 256 rows: target k = sqrt(256) = 16 vs stored 2 → drift 8x
+    append_ivf_index(spark, _emb(spark, range(200, 440)), ivf)
+    report = maintain_corpus_index(spark, ivf_index_dir=ivf)
+    assert report["ivf_rebuild"]["ran"]
+    assert read_ivf_manifest(ivf)["k_cells"] > 2
+    report2 = maintain_corpus_index(spark, ivf_index_dir=ivf)
+    assert not report2["ivf_rebuild"]["ran"], report2["ivf_rebuild"]
+
+
+def test_missing_markers_trip_regeneration(spark, tmp_path):
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    ingest_batch(
+        spark, _docs(spark, range(200, 204)), idx, out,
+        batch_id=0, stream="s",
+    )
+    markers = os.path.join(idx, "_commit_markers")
+    for n in os.listdir(markers):
+        os.unlink(os.path.join(markers, n))
+    report = maintain_corpus_index(spark, index_dir=idx)
+    if report["index_compaction"]["ran"]:
+        pytest.skip("fixture tripped compaction; markers covered there")
+    assert report["commit_markers"]["ran"]
+    assert os.listdir(markers)

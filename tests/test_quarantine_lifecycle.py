@@ -1,0 +1,144 @@
+"""Quarantine lifecycle closure (r10 verdict item 6): what happens to
+``split='quarantined'`` docs AFTER the quarantining run. Pinned here:
+
+* they stay visible to the dedup index — a redelivered duplicate of a
+  quarantined doc is still convicted, through ingest aging AND after
+  maintenance compaction;
+* they are excluded from the ``corpus_stats`` training census and
+  from any future packing run over the artifact;
+* the shipped artifact's train↔eval leakage cells stay ZERO through
+  ingest aging + maintenance."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.dedup import (
+    ngram_jaccard_pairs_docs,
+)
+from irio2024_mapreduce_spark.operators.llm_prep import (
+    leakage_report,
+    pack_docs,
+)
+from irio2024_mapreduce_spark.plans.corpus_prep import prepare_corpus
+from irio2024_mapreduce_spark.plans.ingest import (
+    corpus_stats,
+    ingest_batch,
+)
+from irio2024_mapreduce_spark.plans.maintenance import (
+    maintain_corpus_index,
+)
+
+# the planted family-mismatch straddler from tests/test_quarantine.py:
+# a near pair the n-gram audit catches but the LSH banding misses, so
+# it survives stage 2 under family='lsh' and straddles the
+# content-addressed split (1 → train, 27 → test)
+BASE = ("quiet rivers carry old stories past sleeping farms toward "
+        "the wide grey sea every single morning")
+NEAR = ("quiet rivers carry old lantern past sleeping farms toward "
+        "the wide grey sea every single morning")
+FILLERS = [
+    "the night train rattled past sleeping towns carrying mail and "
+    "quiet travellers north through the dark",
+    "the fishing village woke before dawn as boats slipped quietly "
+    "into the grey harbor water again",
+    "an old gardener counted seeds in the shed while rain tapped a "
+    "slow rhythm on the tin roof",
+    "the mountain trail crossed seven wooden bridges before reaching "
+    "the snowy summit ridge at noon",
+]
+TEST_ID, TEST_ID2 = 27, 63
+FRESH = ("the observatory recorded unusual meteor activity above "
+         "northern valleys throughout late august evenings")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _cells(report):
+    return {
+        (r["kind"], r["split_pair"]): r["n_pairs"]
+        for r in report.collect()
+    }
+
+
+def _train_eval_cells_zero(art):
+    rep = _cells(
+        leakage_report(
+            art, ngram_jaccard_pairs_docs(art).select("doc_a", "doc_b")
+        )
+    )
+    for kind in ("exact", "near"):
+        assert rep[(kind, "test|train")] == 0
+        assert rep[(kind, "train|val")] == 0
+
+
+def test_quarantined_corpus_ages_cleanly(spark, tmp_path):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [(1, BASE), (TEST_ID, NEAR), (TEST_ID2, FILLERS[0])] + [
+        (i + 2, FILLERS[i + 1]) for i in range(3)
+    ]
+    _docs(spark, rows).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    m = prepare_corpus(
+        spark, sf, out, holdout_split=True, near_family="lsh",
+        quarantine_leaks=True, index_dir=idx,
+    )
+    assert m["quarantined_docs"] == 1  # doc 1, the train-side member
+    corpus = os.path.join(out, "clean_documents.parquet")
+
+    # census excludes the quarantined doc; the artifact ships it
+    shipped = spark.read.parquet(corpus)
+    assert corpus_stats(spark, idx)["docs"] == m["docs_out"] - 1
+    assert (
+        shipped.filter(F.col("split") == "quarantined").count() == 1
+    )
+
+    # a redelivered exact duplicate of the QUARANTINED doc + a fresh
+    # doc: the quarantined doc must still convict through ingest
+    m1 = ingest_batch(
+        spark, _docs(spark, [(500, BASE), (501, FRESH)]), idx, out,
+        batch_id=0, stream="s", family="lsh",
+    )
+    assert m1["exact_dups"] == 1 and m1["appended"] == 1
+
+    # age further: maintenance over the index and the split corpus
+    maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus,
+        partition_by=["split"], max_files_per_part=1, frag_ratio=1.0,
+    )
+
+    # ... the quarantined doc still convicts AFTER compaction
+    m2 = ingest_batch(
+        spark, _docs(spark, [(600, BASE)]), idx, out,
+        batch_id=1, stream="s", family="lsh",
+    )
+    assert m2["exact_dups"] == 1 and m2["appended"] == 0
+
+    # the aged artifact: quarantined tag intact, eval untouched,
+    # train↔eval cells still zero
+    art = spark.read.parquet(corpus)
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in art.select("doc_id", "split").collect()
+    }
+    assert splits[1] == "quarantined"
+    assert splits[TEST_ID] == "test"
+    assert 501 in splits and splits[501] != "quarantined"
+    _train_eval_cells_zero(art)
+
+    # a FUTURE packing run over the artifact excludes quarantined by
+    # the same train-only rule prepare_corpus packs with
+    packs = pack_docs(spark, art.filter(F.col("split") == "train"))
+    assert packs.filter(F.col("doc_id") == 1).count() == 0
+    # and the census still excludes it while counting the ingested doc
+    assert corpus_stats(spark, idx)["docs"] == m["docs_out"] - 1 + 1
