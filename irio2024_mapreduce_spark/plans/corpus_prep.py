@@ -63,6 +63,7 @@ from irio2024_mapreduce_spark.operators.llm_prep import (
     split_docs,
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
+from irio2024_mapreduce_spark.sources.sinks import SimulatedCrash
 from irio2024_mapreduce_spark.sources.tables import load_table
 
 # the eval-benchmark stripe — the fixture role decontaminate's driver
@@ -93,8 +94,9 @@ _PREP_TMP = "._prep_tmp"
 _PREP_OLD = "._prep_old"
 
 
-class SimulatedCrash(RuntimeError):
-    """Fault injection for the publish kill matrix — test-only."""
+# SimulatedCrash — ONE fault-injection class for the ingest and prep
+# kill matrices — lives in sources.sinks, re-exported via the top
+# import for `from plans.corpus_prep import SimulatedCrash` callers.
 
 
 def _crash_if(point: str | None, here: str) -> None:
@@ -144,11 +146,27 @@ def _commit_and_publish(
         os.path.join(staging, _PREP_PLAN), json.dumps(plan, indent=1)
     )
     _crash_if(_test_crash_after, "stage")
+    # flush every staged data file BEFORE the fsync-durable commit
+    # marker: without this, a post-commit power loss could roll a
+    # generation forward whose parquet blocks never hit disk — after
+    # the old generation was already dropped (the ingest publish's
+    # _move_file discipline, applied tree-wide)
+    _fsync_tree(staging)
     atomic_write_file(
         os.path.join(staging, _PREP_COMMITTED), "committed\n"
     )  # THE commit point
     _crash_if(_test_crash_after, "commit")
     _publish_prepared(staging, plan, _test_crash_after)
+
+
+def _fsync_tree(root: str) -> None:
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
 
 
 def _publish_prepared(
@@ -164,9 +182,35 @@ def _publish_prepared(
       rename(target._prep_tmp → target)
       rmtree(target._prep_old)
 
-    Each target's swap runs under its advisory compaction lock, so a
-    concurrent ingest append or compaction of the same corpus fails
-    loudly instead of interleaving with the generation flip."""
+    Locking is two-level: ONE whole-publication lock on the staging's
+    parent (``out_dir``) serializes concurrent generation flips — two
+    overlapping prepare runs publishing target-by-target under only
+    per-target locks could interleave into corpus-of-A + packs-of-B,
+    the exact mixed state this protocol exists to prevent — and each
+    target's swap additionally takes that target's advisory
+    compaction lock, so a concurrent ingest append or compaction of
+    the same corpus fails loudly instead of interleaving with the
+    flip. Lock order (out_dir → target) is acyclic with every other
+    writer: nothing else takes the out_dir lock."""
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        acquire_compaction_lock_patiently,
+        release_compaction_lock,
+    )
+
+    out_dir = os.path.dirname(os.path.dirname(staging))
+    pub_lock = acquire_compaction_lock_patiently(out_dir)
+    try:
+        _swap_targets(staging, plan, _test_crash_after)
+    finally:
+        release_compaction_lock(pub_lock)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _swap_targets(
+    staging: str, plan: dict, _test_crash_after: str | None
+) -> None:
     import shutil  # noqa: PLC0415
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
@@ -195,7 +239,6 @@ def _publish_prepared(
         finally:
             release_compaction_lock(lock)
         _crash_if(_test_crash_after, f"swap:{name}")
-    shutil.rmtree(staging, ignore_errors=True)
 
 
 def recover_prepared(out_dir: str) -> dict[str, int]:
@@ -343,6 +386,18 @@ def prepare_corpus(
 
     ``_test_crash_after`` is fault injection for the
     kill-at-every-step test — production callers never pass it."""
+    if index_dir is not None:
+        # the index swap renames whole directories: an index_dir that
+        # IS out_dir (or nests either way) would carry the
+        # just-published corpus/packs away with the rename and rmtree
+        # them as the old generation
+        a = os.path.abspath(out_dir)
+        b = os.path.abspath(index_dir)
+        if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
+            raise ValueError(
+                "index_dir must be a directory disjoint from out_dir "
+                f"(got out_dir={out_dir!r}, index_dir={index_dir!r})"
+            )
     recover_prepared(out_dir)
     docs = load_table(spark, sf_dir, "documents")
     docs_in = docs.count()

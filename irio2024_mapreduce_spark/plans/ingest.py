@@ -81,6 +81,8 @@ from irio2024_mapreduce_spark.operators.llm_prep import (
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
 from irio2024_mapreduce_spark.sources.sinks import (
+    LockPatienceExhausted,
+    SimulatedCrash,
     atomic_write_file,
     check_not_compacting,
 )
@@ -338,6 +340,19 @@ def ingest_batch(
     tests: naming a publish step raises :class:`SimulatedCrash` right
     after it, leaving exactly the on-disk state a process kill at that
     point would — production callers never pass it."""
+    # FIRST: finish any crashed prepare_corpus generation flip over
+    # this corpus (its mid-swap window can leave the corpus target
+    # missing, and its committed new generation — corpus, packs, AND
+    # the reseeded index — supersedes the old lifecycle wholesale;
+    # admitting against the half-flipped state would split-brain).
+    # Before validate_index, because the flip replaces the manifest
+    # this call is about to validate.
+    if os.path.isdir(os.path.join(corpus_dir, _STAGED_ROOT)):
+        from irio2024_mapreduce_spark.plans.corpus_prep import (  # noqa: PLC0415
+            recover_prepared,
+        )
+
+        recover_prepared(corpus_dir)
     # validate BEFORE the replay short-circuit: a replayed call with
     # the wrong family must fail as loudly as a fresh one — masking
     # the misconfiguration exactly on the crash-restart path (where
@@ -376,8 +391,10 @@ def ingest_batch(
     # a committed-but-unpublished batch must become fully visible
     # before this batch probes the index (its hashes are part of the
     # corpus truth), and a pre-commit leftover must be discarded so
-    # the staging key is free
-    recover_staged_batches(index_dir)
+    # the staging key is free. STRICT: if a committed predecessor
+    # cannot be published right now (lock patience), this batch must
+    # fail loudly rather than probe an index missing committed rows
+    recover_staged_batches(index_dir, strict=True)
     if batch_id is not None:
         prior = read_recorded_manifest(
             spark, index_dir, batch_id, stream=stream
@@ -617,10 +634,9 @@ class _BatchAlreadyCommitted(Exception):
     recorded manifest instead of publishing a duplicate."""
 
 
-class SimulatedCrash(RuntimeError):
-    """Raised by the fault-injection points of the publish protocol —
-    test-only; leaves exactly the on-disk state a process kill at
-    that step would."""
+# SimulatedCrash (the fault-injection type both kill matrices raise)
+# now lives in sources.sinks and is re-exported via the top import —
+# `from plans.ingest import SimulatedCrash` keeps working.
 
 
 def _crash_if(point: str | None, here: str) -> None:
@@ -754,7 +770,13 @@ def _stage_batch(
             os.path.join(staging, "corpus")
         )
     # similarity-index parts (ordering is the LOCK ordering at publish:
-    # dedup index → corpus → ann → ivf, fixed across all writers)
+    # dedup index → corpus → ann → ivf, fixed across all writers).
+    # An all-rejected batch stages NO index part: an empty parquet dir
+    # (just _SUCCESS) would make the slow-path roll-forward's
+    # schema-less read throw and wedge recovery.
+    n_vecs = vecs.count() if vecs is not None else 0
+    if n_vecs == 0:
+        ann_index_dir = ivf_index_dir = None
     extras: list[dict] = []
     if ann_index_dir:
         from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
@@ -772,7 +794,7 @@ def _stage_batch(
                 "root": os.path.abspath(ann_index_dir),
                 "staged": "ann_index",
                 "data": am["data"],
-                "rows": vecs.count(),
+                "rows": n_vecs,
             }
         )
     if ivf_index_dir:
@@ -800,7 +822,7 @@ def _stage_batch(
                 "root": os.path.abspath(ivf_index_dir),
                 "staged": "ivf_index",
                 "data_version": im["data_version"],
-                "rows": vecs.count(),
+                "rows": n_vecs,
             }
         )
     plan = {
@@ -956,7 +978,25 @@ def _publish_staged(
         os.makedirs(os.path.dirname(clean_path), exist_ok=True)
         locks.append(_acquire_patiently(clean_path))
         if not os.path.isdir(staging):
-            return  # published (and GC'd) while we waited for the lock
+            # the staging vanished while we waited for the locks. For
+            # a KEYED batch whose commit marker exists, a sibling's
+            # recovery finished the publication — done. Anything else
+            # means the staging was DESTROYED unpublished (e.g. a
+            # prepare_corpus generation flip replaced the index dir
+            # wholesale, taking `_staged/` with it) — returning
+            # quietly would report a batch as ingested that is in
+            # neither the index nor the corpus
+            if plan["batch_id"] is not None and os.path.exists(
+                _commit_marker(
+                    index_dir, plan["batch_id"], plan["stream"]
+                )
+            ):
+                return
+            raise RuntimeError(
+                f"{staging} disappeared before publication (a "
+                "generation flip replaced the index?) — the batch "
+                "was NOT ingested; re-deliver it"
+            )
         for part in plan["index_parts"]:
             recover_swap_crash(os.path.join(index_dir, part))
         recover_swap_crash(clean_path)
@@ -1022,6 +1062,12 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
     staged_dir = os.path.join(staging, ex["staged"])
     if not os.path.isdir(staged_dir):
         return  # fully published by an earlier attempt
+    if int(ex["rows"]) == 0:
+        # zero staged vectors (defensive — staging skips the part now,
+        # but plans written before that guard can carry one): nothing
+        # to publish, and the slow path's schema-less read would throw
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        return
     lock = _acquire_patiently(ex["root"])
     try:
         if ex["kind"] == "ann":
@@ -1109,7 +1155,9 @@ def _active_session(ss_cls, ex: dict):
     return spark
 
 
-def recover_staged_batches(index_dir: str) -> dict[str, int]:
+def recover_staged_batches(
+    index_dir: str, strict: bool = False
+) -> dict[str, int]:
     """Classify every leftover staging dir — the recovery half of the
     transactional commit, run by ``ingest_batch``,
     ``read_recorded_manifest``, and ``compact_corpus_index`` on entry:
@@ -1127,7 +1175,11 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
       lock between the probe and the delete, gutting a LIVE staging
       mid-stage.
 
-    Returns {rolled_forward, discarded, in_flight}."""
+    Returns {rolled_forward, discarded, in_flight}. ``strict`` makes
+    a committed-but-unpublishable staging (lock patience exhausted)
+    re-raise instead of counting as in_flight — the ADMISSION path
+    must not proceed past invisible committed rows, while pure
+    readers (manifest replay, compaction entry) may."""
     import shutil  # noqa: PLC0415
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
@@ -1178,13 +1230,21 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
         if os.path.exists(os.path.join(d, _COMMITTED)):
             try:
                 _publish_staged(d)
-            except RuntimeError:
-                # patience exhausted inside the publish (the staging's
-                # live owner is mid-publish, or a long compaction holds
-                # the index/corpus lock): the batch is committed and
-                # WILL roll forward on the next touch — aborting an
-                # unrelated caller's entry recovery over it would turn
-                # a transient lock hold into a spurious failure
+            except LockPatienceExhausted:
+                # ONLY the patience type is tolerated (the staging's
+                # live owner is mid-publish, or a long compaction
+                # holds the index/corpus lock): the batch is committed
+                # and WILL roll forward on the next touch — aborting a
+                # reader's entry recovery over it would turn a
+                # transient lock hold into a spurious failure. Any
+                # other publish error propagates as itself. Under
+                # ``strict`` (the ADMISSION path) even the patience
+                # case re-raises: a committed batch's index rows are
+                # corpus truth, and a batch that probes before they
+                # are visible would re-admit its duplicates — lossless
+                # to fail loudly, lossy to proceed.
+                if strict:
+                    raise
                 out["in_flight"] += 1
                 continue
             out["rolled_forward"] += 1
@@ -1211,8 +1271,10 @@ def recover_staged_batches(index_dir: str) -> dict[str, int]:
                 try:
                     _publish_staged(d)
                     out["rolled_forward"] += 1
-                except RuntimeError:
-                    out["in_flight"] += 1  # lock patience exhausted
+                except LockPatienceExhausted:
+                    if strict:
+                        raise
+                    out["in_flight"] += 1
             elif flock_is_live(os.path.join(d, "_alive.lock")):
                 out["in_flight"] += 1
             elif os.path.isdir(d):

@@ -55,8 +55,6 @@ MAINTENANCE obligations — one call, every invariant.
 
 from __future__ import annotations
 
-import glob
-import math
 import os
 
 from pyspark.sql import SparkSession
@@ -234,6 +232,14 @@ def _maybe_compact_corpus(
         resolve_current,
     )
 
+    # finish any crashed prepare_corpus generation flip first — its
+    # mid-swap window can leave the corpus target missing, and the
+    # probe below must measure the completed generation
+    from irio2024_mapreduce_spark.plans.corpus_prep import (  # noqa: PLC0415
+        recover_prepared,
+    )
+
+    recover_prepared(os.path.dirname(corpus_path))
     versioned = os.path.exists(os.path.join(corpus_path, "_CURRENT"))
     data = resolve_current(corpus_path) if versioned else corpus_path
     if not os.path.isdir(data):
@@ -256,11 +262,7 @@ def _maybe_compact_corpus(
         partition_by=partition_by,
         zorder_cols=zorder_cols,
     )
-    return {
-        "ran": True,
-        "reason": f"{n} files vs ideal {ideal}",
-        **{k: v for k, v in out.items()},
-    }
+    return {"ran": True, "reason": f"{n} files vs ideal {ideal}", **out}
 
 
 def _maybe_resize_ann(spark, ann_index_dir) -> dict:

@@ -371,6 +371,23 @@ def release_compaction_lock(lock: str) -> None:
     release_flock(lock)
 
 
+class LockPatienceExhausted(RuntimeError):
+    """Raised by :func:`acquire_compaction_lock_patiently` when the
+    patience budget runs out — a DEDICATED type so recovery paths can
+    tolerate exactly this condition (a transient long hold) without
+    also swallowing unrelated RuntimeErrors from the publish they
+    wrap."""
+
+
+class SimulatedCrash(RuntimeError):
+    """Fault injection for kill-at-every-step publish tests — raised
+    by a ``_test_crash_after`` hook right after the named step,
+    leaving exactly the on-disk state a process kill there would.
+    Test-only; production callers never trigger it. Defined once here
+    (the module every publish protocol already imports) so the ingest
+    and corpus-prep matrices share one exception type."""
+
+
 def acquire_compaction_lock_patiently(
     path: str, attempts: int = 40, wait: float = 0.25
 ) -> str:
@@ -378,15 +395,16 @@ def acquire_compaction_lock_patiently(
     whose critical section is milliseconds (publish renames, daily
     appends): brief contention with a sibling should wait, not abort
     an already-computed batch; a genuinely long hold (a real
-    compaction) still surfaces as the loud error."""
+    compaction) still surfaces as the loud
+    :class:`LockPatienceExhausted`."""
     import time as _time
 
     for attempt in range(attempts):
         try:
             return acquire_compaction_lock(path)
-        except RuntimeError:
+        except RuntimeError as e:
             if attempt == attempts - 1:
-                raise
+                raise LockPatienceExhausted(str(e)) from None
             _time.sleep(wait)
     raise AssertionError("unreachable")
 

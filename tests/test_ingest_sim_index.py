@@ -246,6 +246,85 @@ def test_geometry_change_in_crash_window(spark, tmp_path):
     assert _ann_ids(spark, ann) == ADMITTED
 
 
+def test_all_rejected_batch_stages_no_index_part(spark, tmp_path):
+    """Review finding (r11): a batch whose every doc is rejected used
+    to stage an EMPTY parquet dir per index; a post-commit crash that
+    then hit the slow path would wedge recovery on a schema-less
+    read. Zero admitted vectors now stage nothing, publish cleanly,
+    and leave both indexes untouched — including through a crash +
+    geometry change."""
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    dups = [(300, T_CORPUS[0][1]), (301, T_CORPUS[1][1])]
+    m = ingest_batch(
+        spark, _frame(spark, dups), idx, out,
+        batch_id=9, stream="s",
+        batch_emb=_emb(spark, [i for i, _ in dups]),
+        ann_index_dir=ann, ivf_index_dir=ivf,
+    )
+    assert m["appended"] == 0 and m["exact_dups"] == 2
+    assert _ann_ids(spark, ann) == SEED_IDS
+    assert _ivf_ids(spark, ivf) == SEED_IDS
+
+    # crash post-commit + geometry change: recovery must not wedge
+    with pytest.raises(SimulatedCrash):
+        ingest_batch(
+            spark, _frame(spark, dups), idx, out,
+            batch_id=10, stream="s",
+            batch_emb=_emb(spark, [i for i, _ in dups]),
+            ann_index_dir=ann, ivf_index_dir=ivf,
+            _test_crash_after="commit",
+        )
+    resize_ann_index(spark, ann)
+    rebuild_ivf_index(spark, ivf, k_cells=3)
+    res = recover_staged_batches(idx)
+    assert res["rolled_forward"] == 1
+    assert _ann_ids(spark, ann) == SEED_IDS
+
+
+def test_strict_entry_recovery_fails_loudly_on_held_lock(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding (r11): the admission path must NOT proceed past
+    a committed predecessor whose index rows are not yet visible — a
+    batch probing then would re-admit the predecessor's duplicates.
+    Entry recovery is strict: lock patience exhaustion re-raises."""
+    from irio2024_mapreduce_spark.plans import ingest as ingest_mod
+    from irio2024_mapreduce_spark.sources.sinks import (
+        LockPatienceExhausted,
+        acquire_compaction_lock,
+        acquire_compaction_lock_patiently,
+        release_compaction_lock,
+    )
+
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    with pytest.raises(SimulatedCrash):
+        _ingest(spark, idx, out, ann, ivf, crash="commit")
+    monkeypatch.setattr(
+        ingest_mod,
+        "_acquire_patiently",
+        lambda path: acquire_compaction_lock_patiently(path, 2, 0.05),
+    )
+    lock = acquire_compaction_lock(idx)
+    try:
+        with pytest.raises(LockPatienceExhausted):
+            ingest_batch(
+                spark, _frame(spark, [(900, T_BATCH[0][1])]), idx, out,
+                batch_id=11, stream="s",
+            )
+    finally:
+        release_compaction_lock(lock)
+    # lock gone: the predecessor publishes, then the new batch admits
+    m = ingest_batch(
+        spark,
+        _frame(spark, [(901, "the canal boats carried coal and "
+                             "timber south through misty locks "
+                             "every autumn morning")]),
+        idx, out, batch_id=12, stream="s",
+    )
+    assert m["appended"] == 1
+    assert _ann_ids(spark, ann) == ADMITTED  # predecessor published
+
+
 def test_missing_batch_emb_fails_loudly(spark, tmp_path):
     idx, out, ann, ivf = _setup(spark, tmp_path)
     with pytest.raises(ValueError, match="batch_emb"):

@@ -117,6 +117,113 @@ def test_kill_at_every_step_never_ships_mixed(spark, tmp_path, point):
     assert os.listdir(os.path.join(out, "_staged")) == []
 
 
+def test_ingest_rolls_crashed_generation_flip_forward(spark, tmp_path):
+    """Review finding (r11): a prepare_corpus flip that committed but
+    crashed MID-SWAP can leave the corpus target missing; an ingest
+    publish that recreated it would have its rows destroyed by the
+    flip's later roll-forward while its index rows survived — a
+    permanent split-brain. The ingest publish now rolls any committed
+    generation forward FIRST, so the batch lands in the completed NEW
+    generation."""
+    from irio2024_mapreduce_spark.plans.corpus_prep import (
+        _PREP_OLD,
+        _PREP_TMP,
+    )
+    from irio2024_mapreduce_spark.plans.ingest import (
+        ingest_batch,
+        read_recorded_manifest,
+    )
+
+    fx_a = _fixture(tmp_path, "a", GEN_A)
+    fx_b = _fixture(tmp_path, "b", GEN_B)
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    prepare_corpus(spark, fx_a, out, index_dir=idx)
+    with pytest.raises(SimulatedCrash):
+        prepare_corpus(
+            spark, fx_b, out, index_dir=idx, _test_crash_after="commit"
+        )
+    # hand-craft the worst mid-swap state: corpus target MISSING, old
+    # generation under ._prep_old, new generation under ._prep_tmp
+    staging = next(
+        os.path.join(out, "_staged", n)
+        for n in os.listdir(os.path.join(out, "_staged"))
+        if os.path.isdir(os.path.join(out, "_staged", n))
+    )
+    clean = os.path.join(out, "clean_documents.parquet")
+    os.rename(os.path.join(staging, "corpus"), clean + _PREP_TMP)
+    os.rename(clean, clean + _PREP_OLD)
+    assert not os.path.exists(clean)  # the gap
+
+    # an ingest batch arrives NOW: doc 500 is fresh text
+    batch = spark.createDataFrame(
+        [(500, _text("fresh", 500), "en", "src0", 120)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    m = ingest_batch(spark, batch, idx, out, batch_id=0, stream="s")
+    assert m["appended"] == 1
+    clean_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(clean).select("doc_id").collect()
+    }
+    # the batch rides the COMPLETED new generation — not a fresh dir
+    # destined for destruction
+    assert clean_ids == set(GEN_B) | {500}
+    assert not os.path.exists(clean + _PREP_OLD)
+    assert not os.path.exists(clean + _PREP_TMP)
+    # ... and its index rows live in the new generation's index
+    hashes = spark.read.parquet(os.path.join(idx, "hashes")).count()
+    assert hashes == len(GEN_B) + 1
+    assert (
+        read_recorded_manifest(spark, idx, 0, stream="s") is not None
+    )
+
+
+def test_index_dir_inside_out_dir_is_refused(spark, tmp_path):
+    fx_a = _fixture(tmp_path, "a", GEN_A)
+    out = str(tmp_path / "out")
+    for bad in (out, os.path.join(out, "idx")):
+        with pytest.raises(ValueError, match="disjoint"):
+            prepare_corpus(spark, fx_a, out, index_dir=bad)
+
+
+def test_publication_is_serialized_on_the_out_dir(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding (r11): two overlapping publications could
+    interleave per-target swaps into corpus-of-A + packs-of-B. The
+    whole publication now holds ONE out_dir lock — pinned by showing
+    a roll-forward cannot proceed while another publisher holds it."""
+    import irio2024_mapreduce_spark.sources.sinks as sinks_mod
+    from irio2024_mapreduce_spark.sources.sinks import (
+        LockPatienceExhausted,
+        acquire_compaction_lock,
+        release_compaction_lock,
+    )
+
+    fx_a = _fixture(tmp_path, "a", GEN_A)
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    with pytest.raises(SimulatedCrash):
+        prepare_corpus(
+            spark, fx_a, out, index_dir=idx, _test_crash_after="commit"
+        )
+    real = sinks_mod.acquire_compaction_lock_patiently
+    monkeypatch.setattr(
+        sinks_mod,
+        "acquire_compaction_lock_patiently",
+        lambda p, attempts=2, wait=0.05: real(p, 2, 0.05),
+    )
+    lock = acquire_compaction_lock(out)
+    try:
+        with pytest.raises(LockPatienceExhausted):
+            recover_prepared(out)
+    finally:
+        release_compaction_lock(lock)
+    # lock released: the roll-forward completes
+    assert recover_prepared(out)["rolled_forward"] == 1
+    _assert_generation(spark, out, idx, GEN_A)
+
+
 def test_entry_recovery_rolls_forward_before_reading(spark, tmp_path):
     """A NEW prepare_corpus run over a dir with a committed-but-
     unpublished predecessor must see (and build on) the predecessor's
