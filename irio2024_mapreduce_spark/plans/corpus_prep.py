@@ -160,6 +160,14 @@ def _commit_and_publish(
 
 
 def _fsync_tree(root: str) -> None:
+    """Flush file CONTENTS and directory ENTRIES: fsyncing only the
+    files leaves their dirents journal-soft, and a power loss after
+    the commit marker could roll forward a generation silently
+    missing parquet parts."""
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        fsync_dir,
+    )
+
     for dirpath, _dirs, files in os.walk(root):
         for name in files:
             fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
@@ -167,6 +175,7 @@ def _fsync_tree(root: str) -> None:
                 os.fsync(fd)
             finally:
                 os.close(fd)
+        fsync_dir(dirpath)
 
 
 def _publish_prepared(
@@ -391,8 +400,11 @@ def prepare_corpus(
         # IS out_dir (or nests either way) would carry the
         # just-published corpus/packs away with the rename and rmtree
         # them as the old generation
-        a = os.path.abspath(out_dir)
-        b = os.path.abspath(index_dir)
+        # realpath, not abspath: a symlinked index_dir physically
+        # inside out_dir must not evade the guard (the swap would
+        # rename the symlink and rmtree would refuse it mid-publish)
+        a = os.path.realpath(out_dir)
+        b = os.path.realpath(index_dir)
         if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
             raise ValueError(
                 "index_dir must be a directory disjoint from out_dir "

@@ -958,6 +958,10 @@ def _publish_staged(
     try:
         with open(os.path.join(staging, _PUBLISH_PLAN)) as f:
             plan = json.load(f)
+        # snapshot the commit state TOGETHER with the plan, before the
+        # lock wait: it disambiguates a staging that vanishes while we
+        # block (see below)
+        was_committed = os.path.exists(os.path.join(staging, _COMMITTED))
     except FileNotFoundError:
         # either a sibling finished the publication (dir gone), or a
         # crash mid-final-rmtree deleted the plan before the marker
@@ -978,17 +982,24 @@ def _publish_staged(
         os.makedirs(os.path.dirname(clean_path), exist_ok=True)
         locks.append(_acquire_patiently(clean_path))
         if not os.path.isdir(staging):
-            # the staging vanished while we waited for the locks. For
-            # a KEYED batch whose commit marker exists, a sibling's
-            # recovery finished the publication — done. Anything else
-            # means the staging was DESTROYED unpublished (e.g. a
-            # prepare_corpus generation flip replaced the index dir
-            # wholesale, taking `_staged/` with it) — returning
-            # quietly would report a batch as ingested that is in
-            # neither the index nor the corpus
-            if plan["batch_id"] is not None and os.path.exists(
-                _commit_marker(
-                    index_dir, plan["batch_id"], plan["stream"]
+            # the staging vanished while we waited for the locks.
+            # Only the OWNER publishes a not-yet-committed staging,
+            # so `was_committed` disambiguates: an already-committed
+            # staging that vanished was finished by a racing sibling
+            # recovery (or superseded wholesale by a prepare_corpus
+            # generation flip whose new index replaces this batch's
+            # life) — quiet return, nothing left to do. An
+            # UNCOMMITTED one vanishing means WE are the owner and
+            # something destroyed the staging out from under us (a
+            # generation flip replacing the index dir took `_staged/`
+            # with it) — returning quietly would report a batch as
+            # ingested that is in neither the index nor the corpus
+            if was_committed or (
+                plan["batch_id"] is not None
+                and os.path.exists(
+                    _commit_marker(
+                        index_dir, plan["batch_id"], plan["stream"]
+                    )
                 )
             ):
                 return

@@ -119,6 +119,21 @@ def maintain_corpus_index(
     ``{pass_name: {"ran": bool, "reason": str, ...pass_result}}``."""
     report: dict[str, dict] = {}
 
+    if corpus_path:
+        # finish any crashed prepare_corpus generation flip FIRST —
+        # before the index passes, not inside the corpus pass: the
+        # flip may replace the index wholesale, and compacting the
+        # superseded generation first would pay a full rewrite the
+        # flip is about to discard. (rstrip: a trailing slash would
+        # make dirname return the corpus dir itself and the probe
+        # would silently miss `_staged`.)
+        from irio2024_mapreduce_spark.plans.corpus_prep import (  # noqa: PLC0415
+            recover_prepared,
+        )
+
+        recover_prepared(
+            os.path.dirname(os.path.abspath(corpus_path.rstrip("/")))
+        )
     if index_dir:
         report["index_compaction"] = _maybe_compact_index(
             spark, index_dir, max_files_per_part, frag_ratio,
@@ -232,14 +247,6 @@ def _maybe_compact_corpus(
         resolve_current,
     )
 
-    # finish any crashed prepare_corpus generation flip first — its
-    # mid-swap window can leave the corpus target missing, and the
-    # probe below must measure the completed generation
-    from irio2024_mapreduce_spark.plans.corpus_prep import (  # noqa: PLC0415
-        recover_prepared,
-    )
-
-    recover_prepared(os.path.dirname(corpus_path))
     versioned = os.path.exists(os.path.join(corpus_path, "_CURRENT"))
     data = resolve_current(corpus_path) if versioned else corpus_path
     if not os.path.isdir(data):
