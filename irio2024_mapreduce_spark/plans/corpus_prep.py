@@ -400,12 +400,26 @@ def prepare_corpus(
         # IS out_dir (or nests either way) would carry the
         # just-published corpus/packs away with the rename and rmtree
         # them as the old generation
-        # realpath, not abspath: a symlinked index_dir physically
-        # inside out_dir must not evade the guard (the swap would
-        # rename the symlink and rmtree would refuse it mid-publish)
-        a = os.path.realpath(out_dir)
-        b = os.path.realpath(index_dir)
-        if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
+        # BOTH the literal and the symlink-resolved pairs must be
+        # disjoint: a symlinked index_dir physically inside out_dir
+        # evades a literal-only check (the swap would rename the
+        # symlink and rmtree would refuse it mid-publish), and a
+        # literally-nested symlink pointing elsewhere evades a
+        # resolved-only check (the post-commit rmtree-on-symlink
+        # would wedge every roll-forward)
+
+        def _nested(x: str, y: str) -> bool:
+            return (
+                x == y
+                or x.startswith(y + os.sep)
+                or y.startswith(x + os.sep)
+            )
+
+        if _nested(
+            os.path.abspath(out_dir), os.path.abspath(index_dir)
+        ) or _nested(
+            os.path.realpath(out_dir), os.path.realpath(index_dir)
+        ):
             raise ValueError(
                 "index_dir must be a directory disjoint from out_dir "
                 f"(got out_dir={out_dir!r}, index_dir={index_dir!r})"

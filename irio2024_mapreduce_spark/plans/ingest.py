@@ -982,26 +982,32 @@ def _publish_staged(
         os.makedirs(os.path.dirname(clean_path), exist_ok=True)
         locks.append(_acquire_patiently(clean_path))
         if not os.path.isdir(staging):
-            # the staging vanished while we waited for the locks.
-            # Only the OWNER publishes a not-yet-committed staging,
-            # so `was_committed` disambiguates: an already-committed
-            # staging that vanished was finished by a racing sibling
-            # recovery (or superseded wholesale by a prepare_corpus
-            # generation flip whose new index replaces this batch's
-            # life) — quiet return, nothing left to do. An
-            # UNCOMMITTED one vanishing means WE are the owner and
-            # something destroyed the staging out from under us (a
-            # generation flip replacing the index dir took `_staged/`
-            # with it) — returning quietly would report a batch as
-            # ingested that is in neither the index nor the corpus
-            if was_committed or (
-                plan["batch_id"] is not None
-                and os.path.exists(
+            # the staging vanished while we waited for the locks. A
+            # KEYED batch has the precise discriminator: a sibling
+            # that finished the publication touched the commit marker
+            # BEFORE the staging rmtree, so marker-present means done
+            # and marker-absent means the staging was DESTROYED
+            # unpublished (a prepare_corpus generation flip replacing
+            # the index dir took `_staged/` with it) — raise, so the
+            # caller redelivers into the new generation instead of
+            # believing a batch ingested that is in neither index nor
+            # corpus. UNKEYED batches have no marker; there
+            # `was_committed` (snapshotted with the plan read) is the
+            # best available signal: only the owner publishes an
+            # uncommitted staging, so uncommitted-and-vanished is the
+            # destroyed case, while committed-and-vanished is either
+            # a sibling's finished roll-forward or a flip that
+            # superseded the whole life — indistinguishable, and the
+            # quiet return matches the flip's replace-wholesale
+            # semantics.
+            if plan["batch_id"] is not None:
+                if os.path.exists(
                     _commit_marker(
                         index_dir, plan["batch_id"], plan["stream"]
                     )
-                )
-            ):
+                ):
+                    return
+            elif was_committed:
                 return
             raise RuntimeError(
                 f"{staging} disappeared before publication (a "

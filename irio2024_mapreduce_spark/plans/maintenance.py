@@ -124,16 +124,13 @@ def maintain_corpus_index(
         # before the index passes, not inside the corpus pass: the
         # flip may replace the index wholesale, and compacting the
         # superseded generation first would pay a full rewrite the
-        # flip is about to discard. (rstrip: a trailing slash would
-        # make dirname return the corpus dir itself and the probe
-        # would silently miss `_staged`.)
+        # flip is about to discard. (abspath normpath-strips trailing
+        # slashes, so dirname reliably yields the prep out_dir.)
         from irio2024_mapreduce_spark.plans.corpus_prep import (  # noqa: PLC0415
             recover_prepared,
         )
 
-        recover_prepared(
-            os.path.dirname(os.path.abspath(corpus_path.rstrip("/")))
-        )
+        recover_prepared(os.path.dirname(os.path.abspath(corpus_path)))
     if index_dir:
         report["index_compaction"] = _maybe_compact_index(
             spark, index_dir, max_files_per_part, frag_ratio,
