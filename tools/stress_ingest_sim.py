@@ -1,0 +1,148 @@
+"""Ingest-integrated stored-index overhead (r11): the transactional
+ingest's new similarity-index parts must not change the ingest's cost
+class. Measures, at a few-thousand-doc batch size:
+
+  * ingest_batch WITHOUT index dirs (the r10 baseline path);
+  * ingest_batch WITH ann_index_dir + ivf_index_dir (stage the shaped
+    rows beside the other parts; publication stays pure renames);
+  * the post-ingest stored probes, parity-checked against physical
+    membership.
+
+What this proves: the added cost is one map-only signature projection
++ one map-only cell assignment + partitioned staged writes — batch-
+sized work, not corpus-sized — and the probe after ingest answers over
+the full corpus. Prints one JSON line.
+
+Usage: python tools/stress_ingest_sim.py [N_DOCS]    (default 4000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.ann_index import (
+    build_ann_index,
+    probe_ann_index,
+    read_ann_manifest,
+)
+from irio2024_mapreduce_spark.operators.ivf_index import (
+    build_ivf_index,
+    probe_ivf_index,
+    read_ivf_manifest,
+)
+from irio2024_mapreduce_spark.operators.similarity import EMB_DIM
+from irio2024_mapreduce_spark.plans.ingest import (
+    build_corpus_index,
+    ingest_batch,
+)
+from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
+
+WORDS = (
+    "river stone bridge meadow lantern harbor forest signal copper "
+    "window letter march quiet garden motor saddle timber anchor "
+    "valley summit ferry orchard mill tower"
+).split()
+
+
+def _docs(spark, ids):
+    def text(i):
+        rng = random.Random(i)
+        body = " ".join(
+            f"{rng.choice(WORDS)}{rng.randint(0, 9999)}"
+            for _ in range(40)
+        )
+        return "the quick note and " + body
+
+    rows = [(int(i), text(i)) for i in ids]
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _emb(spark, ids):
+    # deterministic vectors without a Python loop per element cost
+    # concern — tool-sized, driver-side generation is fine
+    def vec(i):
+        rng = random.Random(i)
+        return [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+    return spark.createDataFrame(
+        [(int(i), vec(i)) for i in ids], "vec_id long, v array<double>"
+    )
+
+
+def run(spark, n_docs: int) -> dict:
+    seed_ids = list(range(100, 100 + n_docs))
+    batch_ids = list(range(1_000_000, 1_000_000 + n_docs))
+
+    # --- baseline: no index dirs
+    root0 = tempfile.mkdtemp(prefix="ingest_noidx_")
+    idx0, out0 = os.path.join(root0, "idx"), os.path.join(root0, "out")
+    build_corpus_index(spark, _docs(spark, seed_ids), idx0)
+    batch = _docs(spark, batch_ids).localCheckpoint(eager=True)
+    emb = _emb(spark, batch_ids).localCheckpoint(eager=True)
+    drain_driver_backlog(spark)
+    t0 = time.perf_counter()
+    m0 = ingest_batch(spark, batch, idx0, out0, batch_id=1, stream="s")
+    base_sec = round(time.perf_counter() - t0, 2)
+    assert m0["appended"] == n_docs, m0
+
+    # --- integrated: ANN + IVF ride the same commit
+    root1 = tempfile.mkdtemp(prefix="ingest_simidx_")
+    idx1, out1 = os.path.join(root1, "idx"), os.path.join(root1, "out")
+    ann, ivf = os.path.join(root1, "ann"), os.path.join(root1, "ivf")
+    build_corpus_index(spark, _docs(spark, seed_ids), idx1)
+    build_ann_index(spark, _emb(spark, seed_ids), ann)
+    build_ivf_index(spark, _emb(spark, seed_ids), ivf)
+    drain_driver_backlog(spark)
+    t0 = time.perf_counter()
+    m1 = ingest_batch(
+        spark, batch, idx1, out1, batch_id=1, stream="s",
+        batch_emb=emb, ann_index_dir=ann, ivf_index_dir=ivf,
+    )
+    integ_sec = round(time.perf_counter() - t0, 2)
+    assert m1["appended"] == n_docs, m1
+
+    # post-ingest probes answer over the FULL corpus: an exact-vector
+    # query's top-1 must be the ingested doc at cosine 1.0
+    probe_id = batch_ids[n_docs // 2]
+    q = _emb(spark, [probe_id]).select(
+        F.lit(0).cast("long").alias("vec_id"), "v"
+    )
+    for fn, d in ((probe_ann_index, ann), (probe_ivf_index, ivf)):
+        top = fn(spark, q, d).filter(F.col("rank") == 1).collect()
+        assert top and top[0]["neighbor_id"] == probe_id, (fn, top)
+        assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+    total = n_docs * 2
+    assert read_ann_manifest(ann)["rows"] == total
+    assert read_ivf_manifest(ivf)["rows"] == total
+    return {
+        "n_docs": n_docs,
+        "ingest_base_sec": base_sec,
+        "ingest_with_indexes_sec": integ_sec,
+        "index_overhead_frac": round(integ_sec / base_sec - 1, 3),
+        "post_ingest_probe_parity": True,
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    spark = get_spark("stress-ingest-sim")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, n)))
+
+
+if __name__ == "__main__":
+    main()
