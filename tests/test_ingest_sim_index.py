@@ -325,6 +325,71 @@ def test_strict_entry_recovery_fails_loudly_on_held_lock(
     assert _ann_ids(spark, ann) == ADMITTED  # predecessor published
 
 
+def test_quantized_ivf_ingest_and_geometry_change(spark, tmp_path):
+    """An int8-quantized stored IVF index through the same
+    transactional ingest: staged rows carry codes+scale, the fast
+    path moves them, and the geometry-change slow path DEQUANTIZES
+    the staged rows before re-assignment (schema-detected)."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivf")
+    build_corpus_index(spark, _frame(spark, T_CORPUS), idx)
+    build_ivf_index(
+        spark, _emb(spark, SEED_IDS), ivf, k_cells=2, quantize=True
+    )
+    m = ingest_batch(
+        spark, _frame(spark, T_BATCH), idx, out,
+        batch_id=5, stream="s",
+        batch_emb=_emb(spark, [i for i, _ in T_BATCH]),
+        ivf_index_dir=ivf,
+    )
+    assert m["appended"] == 2
+    assert _ivf_ids(spark, ivf) == ADMITTED
+    cells = os.path.join(
+        ivf, f"cells_v{read_ivf_manifest(ivf)['data_version']}"
+    )
+    assert "codes" in spark.read.parquet(cells).columns
+    # quantized probe: top-1 for a stored vector is itself (cosine of
+    # the int8-dequantized self ≈ 1 within quantization error)
+    q = spark.createDataFrame(
+        [(0, _vec(200))], "vec_id long, v array<double>"
+    )
+    top = (
+        probe_ivf_index(spark, q, ivf)
+        .filter(F.col("rank") == 1)
+        .collect()[0]
+    )
+    assert top["neighbor_id"] == 200 and top["cosine"] > 0.999
+
+    # geometry-change window with a QUANTIZED staged part: the
+    # slow-path roll-forward must dequantize before re-assigning
+    with pytest.raises(SimulatedCrash):
+        ingest_batch(
+            spark, _frame(spark, [(400, "the glass factory shipped "
+                                        "crates of bottles along the "
+                                        "river barges every tuesday "
+                                        "without fail")]),
+            idx, out, batch_id=6, stream="s",
+            batch_emb=_emb(spark, [400]), ivf_index_dir=ivf,
+            _test_crash_after="commit",
+        )
+    rb = rebuild_ivf_index(spark, ivf, k_cells=3)
+    assert rb["rebuilt"]
+    recover_staged_batches(idx)
+    assert _ivf_ids(spark, ivf) == sorted(ADMITTED + [400])
+    top = (
+        probe_ivf_index(
+            spark,
+            spark.createDataFrame(
+                [(0, _vec(400))], "vec_id long, v array<double>"
+            ),
+            ivf,
+        )
+        .filter(F.col("rank") == 1)
+        .collect()[0]
+    )
+    assert top["neighbor_id"] == 400 and top["cosine"] > 0.999
+
+
 def test_missing_batch_emb_fails_loudly(spark, tmp_path):
     idx, out, ann, ivf = _setup(spark, tmp_path)
     with pytest.raises(ValueError, match="batch_emb"):
