@@ -690,7 +690,7 @@ def _new_staging_dir(
                 # a predecessor CRASHED MID-PUBLISH after committing,
                 # while its holder still looked alive to the entry
                 # recovery — finish its publication, never destroy it
-                _publish_staged(staging)
+                _publish_staged(staging, known_committed=True)
                 raise _BatchAlreadyCommitted(staging)
             shutil.rmtree(staging)
         os.makedirs(staging)
@@ -936,10 +936,18 @@ def _move_staged_files(src: str, dst: str) -> None:
 
 
 def _publish_staged(
-    staging: str, _test_crash_after: str | None = None
+    staging: str,
+    _test_crash_after: str | None = None,
+    known_committed: bool = False,
 ) -> None:
     """Commit and publish a staged batch — or roll an already-committed
-    one forward (recovery path; idempotent). Takes the index and
+    one forward (recovery path; idempotent). ``known_committed`` is
+    set by RECOVERY callers who observed the staging's ``_committed``
+    marker before calling: for them a staging that has vanished was
+    finished by a racing sibling (benign). The OWNER path leaves it
+    False, so a staging destroyed out from under the owner (a
+    generation flip replacing the index dir) raises instead of
+    misreporting the batch as ingested. Takes the index and
     corpus advisory locks (in that fixed order, with patience), runs
     swap-crash recovery on EVERY publish target under them — including
     the corpus, for both the compact and z-order suffix pairs (ADVICE
@@ -963,17 +971,40 @@ def _publish_staged(
         # block (see below)
         was_committed = os.path.exists(os.path.join(staging, _COMMITTED))
     except FileNotFoundError:
-        # either a sibling finished the publication (dir gone), or a
-        # crash mid-final-rmtree deleted the plan before the marker
-        # (deletion order inside rmtree is arbitrary). The plan is
-        # written before the marker and read before every move, so
-        # committed-without-plan can ONLY mean the final cleanup was
-        # already underway — everything is published; finish the GC.
-        if os.path.isdir(staging) and os.path.exists(
-            os.path.join(staging, _COMMITTED)
+        # committed-without-plan (dir present): the plan is written
+        # before the marker and read before every move, so this can
+        # only mean the final cleanup was already underway —
+        # everything is published; finish the GC.
+        if os.path.isdir(staging):
+            if os.path.exists(os.path.join(staging, _COMMITTED)):
+                shutil.rmtree(staging, ignore_errors=True)
+            return
+        # the whole staging dir is GONE before we could read the
+        # plan. For recovery callers (known_committed) a sibling
+        # finished it — benign. For the OWNER, same classification as
+        # the vanished-after-locks case below: a keyed batch's commit
+        # marker (whose stem IS the staging dir name) decides;
+        # marker-absent — or any unkeyed staging, which the owner
+        # alone publishes — means the staging was DESTROYED
+        # unpublished (a generation flip replacing the index dir took
+        # `_staged/` with it), and returning quietly would report a
+        # batch as ingested that is in neither index nor corpus.
+        if known_committed:
+            return
+        name = os.path.basename(staging)
+        if not name.startswith("nokey_") and os.path.exists(
+            os.path.join(
+                os.path.dirname(os.path.dirname(staging)),
+                "_commit_markers",
+                name,
+            )
         ):
-            shutil.rmtree(staging, ignore_errors=True)
-        return
+            return
+        raise RuntimeError(
+            f"{staging} disappeared before publication (a generation "
+            "flip replaced the index?) — the batch was NOT ingested; "
+            "re-deliver it"
+        ) from None
     index_dir = os.path.dirname(os.path.dirname(staging))
     clean_path = plan["corpus_root"].rstrip("/")
     locks = []
@@ -1246,7 +1277,7 @@ def recover_staged_batches(
             continue
         if os.path.exists(os.path.join(d, _COMMITTED)):
             try:
-                _publish_staged(d)
+                _publish_staged(d, known_committed=True)
             except LockPatienceExhausted:
                 # ONLY the patience type is tolerated (the staging's
                 # live owner is mid-publish, or a long compaction
@@ -1286,7 +1317,7 @@ def recover_staged_batches(
             # between the probe and our acquisition
             if os.path.exists(os.path.join(d, _COMMITTED)):
                 try:
-                    _publish_staged(d)
+                    _publish_staged(d, known_committed=True)
                     out["rolled_forward"] += 1
                 except LockPatienceExhausted:
                     if strict:

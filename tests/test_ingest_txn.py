@@ -366,6 +366,37 @@ def test_move_file_non_exdev_oserror_surfaces(tmp_path):
     assert os.path.exists(src)  # the staged source is untouched
 
 
+def test_vanished_staging_classification(spark, tmp_path):
+    """Review finding (r11, fourth pass): every arm of the
+    vanished-staging classification, pinned. A staging gone before
+    the plan read is benign ONLY when the caller already observed its
+    commit marker (recovery) or the batch's keyed commit marker
+    exists; the owner's keyed-marker-absent and unkeyed cases RAISE —
+    quiet success there misreports a flip-destroyed batch as
+    ingested."""
+    idx, _ = _setup(spark, tmp_path)
+    staged = os.path.join(idx, "_staged")
+
+    # keyed, marker ABSENT, staging gone → the owner must raise
+    gone = os.path.join(staged, "feedface00_4")
+    with pytest.raises(RuntimeError, match="NOT ingested"):
+        ingest_mod._publish_staged(gone)
+
+    # keyed, marker PRESENT (stem == staging name) → quiet return
+    markers = os.path.join(idx, "_commit_markers")
+    os.makedirs(markers, exist_ok=True)
+    with open(os.path.join(markers, "feedface00_4"), "w") as f:
+        f.write("committed\n")
+    ingest_mod._publish_staged(gone)  # no raise
+
+    # unkeyed, staging gone: owner raises; recovery (which observed
+    # the _committed marker before calling) returns quietly
+    gone_u = os.path.join(staged, "nokey_deadbeefdeadbeef")
+    with pytest.raises(RuntimeError, match="NOT ingested"):
+        ingest_mod._publish_staged(gone_u)
+    ingest_mod._publish_staged(gone_u, known_committed=True)  # no raise
+
+
 def test_manifest_replay_is_deterministic(spark, tmp_path):
     """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must
     replay the ORIGINAL row (appended desc), not an arbitrary one —

@@ -85,34 +85,50 @@ def _emb(spark, ids):
 def run(spark, n_docs: int) -> dict:
     seed_ids = list(range(100, 100 + n_docs))
     batch_ids = list(range(1_000_000, 1_000_000 + n_docs))
-
-    # --- baseline: no index dirs
-    root0 = tempfile.mkdtemp(prefix="ingest_noidx_")
-    idx0, out0 = os.path.join(root0, "idx"), os.path.join(root0, "out")
-    build_corpus_index(spark, _docs(spark, seed_ids), idx0)
     batch = _docs(spark, batch_ids).localCheckpoint(eager=True)
     emb = _emb(spark, batch_ids).localCheckpoint(eager=True)
-    drain_driver_backlog(spark)
-    t0 = time.perf_counter()
-    m0 = ingest_batch(spark, batch, idx0, out0, batch_id=1, stream="s")
-    base_sec = round(time.perf_counter() - t0, 2)
-    assert m0["appended"] == n_docs, m0
 
-    # --- integrated: ANN + IVF ride the same commit
-    root1 = tempfile.mkdtemp(prefix="ingest_simidx_")
-    idx1, out1 = os.path.join(root1, "idx"), os.path.join(root1, "out")
-    ann, ivf = os.path.join(root1, "ann"), os.path.join(root1, "ivf")
-    build_corpus_index(spark, _docs(spark, seed_ids), idx1)
-    build_ann_index(spark, _emb(spark, seed_ids), ann)
-    build_ivf_index(spark, _emb(spark, seed_ids), ivf)
-    drain_driver_backlog(spark)
-    t0 = time.perf_counter()
-    m1 = ingest_batch(
-        spark, batch, idx1, out1, batch_id=1, stream="s",
-        batch_emb=emb, ann_index_dir=ann, ivf_index_dir=ivf,
-    )
-    integ_sec = round(time.perf_counter() - t0, 2)
-    assert m1["appended"] == n_docs, m1
+    def fresh_setup(with_indexes: bool):
+        root = tempfile.mkdtemp(prefix="ingest_sim_")
+        idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+        build_corpus_index(spark, _docs(spark, seed_ids), idx)
+        if not with_indexes:
+            return idx, out, None, None
+        ann, ivf = os.path.join(root, "ann"), os.path.join(root, "ivf")
+        build_ann_index(spark, _emb(spark, seed_ids), ann)
+        build_ivf_index(spark, _emb(spark, seed_ids), ivf)
+        return idx, out, ann, ivf
+
+    def timed_ingest(setup):
+        idx, out, ann, ivf = setup
+        drain_driver_backlog(spark)
+        t0 = time.perf_counter()
+        m = ingest_batch(
+            spark, batch, idx, out, batch_id=1, stream="s",
+            batch_emb=emb if ann else None,
+            ann_index_dir=ann, ivf_index_dir=ivf,
+        )
+        sec = round(time.perf_counter() - t0, 2)
+        assert m["appended"] == n_docs, m
+        return sec
+
+    # ABBA ordering with fresh state per measurement: a single
+    # base-then-integrated pair runs the integrated arm on a strictly
+    # warmer JVM and understates the overhead; per-arm MIN over the
+    # interleaved pairs removes the ordering bias
+    setups = {
+        "base": [fresh_setup(False), fresh_setup(False)],
+        "integ": [fresh_setup(True), fresh_setup(True)],
+    }
+    base_times = [timed_ingest(setups["base"][0])]
+    integ_times = [
+        timed_ingest(setups["integ"][0]),
+        timed_ingest(setups["integ"][1]),
+    ]
+    base_times.append(timed_ingest(setups["base"][1]))
+    base_sec, integ_sec = min(base_times), min(integ_times)
+    ann = setups["integ"][0][2]
+    ivf = setups["integ"][0][3]
 
     # post-ingest probes answer over the FULL corpus: an exact-vector
     # query's top-1 must be the ingested doc at cosine 1.0
@@ -132,6 +148,8 @@ def run(spark, n_docs: int) -> dict:
         "n_docs": n_docs,
         "ingest_base_sec": base_sec,
         "ingest_with_indexes_sec": integ_sec,
+        "ingest_base_times": base_times,
+        "ingest_with_indexes_times": integ_times,
         "index_overhead_frac": round(integ_sec / base_sec - 1, 3),
         "post_ingest_probe_parity": True,
     }
