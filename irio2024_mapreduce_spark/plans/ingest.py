@@ -971,39 +971,34 @@ def _publish_staged(
         # block (see below)
         was_committed = os.path.exists(os.path.join(staging, _COMMITTED))
     except FileNotFoundError:
-        # committed-without-plan (dir present): the plan is written
-        # before the marker and read before every move, so this can
-        # only mean the final cleanup was already underway —
-        # everything is published; finish the GC.
-        if os.path.isdir(staging):
-            if os.path.exists(os.path.join(staging, _COMMITTED)):
+        # the plan is unreadable — either the final cleanup rmtree was
+        # already underway (plan deleted before the staged _committed,
+        # rmtree order is arbitrary) or a generation flip is
+        # destroying `_staged/` out from under us (same arbitrary
+        # order, so EVERY combination of dir-present/dir-gone and
+        # staged-_committed-present/absent is reachable in both
+        # causes). The one reliable discriminator is the EXTERNAL
+        # commit marker, touched only after ALL moves (a keyed
+        # staging's name IS the marker stem): marker present →
+        # publication finished, GC any remains. Otherwise recovery
+        # callers (known_committed) treat the staging as superseded —
+        # whatever is destroying it is the new authority — while the
+        # OWNER raises: returning quietly would report a batch as
+        # ingested that is in neither index nor corpus.
+        name = os.path.basename(staging)
+        marker_done = not name.startswith("nokey_") and os.path.exists(
+            _commit_marker_for_name(
+                os.path.dirname(os.path.dirname(staging)), name
+            )
+        )
+        if marker_done or known_committed:
+            if os.path.isdir(staging):
                 shutil.rmtree(staging, ignore_errors=True)
             return
-        # the whole staging dir is GONE before we could read the
-        # plan. For recovery callers (known_committed) a sibling
-        # finished it — benign. For the OWNER, same classification as
-        # the vanished-after-locks case below: a keyed batch's commit
-        # marker (whose stem IS the staging dir name) decides;
-        # marker-absent — or any unkeyed staging, which the owner
-        # alone publishes — means the staging was DESTROYED
-        # unpublished (a generation flip replacing the index dir took
-        # `_staged/` with it), and returning quietly would report a
-        # batch as ingested that is in neither index nor corpus.
-        if known_committed:
-            return
-        name = os.path.basename(staging)
-        if not name.startswith("nokey_") and os.path.exists(
-            os.path.join(
-                os.path.dirname(os.path.dirname(staging)),
-                "_commit_markers",
-                name,
-            )
-        ):
-            return
         raise RuntimeError(
-            f"{staging} disappeared before publication (a generation "
-            "flip replaced the index?) — the batch was NOT ingested; "
-            "re-deliver it"
+            f"{staging} lost its publish plan before publication (a "
+            "generation flip replaced the index?) — the batch was "
+            "NOT ingested; re-deliver it"
         ) from None
     index_dir = os.path.dirname(os.path.dirname(staging))
     clean_path = plan["corpus_root"].rstrip("/")
@@ -1258,7 +1253,7 @@ def recover_staged_batches(
             if name.endswith("._alive.lock"):
                 stem = name[: -len("._alive.lock")]
                 committed_key = os.path.exists(
-                    os.path.join(index_dir, "_commit_markers", stem)
+                    _commit_marker_for_name(index_dir, stem)
                 )
                 if not (stem.startswith("nokey_") or committed_key):
                     continue  # keyed, uncommitted: address may be reused
@@ -1388,9 +1383,16 @@ def _commit_marker(index_dir: str, batch_id: int, stream: str) -> str:
     case — paid a full scan of the ever-growing manifests parquet
     before doing any work."""
     tag = hashlib.md5(stream.encode()).hexdigest()[:10]
-    return os.path.join(
-        index_dir, "_commit_markers", f"{tag}_{int(batch_id)}"
-    )
+    return _commit_marker_for_name(index_dir, f"{tag}_{int(batch_id)}")
+
+
+def _commit_marker_for_name(index_dir: str, name: str) -> str:
+    """Marker path from the KEYED staging-dir name — the stem and the
+    staging name are the same ``{tag}_{batch_id}`` string by
+    construction (:func:`_new_staging_dir`), and this helper is the
+    single place that knows the layout (used by the key-derived
+    lookups in ``_publish_staged`` and ``recover_staged_batches``)."""
+    return os.path.join(index_dir, "_commit_markers", name)
 
 
 def _recover_index_part(index_dir: str, part: str) -> None:

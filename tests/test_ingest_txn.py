@@ -396,6 +396,23 @@ def test_vanished_staging_classification(spark, tmp_path):
         ingest_mod._publish_staged(gone_u)
     ingest_mod._publish_staged(gone_u, known_committed=True)  # no raise
 
+    # dir PRESENT but plan gone (a flip's rmtree deletes files in
+    # arbitrary order): owner with no external marker must raise —
+    # this is the pre-plan-read window of the same destruction
+    half = os.path.join(staged, "feedface00_6")
+    os.makedirs(half)
+    with open(os.path.join(half, "_committed"), "w") as f:
+        f.write("committed\n")  # staged marker proves commit, NOT moves
+    with pytest.raises(RuntimeError, match="NOT ingested"):
+        ingest_mod._publish_staged(half)
+    assert os.path.isdir(half)  # never GC'd by the raising owner
+    # with the EXTERNAL marker (touched only after all moves), the
+    # same state is a finished publication mid-cleanup → GC'd quietly
+    with open(os.path.join(markers, "feedface00_6"), "w") as f:
+        f.write("committed\n")
+    ingest_mod._publish_staged(half)
+    assert not os.path.isdir(half)
+
 
 def test_manifest_replay_is_deterministic(spark, tmp_path):
     """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must

@@ -114,8 +114,10 @@ def run(spark, n_docs: int) -> dict:
 
     # ABBA ordering with fresh state per measurement: a single
     # base-then-integrated pair runs the integrated arm on a strictly
-    # warmer JVM and understates the overhead; per-arm MIN over the
-    # interleaved pairs removes the ordering bias
+    # warmer JVM and understates the overhead. Per-arm MIN over the
+    # interleaved pairs bounds the residual bias in the CONSERVATIVE
+    # direction (the base arm holds the warmest slot, so if anything
+    # the reported overhead is slightly overstated)
     setups = {
         "base": [fresh_setup(False), fresh_setup(False)],
         "integ": [fresh_setup(True), fresh_setup(True)],
@@ -127,8 +129,7 @@ def run(spark, n_docs: int) -> dict:
     ]
     base_times.append(timed_ingest(setups["base"][1]))
     base_sec, integ_sec = min(base_times), min(integ_times)
-    ann = setups["integ"][0][2]
-    ivf = setups["integ"][0][3]
+    _, _, ann, ivf = setups["integ"][0]
 
     # post-ingest probes answer over the FULL corpus: an exact-vector
     # query's top-1 must be the ingested doc at cosine 1.0
