@@ -84,6 +84,14 @@ HEADLINE = [
     # RETIRED_ROWS_ONLY_QUERIES) — it anchors the r01 subset and the
     # xxhash64-family perf series.
     "dedup_near_md5",
+    # added r12 when it took the graded ANN slot (31-query totals not
+    # comparable to r11's 30). similarity_ann stays ABOVE despite its
+    # r12 retirement (resolved from similarity.RETIRED_TWIN_QUERIES)
+    # — it anchors the LSH-family perf series; this entry measures
+    # the STORED-index probe (fixture build amortized: first
+    # iteration builds, min-of-N reports the cached-probe cost, which
+    # is the production steady state).
+    "probe_ann_index",
 ]
 
 # The 20 queries HEADLINE contained through rounds 1-2 — their
@@ -129,7 +137,11 @@ WARMUP_SAMPLES = 5
 
 
 def compute_load_flags(
-    load_start1: float, canary: float, series_vals: list[float]
+    load_start1: float,
+    canary: float,
+    series_vals: list[float],
+    load_mid1: float | None = None,
+    mid_canary: float | None = None,
 ) -> dict:
     """The bench's contention self-flag — pure so tests can drive it
     with synthetic profiles. r10 verdict item 3: the old criterion
@@ -151,7 +163,18 @@ def compute_load_flags(
     * ``early_contended`` — the warm-up window's worst sample exceeds
       3× the steady median (JIT warm-up measures ≤ ~2.2× steady on an
       idle host; 3× means something else was running during the only
-      window the tail excludes).
+      window the tail excludes);
+    * ``load_mid`` / ``mid_dev`` — the START criteria RE-SAMPLED at
+      the battery midpoint (r11 verdict item 3: load that arrives
+      right after warm-up and stays FLAT inflates both half-medians
+      equally, so midrun_drift cannot see it, and the start samples
+      were clean — the evasion window). Same absolute thresholds:
+      1-min load average > LOAD_FLAG, min-of-3 fixed-work canary >
+      1.5× the frozen cold reference. The midpoint canary is WARM
+      (post-JIT), which on an idle host runs FASTER than the cold
+      reference — so the threshold only fires on genuine contention,
+      never on JIT state. Both criteria are off (None) for artifacts
+      recorded before the midpoint sampling existed.
 
     Returns the per-criterion booleans, the combined flag, and the
     half-medians (the drift bounds the normalized interval)."""
@@ -169,6 +192,11 @@ def compute_load_flags(
         "cold_dev": canary > COLD_DEVIATION * CANARY_REF_SEC,
         "midrun_drift": drift > DRIFT_FLAG,
         "early_contended": bool(early) and max(early) > 3 * c_med,
+        "load_mid": load_mid1 is not None and load_mid1 > LOAD_FLAG,
+        "mid_dev": (
+            mid_canary is not None
+            and mid_canary > COLD_DEVIATION * CANARY_REF_SEC
+        ),
     }
     return {
         **flags,
@@ -199,8 +227,11 @@ def main() -> None:
     # retired-but-still-benched queries (perf series continuity across
     # driver-window retirements) — explicit merge, registry wins
     from irio2024_mapreduce_spark.operators import dedup as _dedup
+    from irio2024_mapreduce_spark.operators import similarity as _sim
 
     for _name, _fn in _dedup.RETIRED_ROWS_ONLY_QUERIES.items():
+        qs.setdefault(_name, _fn)
+    for _name, _fn in _sim.RETIRED_TWIN_QUERIES.items():
         qs.setdefault(_name, _fn)
 
     # warm-up: pay JVM/codegen init outside the timings
@@ -287,7 +318,17 @@ def main() -> None:
     code_cache_mb: dict[str, float] = {}
     transients: dict[str, dict] = {}
     canary_series: dict[str, float] = {}
-    for name in HEADLINE:
+    mid_canary: float | None = None
+    load_mid: list[float] | None = None
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            # battery-midpoint re-sample of the START criteria (r11
+            # verdict item 3): min-of-3 canary + load average, judged
+            # by the same absolute thresholds — closes the window
+            # where flat load arriving after warm-up evades both the
+            # clean start samples and the half-median drift
+            mid_canary = round(min(run_canary() for _ in range(3)), 3)
+            load_mid = [round(x, 2) for x in os.getloadavg()]
         # interleaved canary: one fixed-work sample right before each
         # query, OUTSIDE its timed iterations — 30 samples across the
         # battery catch load that arrives mid-run
@@ -374,7 +415,11 @@ def main() -> None:
     # produced a nonsense 16.9 s "normalized" reading of a 10 s run —
     # r10 verdict item 3; that field is gone.)
     series_vals = list(canary_series.values())
-    lf = compute_load_flags(load_start[0], canary, series_vals)
+    lf = compute_load_flags(
+        load_start[0], canary, series_vals,
+        load_mid1=load_mid[0] if load_mid else None,
+        mid_canary=mid_canary,
+    )
     load_flagged = lf["flagged"]
     normalized = round(r01_subset * CANARY_REF_SEC / canary, 3)
     # the normalized interval: the cold-anchored point widened by the
@@ -407,8 +452,12 @@ def main() -> None:
                         "cold_dev",
                         "midrun_drift",
                         "early_contended",
+                        "load_mid",
+                        "mid_dev",
                     )
                 },
+                "mid_canary_sec": mid_canary,
+                "load_avg_mid": load_mid,
                 "load_flagged": load_flagged,
                 "iteration_times": iteration_times,
                 "iteration_gc_ms": iteration_gc_ms,

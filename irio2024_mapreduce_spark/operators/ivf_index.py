@@ -137,6 +137,44 @@ def _gc_orphan_versions(index_dir: str, live: int) -> int:
     return removed
 
 
+def footer_cell_counts(data_dir: str) -> dict[str, int]:
+    """Per-``cell=`` partition row counts from parquet footers only —
+    no Spark job, no data scan."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, data_dir)
+            cell = next(
+                (s for s in rel.split(os.sep) if s.startswith("cell=")),
+                "",
+            )
+            counts[cell] = counts.get(cell, 0) + pq.ParquetFile(
+                os.path.join(root, f)
+            ).metadata.num_rows
+    return counts
+
+
+def footer_imbalance(data_dir: str) -> float:
+    """p99-cell-rows / mean-cell-rows of a cells dir, from footers.
+    1.0 is perfectly balanced; a hot cell pushes it up. Recorded in
+    the manifest at train time (``trained_imbalance``) so maintenance
+    trips on DEGRADATION relative to what the training itself
+    produced — natural cluster skew baked in at train time must not
+    re-trip a re-train that cannot improve it."""
+    counts = sorted(footer_cell_counts(data_dir).values())
+    if not counts:
+        return 1.0
+    mean = sum(counts) / len(counts)
+    # ceil, so the p99 of a small cell set is its MAX (int() would
+    # pick the second-largest at k ≤ 100 and miss the one hot cell)
+    p99 = counts[math.ceil(0.99 * (len(counts) - 1))]
+    return p99 / mean if mean else 1.0
+
+
 def _stored_rows(assigned: DataFrame, quantize: bool) -> DataFrame:
     """The cell-partitioned storage frame. Quantized rows keep the
     bit-exact int8 code expression (quant_code_col) + per-vector
@@ -210,6 +248,9 @@ def build_ivf_index(
             "rows": rows,
             "quantized": quantize,
             "data_version": n,
+            "trained_imbalance": footer_imbalance(
+                os.path.join(index_dir, f"cells_v{n}")
+            ),
         }
         _write_manifest(index_dir, manifest)  # the commit point
         _gc_orphan_versions(index_dir, n)
@@ -248,30 +289,55 @@ def append_ivf_index(
 
 
 def rebuild_ivf_index(
-    spark: SparkSession, index_dir: str, k_cells: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    k_cells: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Maintenance: recount the stored corpus, re-train at
     k ≈ √rows, and rewrite as version N+1 with one atomic manifest
     flip (readers never blocked). Quantized indexes re-train on the
     dequantized vectors — the centroids move by at most the
-    quantization error, which the sizing rule dwarfs."""
+    quantization error, which the sizing rule dwarfs.
+
+    The rewrite runs when k changed, when crash-replay DUPLICATES
+    exist (physical rows != distinct ``vec_id`` — ADVICE r11: the
+    same-k early return used to leave dup rows on disk forever,
+    contradicting the publish path's 'next maintenance pass compacts
+    them physically'), or when ``force`` is set (the hot-cell
+    imbalance signal: k may be unchanged but the centroids are stale,
+    so only a re-train rebalances). A clean same-k index only trues
+    up the advisory manifest count."""
     lock = acquire_compaction_lock(index_dir)
     try:
         m = read_ivf_manifest(index_dir)
         _gc_orphan_versions(index_dir, m["data_version"])
-        vecs = _read_vectors(
-            spark, index_dir, m
-        ).dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        raw = _read_vectors(spark, index_dir, m)
+        physical = raw.count()
+        vecs = raw.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
         rows = vecs.count()
         k = k_cells or target_cells(rows)
-        if k == m["k_cells"]:
+        dups = physical - rows
+        if k == m["k_cells"] and dups == 0 and not force:
+            # nothing physical to fix — true up the advisory count
             _write_manifest(index_dir, {**m, "rows": rows})
-            return {"k_cells": k, "rebuilt": False, "rows": rows}
+            return {
+                "k_cells": k, "rebuilt": False, "rows": rows,
+                "dups_removed": 0,
+            }
         n = m["data_version"] + 1
         _write_version(spark, vecs, index_dir, n, k, m["quantized"])
         _write_manifest(
             index_dir,
-            {**m, "k_cells": k, "rows": rows, "data_version": n},
+            {
+                **m,
+                "k_cells": k,
+                "rows": rows,
+                "data_version": n,
+                "trained_imbalance": footer_imbalance(
+                    os.path.join(index_dir, f"cells_v{n}")
+                ),
+            },
         )  # the commit point
         _gc_orphan_versions(index_dir, n)
         return {
@@ -279,6 +345,7 @@ def rebuild_ivf_index(
             "k_cells": k,
             "rebuilt": True,
             "rows": rows,
+            "dups_removed": dups,
         }
     finally:
         release_compaction_lock(lock)
@@ -353,3 +420,76 @@ def probe_ivf_index(
             "vec_id", "v", F.col("cell").cast("int").alias("cell")
         )
     return _ivf_score(stored, q_cells)
+
+
+def measure_ivf_recall(
+    spark: SparkSession,
+    index_dir: str,
+    sample_n: int = 16,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    seed: int = 7,
+) -> dict:
+    """Sampled recall@k of the STORED probe vs exact brute force over
+    the stored corpus — the measured quality signal behind the
+    hot-cell maintenance trigger (r11 verdict item 2: 'rebuild
+    restores measured recall'). An ON-DEMAND diagnostic, not a
+    per-pass probe: the exact side is an O(sample_n × rows) flat scan,
+    so maintenance trips on the footer-only imbalance signal and this
+    function quantifies the damage / the repair in tests and audits.
+    Deterministic: the sample is the ``sample_n`` smallest
+    ``xxhash64(vec_id, seed)`` stored vectors. ``k`` is capped by the
+    probe's own TOP_K."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
+        _cosine,
+    )
+
+    m = read_ivf_manifest(index_dir)
+    vecs = (
+        _read_vectors(spark, index_dir, m)
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    queries = (
+        vecs.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+        .limit(sample_n)
+        .localCheckpoint(eager=True)
+    )
+    approx = probe_ivf_index(spark, queries, index_dir, nprobe=nprobe)
+    exact_scored = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+            )
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        exact_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    hits = exact.join(
+        approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "semi",
+    ).count()
+    denom = exact.count()
+    return {
+        "recall": hits / denom if denom else 1.0,
+        "sample_n": queries.count(),
+        "k": k,
+        "nprobe": nprobe,
+    }

@@ -366,14 +366,21 @@ def ingest_batch(
     sim_roots = [
         os.path.abspath(p) for p in (ann_index_dir, ivf_index_dir) if p
     ]
-    if len(set(sim_roots)) != len(sim_roots) or os.path.abspath(
-        index_dir
-    ) in sim_roots:
-        # each root is flocked independently at publish; aliased roots
-        # would self-deadlock the second acquire
+    # every publish lock target must be distinct — index dir, both
+    # similarity roots, AND the corpus publish target (ADVICE r11:
+    # aliasing a sim root to clean_documents.parquet self-blocked at
+    # publish until LockPatienceExhausted instead of failing fast):
+    # each is flocked independently at publish; aliased roots would
+    # self-deadlock the second acquire
+    lock_targets = sim_roots + [
+        os.path.abspath(index_dir),
+        os.path.abspath(os.path.join(corpus_dir, "clean_documents.parquet")),
+    ]
+    if len(set(lock_targets)) != len(lock_targets):
         raise ValueError(
-            "ann_index_dir, ivf_index_dir and index_dir must be "
-            "distinct directories"
+            "ann_index_dir, ivf_index_dir, index_dir and the corpus "
+            "publish target ({corpus_dir}/clean_documents.parquet) "
+            "must be distinct directories"
         )
     if ann_index_dir:
         from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
@@ -741,8 +748,22 @@ def _stage_batch(
             *[int(manifest[k]) for k in _MANIFEST_KEYS],
         )
         parts["manifests"] = spark.createDataFrame([row], _MANIFEST_SCHEMA)
+    # every staged part lands in its OWN subdir from frames whose
+    # upstream checkpoints are already materialized (the manifest
+    # counts forced them), so the writes are independent Spark jobs —
+    # submit them CONCURRENTLY (r11 verdict item 4: sequential
+    # submission made the two similarity-index parts a +33-47%
+    # wall-clock overhead on a 4k-doc batch; concurrent submission
+    # overlaps their fixed per-job cost with the corpus/index writes
+    # on otherwise-idle executor threads). Protocol unchanged: the
+    # plan is still written AFTER every part is on disk.
+    write_jobs: list = []
     for name, df in parts.items():
-        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+        write_jobs.append(
+            lambda df=df, name=name: df.write.mode("overwrite").parquet(
+                os.path.join(staging, name)
+            )
+        )
     # corpus: detect the live layout at stage time so the staged
     # write shape matches (the split tag is content-addressed —
     # llm_prep.split_docs — so appended docs land in the SAME split
@@ -762,12 +783,17 @@ def _stage_batch(
             split_docs,
         )
 
-        split_docs(cleaned).write.mode("overwrite").partitionBy(
-            "split"
-        ).parquet(os.path.join(staging, "corpus"))
+        write_jobs.append(
+            lambda: split_docs(cleaned)
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(os.path.join(staging, "corpus"))
+        )
     else:
-        cleaned.write.mode("overwrite").parquet(
-            os.path.join(staging, "corpus")
+        write_jobs.append(
+            lambda: cleaned.write.mode("overwrite").parquet(
+                os.path.join(staging, "corpus")
+            )
         )
     # similarity-index parts (ordering is the LOCK ordering at publish:
     # dedup index → corpus → ann → ivf, fixed across all writers).
@@ -777,6 +803,10 @@ def _stage_batch(
     n_vecs = vecs.count() if vecs is not None else 0
     if n_vecs == 0:
         ann_index_dir = ivf_index_dir = None
+    # batch-sized shuffle width for the staged index shapes: the
+    # session default is corpus-sized, and a small batch paying a
+    # 32-task shuffle per part is pure fixed cost
+    sim_parts = max(1, -(-n_vecs // 50_000))
     extras: list[dict] = []
     if ann_index_dir:
         from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
@@ -785,9 +815,12 @@ def _stage_batch(
         )
 
         am = read_ann_manifest(ann_index_dir)
-        _shaped_rows(vecs, am["bits"]).write.mode("overwrite").partitionBy(
-            "tbl", "pb"
-        ).parquet(os.path.join(staging, "ann_index"))
+        write_jobs.append(
+            lambda: _shaped_rows(vecs, am["bits"], nparts=sim_parts)
+            .write.mode("overwrite")
+            .partitionBy("tbl", "pb")
+            .parquet(os.path.join(staging, "ann_index"))
+        )
         extras.append(
             {
                 "kind": "ann",
@@ -811,10 +844,12 @@ def _stage_batch(
             os.path.join(ivf_index_dir, f"centroids_v{im['data_version']}")
         )
         assigned = _nearest_cell(vecs, centroids)
-        _stored_rows(assigned, im["quantized"]).repartition(
-            "cell"
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(staging, "ivf_index")
+        write_jobs.append(
+            lambda: _stored_rows(assigned, im["quantized"])
+            .repartition(sim_parts, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(staging, "ivf_index"))
         )
         extras.append(
             {
@@ -825,6 +860,16 @@ def _stage_batch(
                 "rows": n_vecs,
             }
         )
+    if len(write_jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [pool.submit(j) for j in write_jobs]
+            for fut in futures:
+                fut.result()  # first failure propagates, batch aborts
+    else:
+        for j in write_jobs:
+            j()
     plan = {
         "stream": stream,
         "batch_id": None if batch_id is None else int(batch_id),
@@ -1033,7 +1078,18 @@ def _publish_staged(
                     )
                 ):
                     return
-            elif was_committed:
+                if known_committed:
+                    # recovery caller, keyed marker ABSENT: whatever
+                    # destroyed the committed staging (a generation
+                    # flip) superseded the whole lifecycle — return
+                    # quietly, matching the FileNotFoundError branch's
+                    # supersede semantics (ADVICE r11: raising here
+                    # made a pure reader's entry recovery fail
+                    # spuriously depending on timing, since
+                    # recover_staged_batches only tolerates
+                    # LockPatienceExhausted)
+                    return
+            elif was_committed or known_committed:
                 return
             raise RuntimeError(
                 f"{staging} disappeared before publication (a "
@@ -1091,9 +1147,15 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
     (it reads the live dir), so nothing is lost; a crash mid-append in
     THIS path re-appends on the next roll-forward (at-least-once) —
     probes drop duplicate rows and the next maintenance pass compacts
-    them physically. The manifest's advisory row count is bumped once
-    per successful publish; crash-window drift is trued up by the
-    maintenance recount."""
+    them physically. The advisory manifest row count is bumped AFTER
+    the staged-subdir rmtree (ADVICE r11): with bump-before-rmtree, a
+    crash between them made the next roll-forward re-append AND
+    re-bump — physical and advisory both doubled, so the maintenance
+    recount's physical-vs-manifest probe saw nothing wrong. With
+    rmtree-first, every crash shape leaves physical != manifest
+    (re-appended dups without a bump, or a completed publish whose
+    bump never landed), which the footer-level recount trigger
+    detects and rebuild_ivf_index / resize_ann_index true up."""
     import shutil  # noqa: PLC0415
 
     from pyspark.sql import SparkSession as _SS  # noqa: PLC0415
@@ -1135,7 +1197,7 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 _ann_write_rows(
                     vecs, ex["root"], m["bits"], m["data"], mode="append"
                 )
-            _ann_write_manifest(
+            bump = lambda: _ann_write_manifest(  # noqa: E731
                 ex["root"], {**m, "rows": m["rows"] + int(ex["rows"])}
             )
         else:
@@ -1177,12 +1239,17 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 _stored_rows(assigned, m["quantized"]).repartition(
                     "cell"
                 ).write.mode("append").partitionBy("cell").parquet(cells)
-            _ivf_write_manifest(
+            bump = lambda: _ivf_write_manifest(  # noqa: E731
                 ex["root"], {**m, "rows": m["rows"] + int(ex["rows"])}
             )
-        # drop the staged subdir NOW so a roll-forward re-entry takes
-        # the early return instead of re-bumping the advisory count
+        # drop the staged subdir BEFORE the advisory bump: a re-entry
+        # after the rmtree takes the early return and can never
+        # re-bump, so the bump happens at most once per publish — a
+        # crash in the rmtree→bump window leaves the advisory count
+        # LOW (physical > manifest), which the maintenance recount
+        # detects from footers alone (see docstring)
         shutil.rmtree(staged_dir, ignore_errors=True)
+        bump()
     finally:
         release_compaction_lock(lock)
 

@@ -41,7 +41,14 @@ Threshold rationale (each calibrated by a measured artifact):
   count off by ≥ ``size_drift`` (default 2×) from the manifest's
   k_cells; smaller drifts leave nprobe/k within a factor the probe
   cost tolerates, and the 2× hysteresis keeps the pass from
-  re-training on every append;
+  re-training on every append. Two further footer-level signals trip
+  the same pass: physical rows != the advisory manifest count
+  (crash-replay duplicates / a lost advisory bump — the rebuild IS
+  the IVF dedup compaction), and hot-cell imbalance (current p99/mean
+  cell rows > ``imbalance_ratio`` × the manifest's
+  ``trained_imbalance`` baseline, floored at ``imbalance_min_rows``
+  p99 rows), which FORCES a same-k re-train because stale centroids,
+  not k, are what degrade probe selectivity;
 * marker regeneration — any recorded (stream, batch_id) manifest key
   missing its O(1) commit marker (e.g. markers created before the
   cache existed, or a crash between row append and marker touch):
@@ -58,7 +65,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 # the index parts compact_corpus_index rewrites — file counts over
 # these are the fragmentation signal
@@ -106,7 +112,10 @@ def maintain_corpus_index(
     max_files_per_part: int = 64,
     frag_ratio: float = 4.0,
     size_drift: float = 2.0,
+    imbalance_ratio: float = 3.0,
+    imbalance_min_rows: int = 1024,
     target_file_bytes: int = 128 * 1024 * 1024,
+    deep: bool = False,
 ) -> dict[str, dict]:
     """Run every tripped maintenance pass over the given artifacts, in
     dependency order: dedup-index compaction (which also regenerates
@@ -116,7 +125,21 @@ def maintain_corpus_index(
     lock exactly as when called directly; a pass whose threshold
     isn't tripped is SKIPPED and says why. Idempotent: a second call
     right after finds nothing tripped. Returns
-    ``{pass_name: {"ran": bool, "reason": str, ...pass_result}}``."""
+    ``{pass_name: {"ran": bool, "reason": str, ...pass_result}}``.
+
+    ``deep=True`` additionally runs the ANN/IVF passes' own SCAN-level
+    duplicate checks (physical vs distinct ``vec_id``) even when every
+    footer signal is clean. The one duplicate shape footers cannot
+    see: a vector published twice by two SUCCESSFUL publishes — e.g.
+    batches redelivered after a ``prepare_corpus`` generation flip,
+    which supersedes the corpus + dedup index but leaves the
+    similarity indexes holding the previous generation's appends —
+    where the advisory count was legitimately bumped both times, so
+    physical == manifest with duplicates on disk. Probes stay correct
+    throughout (keep-one on ``vec_id``); ``deep`` is the documented
+    post-regeneration reindex step that trues the physical state up.
+    Cost: one vec_id-column scan per index; keep the DEFAULT pass
+    footer-only."""
     report: dict[str, dict] = {}
 
     if corpus_path:
@@ -148,10 +171,15 @@ def maintain_corpus_index(
             max_files_per_part, frag_ratio, target_file_bytes,
         )
     if ann_index_dir:
-        report["ann_resize"] = _maybe_resize_ann(spark, ann_index_dir)
+        report["ann_resize"] = _maybe_resize_ann(
+            spark, ann_index_dir, deep=deep
+        )
     if ivf_index_dir:
         report["ivf_rebuild"] = _maybe_rebuild_ivf(
-            spark, ivf_index_dir, size_drift
+            spark, ivf_index_dir, size_drift,
+            imbalance_ratio=imbalance_ratio,
+            imbalance_min_rows=imbalance_min_rows,
+            deep=deep,
         )
     return report
 
@@ -269,7 +297,7 @@ def _maybe_compact_corpus(
     return {"ran": True, "reason": f"{n} files vs ideal {ideal}", **out}
 
 
-def _maybe_resize_ann(spark, ann_index_dir) -> dict:
+def _maybe_resize_ann(spark, ann_index_dir, deep: bool = False) -> dict:
     from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
         read_ann_manifest,
         resize_ann_index,
@@ -279,12 +307,21 @@ def _maybe_resize_ann(spark, ann_index_dir) -> dict:
     m = read_ann_manifest(ann_index_dir)
     data = os.path.join(ann_index_dir, m["data"])
     # physical row count from parquet footers of the tbl=0 partition
-    # only (partition pruning) — metadata, not a data scan
-    physical = (
-        spark.read.parquet(data).filter(F.col("tbl") == 0).count()
-    )
+    # dir only — pure metadata reads, not even a Spark job
+    physical = _footer_rows(os.path.join(data, "tbl=0"))
     want = target_bits(physical, m["bucket_target"])
     if want == m["bits"] and physical == m["rows"]:
+        if deep:
+            # the pass's own scan-level check: rewrites on duplicates
+            # footers cannot see (physical == manifest, dups on disk —
+            # the post-generation-flip redelivery shape), refreshes
+            # the manifest otherwise
+            out = resize_ann_index(spark, ann_index_dir)
+            return {
+                "ran": bool(out.get("resized")),
+                "reason": "deep scan-level duplicate check",
+                **out,
+            }
         return {
             "ran": False,
             "reason": (
@@ -301,8 +338,43 @@ def _maybe_resize_ann(spark, ann_index_dir) -> dict:
     return {"ran": True, "reason": reason, **out}
 
 
-def _maybe_rebuild_ivf(spark, ivf_index_dir, size_drift) -> dict:
+def _footer_rows(path: str) -> int:
+    """Row count of a parquet dataset from footers only — no scan."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path)
+    )
+
+
+def _maybe_rebuild_ivf(
+    spark,
+    ivf_index_dir,
+    size_drift,
+    imbalance_ratio: float = 3.0,
+    imbalance_min_rows: int = 1024,
+    deep: bool = False,
+) -> dict:
+    """Three trip wires, all measured from parquet FOOTERS (an idle
+    index pays only metadata reads):
+
+    * k drift ≥ ``size_drift`` — the original signal;
+    * physical rows != the manifest's advisory count — crash-replay
+      duplicates, or an advisory bump lost in the publish path's
+      rmtree→bump window (ADVICE r11: without this, dup rows and
+      advisory drift persisted indefinitely when k stayed within 2×);
+    * hot cells — current p99/mean cell rows > ``imbalance_ratio`` ×
+      the imbalance the training itself produced (the manifest's
+      ``trained_imbalance``; RELATIVE, so natural cluster skew baked
+      in at train time never re-trips a re-train that cannot improve
+      it), floored at ``imbalance_min_rows`` p99 rows so tiny indexes
+      never trip. Appends assigned at stale centroids pile into few
+      cells, degrading probe selectivity while k ≈ √rows stays
+      satisfied — so this rebuild is FORCED (same-k re-train
+      rebalances).
+    """
     from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
+        footer_cell_counts,
         read_ivf_manifest,
         rebuild_ivf_index,
         target_cells,
@@ -310,22 +382,53 @@ def _maybe_rebuild_ivf(spark, ivf_index_dir, size_drift) -> dict:
 
     m = read_ivf_manifest(ivf_index_dir)
     data = os.path.join(ivf_index_dir, f"cells_v{m['data_version']}")
-    physical = spark.read.parquet(data).count()
+    cell_counts = footer_cell_counts(data)
+    physical = sum(cell_counts.values())
     want = target_cells(physical)
     k = m["k_cells"]
     drift = max(want, k) / max(min(want, k), 1)
-    if drift < size_drift:
+    import math  # noqa: PLC0415
+
+    counts = sorted(cell_counts.values())
+    mean = physical / max(len(counts), 1)
+    # ceil: the p99 of a small cell set is its max (see footer_imbalance)
+    p99 = counts[math.ceil(0.99 * (len(counts) - 1))] if counts else 0
+    cur_imb = p99 / mean if mean else 1.0
+    base_imb = float(m.get("trained_imbalance", 1.0))
+    force = False
+    if drift >= size_drift:
+        reason = (
+            f"target k {want} vs stored {k} (drift {round(drift, 2)})"
+        )
+    elif physical != m["rows"]:
+        reason = (
+            f"physical {physical} != manifest {m['rows']} (crash-replay "
+            "duplicates or a lost advisory bump)"
+        )
+    elif p99 >= imbalance_min_rows and cur_imb > imbalance_ratio * base_imb:
+        reason = (
+            f"hot cells: p99/mean {round(cur_imb, 2)} > "
+            f"{imbalance_ratio}x trained {round(base_imb, 2)} — appends "
+            "drifted from stored centroids"
+        )
+        force = True
+    else:
+        if deep:
+            # scan-level duplicate check (see _maybe_resize_ann)
+            out = rebuild_ivf_index(spark, ivf_index_dir)
+            return {
+                "ran": bool(out.get("rebuilt")),
+                "reason": "deep scan-level duplicate check",
+                **out,
+            }
         return {
             "ran": False,
             "reason": (
                 f"k {k} within {size_drift}x of target {want} at "
-                f"{physical} rows (drift {round(drift, 2)})"
+                f"{physical} rows (drift {round(drift, 2)}); physical "
+                f"== manifest; p99/mean {round(cur_imb, 2)} within "
+                f"{imbalance_ratio}x trained {round(base_imb, 2)}"
             ),
         }
-    out = rebuild_ivf_index(spark, ivf_index_dir)
-    return {
-        "ran": True,
-        "reason": f"target k {want} vs stored {k} (drift "
-        f"{round(drift, 2)})",
-        **out,
-    }
+    out = rebuild_ivf_index(spark, ivf_index_dir, force=force)
+    return {"ran": True, "reason": reason, **out}

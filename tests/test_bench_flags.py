@@ -77,6 +77,35 @@ def test_warmup_window_contention_flags():
     assert out["flagged"] and out["early_contended"]
 
 
+def test_flat_load_after_warmup_flags_via_midpoint_sample():
+    """r11 verdict item 3 — the evasion window: load arrives right
+    after warm-up and stays FLAT for the rest of the battery. Start
+    samples were clean; both half-medians inflate equally so drift is
+    ~1.0; the warm-up window itself was idle. Only the midpoint
+    re-sample of the start criteria can see it."""
+    # warm-up ramp clean, then a uniformly ~3x tail (flat contention)
+    series = [0.398, 0.359, 0.288, 0.225, 0.210] + [0.48] * 25
+    # old criteria alone: unflagged (the window)
+    out = compute_load_flags(0.2, 0.279, series)
+    assert not out["flagged"], out
+    # midpoint min-of-3 canary sees the contention (> 1.5x the cold
+    # reference even though the JVM is warm)
+    out = compute_load_flags(0.2, 0.279, series, mid_canary=0.52)
+    assert out["flagged"] and out["mid_dev"], out
+    # or the midpoint load average does
+    out = compute_load_flags(0.2, 0.279, series, load_mid1=11.0)
+    assert out["flagged"] and out["load_mid"], out
+
+
+def test_idle_run_with_midpoint_samples_stays_unflagged():
+    # a warm midpoint canary on an idle host runs FASTER than the
+    # cold reference — well under the 1.5x threshold
+    out = compute_load_flags(
+        0.2, 0.279, IDLE_SERIES, load_mid1=0.4, mid_canary=0.17
+    )
+    assert not out["flagged"], out
+
+
 def test_reference_constant_unchanged():
     # the frozen cross-round anchor must never drift silently
     assert CANARY_REF_SEC == 0.250

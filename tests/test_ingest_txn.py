@@ -414,6 +414,82 @@ def test_vanished_staging_classification(spark, tmp_path):
     assert not os.path.isdir(half)
 
 
+def test_vanished_while_waiting_respects_known_committed(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (low): the vanished-WHILE-WAITING branch (plan read
+    fine, dir destroyed during the lock wait) must classify like the
+    pre-plan-read branch: a recovery caller (known_committed=True)
+    treats a keyed staging destroyed with its external marker absent
+    as superseded by the flip (quiet return); the OWNER still raises.
+    Before the fix this branch ignored known_committed and raised a
+    plain RuntimeError recover_staged_batches does not tolerate."""
+    import json
+    import shutil
+
+    idx, out = _setup(spark, tmp_path)
+
+    def _make_staging(name, batch_id):
+        staging = os.path.join(idx, "_staged", name)
+        os.makedirs(staging, exist_ok=True)
+        with open(os.path.join(staging, "_publish_plan.json"), "w") as f:
+            json.dump(
+                {
+                    "stream": "s",
+                    "batch_id": batch_id,
+                    "index_parts": [],
+                    "corpus_root": os.path.join(
+                        out, "clean_documents.parquet"
+                    ),
+                    "similarity_indexes": [],
+                },
+                f,
+            )
+        with open(os.path.join(staging, "_committed"), "w") as f:
+            f.write("committed\n")
+        return staging
+
+    real_acquire = ingest_mod._acquire_patiently
+
+    def _destroying_acquire(path, *a, **kw):
+        # the flip lands while we wait for the first lock
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        return real_acquire(path, *a, **kw)
+
+    monkeypatch.setattr(ingest_mod, "_acquire_patiently", _destroying_acquire)
+
+    # recovery caller, keyed, external marker ABSENT → quiet return
+    staging = _make_staging("feedface00_9", 9)
+    ingest_mod._publish_staged(staging, known_committed=True)  # no raise
+
+    # the OWNER in the same state must still raise
+    staging = _make_staging("feedface00_10", 10)
+    with pytest.raises(RuntimeError, match="NOT ingested"):
+        ingest_mod._publish_staged(staging)
+
+    # unkeyed recovery caller likewise returns quietly
+    staging = _make_staging("nokey_cafecafecafecafe", None)
+    ingest_mod._publish_staged(staging, known_committed=True)  # no raise
+
+
+def test_ingest_rejects_corpus_aliased_sim_root(spark, tmp_path):
+    """ADVICE r11 (low): a sim-index root aliased to the corpus
+    publish target must fail FAST with the ValueError, not self-block
+    at publish until LockPatienceExhausted."""
+    idx, out = _setup(spark, tmp_path)
+    clean = os.path.join(out, "clean_documents.parquet")
+    emb = spark.createDataFrame(
+        [(200, [0.5] * 64)], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        ingest_batch(
+            spark, _frame(spark, T_BATCH), idx, out,
+            batch_id=3, stream="s",
+            batch_emb=emb, ann_index_dir=clean,
+        )
+
+
 def test_manifest_replay_is_deterministic(spark, tmp_path):
     """ADVICE r9 (low): a crash-duplicated (stream, batch_id) key must
     replay the ORIGINAL row (appended desc), not an arbitrary one —

@@ -198,6 +198,129 @@ def test_ivf_growth_trips_the_rebuild_pass(spark, tmp_path):
     assert not report2["ivf_rebuild"]["ran"], report2["ivf_rebuild"]
 
 
+def test_ivf_duplicates_trip_rebuild_and_compact(spark, tmp_path):
+    """ADVICE r11 (low): crash-replay duplicate rows must be
+    PHYSICALLY compacted even when k is unchanged — the footer-level
+    physical-vs-manifest mismatch trips the pass, and the same-k
+    rebuild rewrites instead of just refreshing the manifest."""
+    import json
+
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        append_ivf_index,
+        footer_cell_counts,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    ids = list(range(100, 120))
+    build_ivf_index(spark, _emb(spark, ids), ivf, k_cells=8)
+    # simulate the crash-replayed roll-forward: same vectors appended
+    # twice while the advisory count reflects the true unique count
+    append_ivf_index(spark, _emb(spark, ids), ivf)
+    m = read_ivf_manifest(ivf)
+    with open(os.path.join(ivf, "_ivf_manifest.json"), "w") as f:
+        json.dump({**m, "rows": len(ids)}, f)
+
+    report = maintain_corpus_index(spark, ivf_index_dir=ivf)
+    r = report["ivf_rebuild"]
+    assert r["ran"] and "physical" in r["reason"], r
+    assert r["rebuilt"] and r["dups_removed"] == len(ids), r
+    m2 = read_ivf_manifest(ivf)
+    data = os.path.join(ivf, f"cells_v{m2['data_version']}")
+    assert sum(footer_cell_counts(data).values()) == len(ids)
+    assert m2["rows"] == len(ids)
+    report2 = maintain_corpus_index(spark, ivf_index_dir=ivf)
+    assert not report2["ivf_rebuild"]["ran"], report2["ivf_rebuild"]
+
+
+def test_ivf_hot_cells_force_retrain_and_restore_recall(spark, tmp_path):
+    """Planted drift (r11 verdict item 2): appends pile into hot cells
+    while k stays within the 2x hysteresis — the footer-only imbalance
+    signal (p99/mean vs the trained baseline) trips a FORCED same-k
+    re-train, which rebalances the cells and restores measured
+    nprobe=1 recall. An idle index right after never re-trips (the
+    rebuild recorded its own imbalance as the new baseline)."""
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        append_ivf_index,
+        footer_cell_counts,
+        measure_ivf_recall,
+    )
+
+    def _cluster_vec(axis: int, seed: int) -> list[float]:
+        rng = random.Random(seed)
+        v = [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+        v[axis] += 10.0
+        return v
+
+    def _mid_vec(sub: int, seed: int) -> list[float]:
+        # four TIGHT sub-clusters around the axis-0/1 midpoint,
+        # separated along dims 10..13: the stored centroids see them
+        # all at cos ≈ 0.707 to cells 0 and 1 (noise decides the
+        # side), so each sub-cluster's members SPLIT across two hot
+        # cells — a re-train snaps cell boundaries to the gaps
+        # between sub-clusters, reuniting every neighborhood
+        rng = random.Random(seed)
+        v = [rng.uniform(-0.3, 0.3) for _ in range(EMB_DIM)]
+        v[0] += 7.07
+        v[1] += 7.07
+        v[10 + sub] += 3.0
+        return v
+
+    ivf = str(tmp_path / "ivf")
+    base = [
+        (a * 100 + i, _cluster_vec(a, a * 100 + i))
+        for a in range(8)
+        for i in range(16)
+    ]
+    emb0 = spark.createDataFrame(
+        base, "vec_id long, v array<double>"
+    )
+    # 8 well-separated clusters, k=8: a balanced trained index
+    build_ivf_index(spark, emb0, ivf, k_cells=8)
+
+    # planted drift: a NEW region at the midpoint of axes 0/1 — the
+    # stored centroids split it across the two old cells (cos ≈ 0.707
+    # to both), so the region's members land in hot cells and their
+    # nprobe=1 probes miss the half assigned to the other side.
+    # 100 appends keep k drift under 2x: target_cells(228) = 15 < 16.
+    mid = [
+        (1000 + i, _mid_vec(i % 4, 1000 + i)) for i in range(100)
+    ]
+    append_ivf_index(
+        spark,
+        spark.createDataFrame(mid, "vec_id long, v array<double>"),
+        ivf,
+    )
+    before = measure_ivf_recall(spark, ivf, sample_n=24, k=5, nprobe=1)
+
+    report = maintain_corpus_index(
+        spark, ivf_index_dir=ivf,
+        imbalance_ratio=2.0, imbalance_min_rows=50,
+    )
+    r = report["ivf_rebuild"]
+    assert r["ran"] and "hot cells" in r["reason"], r
+    assert r["rebuilt"], r
+
+    after = measure_ivf_recall(spark, ivf, sample_n=24, k=5, nprobe=1)
+    assert after["recall"] > before["recall"], (before, after)
+
+    # the hot cells are gone: p99/mean shrank vs the drifted state
+    m2 = read_ivf_manifest(ivf)
+    counts = sorted(
+        footer_cell_counts(
+            os.path.join(ivf, f"cells_v{m2['data_version']}")
+        ).values()
+    )
+    mean = sum(counts) / len(counts)
+    assert counts[-1] <= 2.0 * mean, counts
+
+    # idle right after: the rebuild's own imbalance is the baseline
+    report2 = maintain_corpus_index(
+        spark, ivf_index_dir=ivf,
+        imbalance_ratio=2.0, imbalance_min_rows=50,
+    )
+    assert not report2["ivf_rebuild"]["ran"], report2["ivf_rebuild"]
+
+
 def test_missing_markers_trip_regeneration(spark, tmp_path):
     idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
     build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
