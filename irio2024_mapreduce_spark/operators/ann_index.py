@@ -152,6 +152,29 @@ def _gc_orphan_data_dirs(index_dir: str, live: str) -> int:
     return removed
 
 
+def _tbl0_files(data_dir: str) -> set[str]:
+    """The tbl=0 (corpus-vector) parquet files of a data dir — the
+    snapshot/delta unit of the resize catch-up protocol. By-path
+    reads lose the tbl/pb partition columns, which the resize never
+    needs (it reshapes from vec_id + cv)."""
+    out: set[str] = set()
+    root0 = os.path.join(data_dir, "tbl=0")
+    for root, _dirs, files in os.walk(root0):
+        out.update(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _footer_file_rows(files: set[str]) -> int:
+    """Total rows of an explicit file set from parquet footers only."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _pb_shift(bits: int) -> int:
     return max(bits - PART_BITS, 0)
 
@@ -332,19 +355,28 @@ def resize_ann_index(
     completely FIRST, then one atomic manifest flip, then the old dir
     dropped — never in place, even at the same H. Probe cost after
     this is ~bucket_target rows per bucket again, regardless of how
-    far the corpus outgrew the old width."""
-    lock = acquire_compaction_lock(index_dir)
+    far the corpus outgrew the old width.
+
+    CATCH-UP protocol (r12, mirroring ``rebuild_ivf_index`` — see
+    ``tools/stress_liveness_r12.json``): the snapshot read and the
+    full reshape run with NO index lock, so concurrent appends keep
+    landing in the live data dir at the old width. The index lock is
+    taken only at the end, to reshape the DELTA (tbl=0 files that
+    appeared since the snapshot) at the new width into the staged dir
+    and flip the manifest — a hold proportional to the ingest rate ×
+    resize duration, not to the corpus. Resizes serialize on a
+    sibling ``.rebuild`` guard. A delta row duplicating a snapshot
+    row stays duplicated until the next quiesced deep pass
+    (probe-side keep-one absorbs it — the established redelivery
+    semantics)."""
+    guard = acquire_compaction_lock_patiently(index_dir + ".rebuild")
     try:
         m = read_ann_manifest(index_dir)
-        _gc_orphan_data_dirs(index_dir, m["data"])
         data_dir = os.path.join(index_dir, m["data"])
-        stored0 = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("tbl") == 0)
-            .select(
-                F.col("neighbor_id").alias("vec_id"),
-                F.col("cv").alias("v"),
-            )
+        snapshot = _tbl0_files(data_dir)
+        stored0 = spark.read.parquet(*sorted(snapshot)).select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cv").alias("v"),
         )
         # physical vs deduped count IS the duplicate signal (the
         # manifest's advisory count can already equal the unique
@@ -358,34 +390,85 @@ def resize_ann_index(
         h2 = target_bits(rows, bt)
         if h2 == m["bits"] and rows == physical:
             # no width change and no duplicates to collapse — true up
-            # the advisory fields only
-            _write_manifest(
-                index_dir, {**m, "rows": rows, "bucket_target": bt}
-            )
-            return {"bits": h2, "resized": False, "rows": rows}
+            # the advisory fields under the lock (appends bump the
+            # count under the same lock)
+            lock = acquire_compaction_lock_patiently(index_dir)
+            try:
+                m2 = read_ann_manifest(index_dir)
+                if m2["data"] != m["data"]:
+                    return {
+                        "bits": m2["bits"], "resized": False,
+                        "superseded": True, "rows": m2["rows"],
+                    }
+                delta_n = _footer_file_rows(
+                    _tbl0_files(data_dir) - snapshot
+                )
+                _write_manifest(
+                    index_dir,
+                    {**m2, "rows": rows + delta_n, "bucket_target": bt},
+                )
+                # holding guard + lock: no sibling resize is staging,
+                # so crashed-resize orphans are safe to GC here (the
+                # entry GC moved here when the reshape left the lock)
+                _gc_orphan_data_dirs(index_dir, m2["data"])
+            finally:
+                release_compaction_lock(lock)
+            return {"bits": h2, "resized": False, "rows": rows + delta_n}
         data2, n2 = _next_data_name(index_dir, h2)
+        # reshape + stage the new width OUTSIDE the index lock
+        # (overwrite mode absorbs a crashed predecessor's same-name
+        # orphan)
         _write_rows(vecs, index_dir, h2, data2)
-        _write_manifest(
-            index_dir,
-            {
-                **m,
-                "bits": h2,
-                "data": data2,
-                "data_version": n2,
-                "rows": rows,
-                "bucket_target": bt,
-            },
-        )  # the commit point
-        shutil.rmtree(data_dir)  # crash here → orphan, GC'd next pass
+        lock = acquire_compaction_lock_patiently(index_dir)
+        try:
+            m2 = read_ann_manifest(index_dir)
+            if m2["data"] != m["data"]:
+                # a concurrent full build replaced the index while we
+                # reshaped — abandon; the staged dir is an orphan a
+                # later pass GCs
+                return {
+                    "bits_before": m["bits"], "bits": m2["bits"],
+                    "resized": False, "superseded": True,
+                    "rows": m2["rows"],
+                }
+            delta = _tbl0_files(data_dir) - snapshot
+            delta_n = 0
+            if delta:
+                # catch-up: rows appended during the reshape, shaped
+                # at the NEW width into the staged dir
+                dvecs = spark.read.parquet(*sorted(delta)).select(
+                    F.col("neighbor_id").alias("vec_id"),
+                    F.col("cv").alias("v"),
+                )
+                delta_n = dvecs.count()
+                _write_rows(dvecs, index_dir, h2, data2, mode="append")
+            _write_manifest(
+                index_dir,
+                {
+                    **m2,
+                    "bits": h2,
+                    "data": data2,
+                    "data_version": n2,
+                    "rows": rows + delta_n,
+                    "bucket_target": bt,
+                },
+            )  # the commit point
+            # drop the old dir AND any crashed-resize orphans (the
+            # entry GC moved here when the reshape left the lock); a
+            # crash before this leaves orphans a later pass GCs
+            _gc_orphan_data_dirs(index_dir, data2)
+        finally:
+            release_compaction_lock(lock)
         return {
             "bits_before": m["bits"],
             "bits": h2,
             "resized": h2 != m["bits"],
             "compacted": rows != physical,
-            "rows": rows,
+            "delta_rows": delta_n,
+            "rows": rows + delta_n,
         }
     finally:
-        release_compaction_lock(lock)
+        release_compaction_lock(guard)
 
 
 # ------------------------------------------------- graded fixture probe

@@ -288,6 +288,38 @@ def append_ivf_index(
         release_compaction_lock(lock)
 
 
+def _data_files(path: str) -> set[str]:
+    """All parquet data files under a (partitioned) dataset dir."""
+    out: set[str] = set()
+    for root, _dirs, files in os.walk(path):
+        out.update(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _footer_file_rows(files: set[str]) -> int:
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _read_vector_files(
+    spark: SparkSession, files: list[str], m: dict
+) -> DataFrame:
+    """(vec_id, v) from an explicit file list of a cells dir (the
+    ``cell`` partition column is lost in a by-path read — the
+    rebuild never needs it), dequantizing if the index stores int8."""
+    df = spark.read.parquet(*files)
+    if m["quantized"]:
+        return df.select(
+            "vec_id", _dequant(F.col("codes"), F.col("scale")).alias("v")
+        )
+    return df.select("vec_id", "v")
+
+
 def rebuild_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -307,12 +339,29 @@ def rebuild_ivf_index(
     them physically'), or when ``force`` is set (the hot-cell
     imbalance signal: k may be unchanged but the centroids are stale,
     so only a re-train rebalances). A clean same-k index only trues
-    up the advisory manifest count."""
-    lock = acquire_compaction_lock(index_dir)
+    up the advisory manifest count.
+
+    CATCH-UP protocol (r12 — measured in
+    ``tools/stress_liveness_r12.json``: the old full-hold rebuild
+    held the index flock 11 s at just 5k rows, past ingest's ~10 s
+    publish patience, and the hold grows with the corpus): the
+    snapshot read, training, and full rewrite run with NO index lock,
+    so concurrent appends keep landing in the live version at the old
+    centroids. The index lock is taken only at the end, to assign the
+    DELTA (files that appeared since the snapshot) at the new
+    centroids, append it to the staged version, and flip the manifest
+    — a hold proportional to the ingest rate × rebuild duration, not
+    to the corpus. Rebuilds serialize on a sibling ``.rebuild`` guard
+    (two lock-free rebuilds would stage the same version name). A
+    delta row that duplicates a snapshot row stays duplicated until
+    the next quiesced deep pass — the publish path's established
+    redelivery semantics (probe-side keep-one absorbs it)."""
+    guard = acquire_compaction_lock_patiently(index_dir + ".rebuild")
     try:
         m = read_ivf_manifest(index_dir)
-        _gc_orphan_versions(index_dir, m["data_version"])
-        raw = _read_vectors(spark, index_dir, m)
+        data_dir = os.path.join(index_dir, f"cells_v{m['data_version']}")
+        snapshot = _data_files(data_dir)
+        raw = _read_vector_files(spark, sorted(snapshot), m)
         physical = raw.count()
         vecs = raw.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
         rows = vecs.count()
@@ -320,35 +369,90 @@ def rebuild_ivf_index(
         dups = physical - rows
         if k == m["k_cells"] and dups == 0 and not force:
             # nothing physical to fix — true up the advisory count
-            _write_manifest(index_dir, {**m, "rows": rows})
+            # under the lock (appends bump it under the same lock)
+            lock = acquire_compaction_lock_patiently(index_dir)
+            try:
+                m2 = read_ivf_manifest(index_dir)
+                if m2["data_version"] != m["data_version"]:
+                    return {
+                        "k_cells": k, "rebuilt": False,
+                        "superseded": True, "rows": m2["rows"],
+                        "dups_removed": 0,
+                    }
+                delta_n = _footer_file_rows(
+                    _data_files(data_dir) - snapshot
+                )
+                _write_manifest(
+                    index_dir, {**m2, "rows": rows + delta_n}
+                )
+                # holding guard + lock: no sibling rebuild can be
+                # staging, so crashed-rebuild orphans are safe to GC
+                # (the entry GC moved here when training left the lock)
+                _gc_orphan_versions(index_dir, m2["data_version"])
+            finally:
+                release_compaction_lock(lock)
             return {
-                "k_cells": k, "rebuilt": False, "rows": rows,
+                "k_cells": k, "rebuilt": False, "rows": rows + delta_n,
                 "dups_removed": 0,
             }
         n = m["data_version"] + 1
+        # train + stage version n OUTSIDE the index lock (overwrite
+        # mode absorbs a crashed predecessor's orphan of the same n)
         _write_version(spark, vecs, index_dir, n, k, m["quantized"])
-        _write_manifest(
-            index_dir,
-            {
-                **m,
-                "k_cells": k,
-                "rows": rows,
-                "data_version": n,
-                "trained_imbalance": footer_imbalance(
+        lock = acquire_compaction_lock_patiently(index_dir)
+        try:
+            m2 = read_ivf_manifest(index_dir)
+            if m2["data_version"] != m["data_version"]:
+                # a concurrent full build replaced the index while we
+                # trained — abandon; the staged dirs are orphans the
+                # next pass GCs
+                return {
+                    "k_before": m["k_cells"], "k_cells": k,
+                    "rebuilt": False, "superseded": True,
+                    "rows": m2["rows"], "dups_removed": 0,
+                }
+            delta = _data_files(data_dir) - snapshot
+            delta_n = 0
+            if delta:
+                # catch-up: rows appended during the rebuild, assigned
+                # at the NEW centroids (read back from the staged dir
+                # — bit-identical to what probes will broadcast)
+                draw = _read_vector_files(spark, sorted(delta), m)
+                delta_n = draw.count()
+                centroids = spark.read.parquet(
+                    os.path.join(index_dir, f"centroids_v{n}")
+                )
+                assigned = _nearest_cell(draw, centroids)
+                _stored_rows(assigned, m["quantized"]).repartition(
+                    "cell"
+                ).write.mode("append").partitionBy("cell").parquet(
                     os.path.join(index_dir, f"cells_v{n}")
-                ),
-            },
-        )  # the commit point
-        _gc_orphan_versions(index_dir, n)
+                )
+            _write_manifest(
+                index_dir,
+                {
+                    **m2,
+                    "k_cells": k,
+                    "rows": rows + delta_n,
+                    "data_version": n,
+                    "trained_imbalance": footer_imbalance(
+                        os.path.join(index_dir, f"cells_v{n}")
+                    ),
+                },
+            )  # the commit point
+            _gc_orphan_versions(index_dir, n)
+        finally:
+            release_compaction_lock(lock)
         return {
             "k_before": m["k_cells"],
             "k_cells": k,
             "rebuilt": True,
-            "rows": rows,
+            "rows": rows + delta_n,
+            "delta_rows": delta_n,
             "dups_removed": dups,
         }
     finally:
-        release_compaction_lock(lock)
+        release_compaction_lock(guard)
 
 
 def _read_vectors(

@@ -317,8 +317,13 @@ def _maybe_resize_ann(spark, ann_index_dir, deep: bool = False) -> dict:
             # the post-generation-flip redelivery shape), refreshes
             # the manifest otherwise
             out = resize_ann_index(spark, ann_index_dir)
+            # resized flags a WIDTH change only; a same-H duplicate
+            # collapse (the post-flip redelivery shape deep exists
+            # for) reports through `compacted` — both are rewrites
+            # the pass ran (caught by tests/test_liveness.py: the
+            # collapse used to report ran=False)
             return {
-                "ran": bool(out.get("resized")),
+                "ran": bool(out.get("resized") or out.get("compacted")),
                 "reason": "deep scan-level duplicate check",
                 **out,
             }

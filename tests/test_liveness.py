@@ -1,0 +1,461 @@
+"""Maintenance-during-ingest liveness (r11 verdict item 6).
+
+``ingest_batch``'s strict entry re-raises ``LockPatienceExhausted``
+(~10 s patience, ``plans/ingest.py::_acquire_patiently``), so the
+no-starvation claim decomposes into two measurable facts plus one
+composition pin:
+
+* every maintenance pass's worst-case advisory-lock hold at fixture
+  scale is UNDER the ingest patience budget (measured here, recorded
+  at larger scale by ``tools/stress_liveness.py``);
+* ingest's own publish-lock holds are pure renames — milliseconds,
+  not rewrites (the claim ``_publish_batch`` documents);
+* a real concurrent run — maintenance with every pass tripped in a
+  sibling thread (flock conflicts across fds within one process, so
+  thread contention IS kernel-lock contention) — where ingest
+  batches land exactly-once using only the protocol-DEFINED retry
+  conditions, and every invariant holds afterwards.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from irio2024_mapreduce_spark.operators.ann_index import (
+    append_ann_index,
+    build_ann_index,
+    probe_ann_index,
+)
+from irio2024_mapreduce_spark.operators.ivf_index import (
+    append_ivf_index,
+    build_ivf_index,
+)
+from irio2024_mapreduce_spark.operators.similarity import EMB_DIM
+from irio2024_mapreduce_spark.plans.ingest import (
+    build_corpus_index,
+    ingest_batch,
+    read_recorded_manifest,
+)
+from irio2024_mapreduce_spark.plans.maintenance import (
+    maintain_corpus_index,
+)
+from irio2024_mapreduce_spark.sources.sinks import (
+    LockPatienceExhausted,
+)
+
+# ingest publish patience: _acquire_patiently's defaults (40 × 0.25 s)
+INGEST_PATIENCE_S = 40 * 0.25
+
+WORDS = (
+    "river stone bridge meadow lantern harbor forest signal copper "
+    "window letter march quiet garden motor saddle timber anchor"
+).split()
+
+
+def _text(seed: int) -> str:
+    rng = random.Random(seed)
+    body = " ".join(
+        f"{rng.choice(WORDS)}{rng.randint(0, 999)}" for _ in range(28)
+    )
+    return "the quick note and " + body
+
+
+def _docs(spark, ids):
+    rows = [(i, _text(i)) for i in ids]
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def _vec(seed: int) -> list[float]:
+    rng = random.Random(seed)
+    return [rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), _vec(i)) for i in ids], "vec_id long, v array<double>"
+    )
+
+
+class LockHoldRecorder:
+    """Thread-safe record of every advisory-lock (path, hold-seconds).
+
+    Wraps acquire/release in the three namespaces that bind them:
+    ``sinks`` (module-global — also covers every lazy
+    ``from sinks import ...`` in plans/ingest.py and the patient
+    wrapper, whose inner acquire resolves through sinks' globals) plus
+    ``ann_index`` / ``ivf_index`` (module-level imports)."""
+
+    def __init__(self):
+        self.holds: list[tuple[str, float]] = []
+        self._t0: dict[str, float] = {}
+        self._mu = threading.Lock()
+
+    def install(self, monkeypatch) -> None:
+        from irio2024_mapreduce_spark.operators import ann_index, ivf_index
+        from irio2024_mapreduce_spark.sources import sinks
+
+        real_acquire = sinks.acquire_compaction_lock
+        real_release = sinks.release_compaction_lock
+
+        def acquire(path, *a, **kw):
+            lock = real_acquire(path, *a, **kw)
+            with self._mu:
+                self._t0[lock] = time.perf_counter()
+            return lock
+
+        def release(lock):
+            with self._mu:
+                t0 = self._t0.pop(lock, None)
+                if t0 is not None:
+                    self.holds.append(
+                        (lock, time.perf_counter() - t0)
+                    )
+            real_release(lock)
+
+        for mod in (sinks, ann_index, ivf_index):
+            monkeypatch.setattr(mod, "acquire_compaction_lock", acquire)
+            monkeypatch.setattr(mod, "release_compaction_lock", release)
+
+    def max_hold(self, ingest_visible_only: bool = False) -> tuple[str, float]:
+        """Worst (path, seconds). ``ingest_visible_only`` excludes the
+        sibling ``.rebuild`` guard — it serializes rebuilds against
+        each other and is held for the whole re-train BY DESIGN
+        (that's what moves training outside the locks ingest waits
+        on); ingest never takes it."""
+        holds = self.holds
+        if ingest_visible_only:
+            holds = [
+                h for h in holds
+                if ".rebuild._compact" not in os.path.basename(h[0])
+            ]
+        return max(holds, key=lambda h: h[1], default=("", 0.0))
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    """A corpus aged by 4 ingest batches with every maintenance
+    threshold trippable: fragmented parts (max_files_per_part=1 trips
+    them) and duplicate vec_id appends in BOTH similarity indexes
+    (the footer-invisible shape — manifest bumped with the physical
+    rows — that only deep=True's scan check sees)."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    ann, ivf = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    seed_ids = list(range(100, 104))
+    build_corpus_index(spark, _docs(spark, seed_ids), idx)
+    build_ann_index(spark, _emb(spark, seed_ids), ann)
+    build_ivf_index(spark, _emb(spark, seed_ids), ivf, k_cells=8)
+    for b in range(4):
+        ids = list(range(200 + b * 10, 200 + b * 10 + 4))
+        m = ingest_batch(
+            spark, _docs(spark, ids), idx, out,
+            batch_id=b, stream="s",
+            batch_emb=_emb(spark, ids),
+            ann_index_dir=ann, ivf_index_dir=ivf,
+        )
+        assert m["appended"] == len(ids)
+    # the two-successful-publishes duplicate shape
+    append_ann_index(spark, _emb(spark, seed_ids), ann)
+    append_ivf_index(spark, _emb(spark, seed_ids), ivf)
+    return idx, out, ann, ivf
+
+
+def _run_all_passes(spark, corpus_paths) -> dict:
+    idx, out, ann, ivf = corpus_paths
+    return maintain_corpus_index(
+        spark,
+        index_dir=idx,
+        corpus_path=os.path.join(out, "clean_documents.parquet"),
+        ann_index_dir=ann,
+        ivf_index_dir=ivf,
+        max_files_per_part=1,
+        frag_ratio=1.0,
+        deep=True,
+    )
+
+
+def test_maintenance_holds_within_ingest_patience(
+    spark, corpus, monkeypatch
+):
+    """Worst-case maintenance lock hold at fixture scale stays under
+    the ingest publish patience — so a waiting ingest entry survives
+    the full pass by arithmetic, not by luck. Every pass must
+    actually RUN for the bound to mean anything."""
+    rec = LockHoldRecorder()
+    rec.install(monkeypatch)
+    report = _run_all_passes(spark, corpus)
+    ran = {k: v["ran"] for k, v in report.items()}
+    assert ran["index_compaction"], report["index_compaction"]
+    assert ran["corpus_compaction"], report["corpus_compaction"]
+    assert ran["ann_resize"], report["ann_resize"]
+    assert ran["ivf_rebuild"], report["ivf_rebuild"]
+    assert rec.holds, "no lock holds recorded — instrumentation broke"
+    path, worst = rec.max_hold(ingest_visible_only=True)
+    # diagnostics on failure: every hold, worst first
+    top = sorted(rec.holds, key=lambda h: -h[1])[:8]
+    assert worst < INGEST_PATIENCE_S, (
+        f"maintenance held {path} for {worst:.2f}s ≥ ingest patience "
+        f"{INGEST_PATIENCE_S}s — a concurrent ingest would starve; "
+        f"holds: {[(os.path.basename(p), round(s, 2)) for p, s in top]}"
+    )
+
+
+def test_ingest_publish_holds_are_renames(spark, corpus, monkeypatch):
+    """_publish_batch documents its critical sections as pure renames
+    held for milliseconds regardless of batch size. Pin an order of
+    magnitude under the patience budget: every lock ingest_batch takes
+    during publish (index, corpus, ann, ivf) releases in under 2 s at
+    fixture scale — Spark compute happens OUTSIDE the locks."""
+    idx, out, ann, ivf = corpus
+    rec = LockHoldRecorder()
+    rec.install(monkeypatch)
+    ids = list(range(900, 904))
+    m = ingest_batch(
+        spark, _docs(spark, ids), idx, out,
+        batch_id=90, stream="s",
+        batch_emb=_emb(spark, ids),
+        ann_index_dir=ann, ivf_index_dir=ivf,
+    )
+    assert m["appended"] == len(ids)
+    assert rec.holds
+    path, worst = rec.max_hold()
+    assert worst < 2.0, (
+        f"ingest publish held {path} for {worst:.2f}s — the critical "
+        "section is documented as rename-only; a Spark job leaked "
+        "inside a lock"
+    )
+
+
+_PROTOCOL_RETRYABLE = (
+    "being compacted",
+    "retry after the maintenance window",
+    "re-deliver",
+)
+
+
+def _ingest_until_landed(spark, docs, emb, paths, batch_id) -> int:
+    """ingest_batch with ONLY the protocol-defined retry conditions
+    tolerated; returns the attempt count. Anything else propagates."""
+    idx, out, ann, ivf = paths
+    for attempt in range(1, 81):
+        try:
+            ingest_batch(
+                spark, docs, idx, out,
+                batch_id=batch_id, stream="live",
+                batch_emb=emb,
+                ann_index_dir=ann, ivf_index_dir=ivf,
+            )
+            return attempt
+        except LockPatienceExhausted:
+            pass
+        except RuntimeError as e:
+            if not any(tok in str(e) for tok in _PROTOCOL_RETRYABLE):
+                raise
+        time.sleep(0.25)
+    raise AssertionError(
+        f"batch {batch_id}: starved after 80 protocol retries — "
+        "maintenance lock holds exceed what the retry budget covers"
+    )
+
+
+def test_ingest_survives_concurrent_maintenance(spark, corpus):
+    """The composition pin: a full maintenance run (every pass
+    tripped) in a sibling OS-thread — real kernel flock contention —
+    while ingest batches land through the documented retry protocol.
+    Afterwards: exactly-once manifests, no duplicate doc_id, and the
+    new vectors self-probe through the stored ANN index."""
+    idx, out, ann, ivf = corpus
+    maint_err: list[BaseException] = []
+    report: dict = {}
+
+    def maint():
+        try:
+            report.update(_run_all_passes(spark, corpus))
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            maint_err.append(e)
+
+    t = threading.Thread(target=maint, name="maintenance")
+    t.start()
+    batches = []
+    b = 500
+    try:
+        # keep ingesting until maintenance finishes (≥2 batches so at
+        # least one overlaps a held lock even if the first races past)
+        while t.is_alive() or len(batches) < 2:
+            ids = list(range(b * 100, b * 100 + 4))
+            attempts = _ingest_until_landed(
+                spark, _docs(spark, ids), _emb(spark, ids),
+                corpus, b,
+            )
+            batches.append((b, ids, attempts))
+            b += 1
+            if len(batches) >= 12:
+                break
+    finally:
+        t.join(timeout=300)
+    assert not t.is_alive(), "maintenance wedged"
+    if maint_err:
+        raise maint_err[0]
+    assert report, "maintenance never ran"
+
+    # exactly-once: every landed batch recorded in the manifests
+    for bid, _ids, _att in batches:
+        assert (
+            read_recorded_manifest(spark, idx, bid, stream="live")
+            is not None
+        ), f"batch {bid} landed but has no recorded manifest"
+    art = spark.read.parquet(os.path.join(out, "clean_documents.parquet"))
+    n = art.count()
+    assert art.select("doc_id").distinct().count() == n
+    ingested = {i for _b, ids, _a in batches for i in ids}
+    present = {
+        r["doc_id"]
+        for r in art.filter(
+            F.col("doc_id").isin([int(i) for i in ingested])
+        ).collect()
+    }
+    assert present == ingested
+    # stored-index consistency: a vector ingested during the chaos
+    # window self-probes at top-1 (keep-one tolerates any interim dups)
+    probe_id = batches[0][1][0]
+    q = spark.createDataFrame(
+        [(0, _vec(probe_id))], "vec_id long, v array<double>"
+    )
+    top = probe_ann_index(spark, q, ann).filter(F.col("rank") == 1).collect()
+    assert top and top[0]["neighbor_id"] == probe_id
+
+
+# --------------------------------------------- catch-up protocol pins
+@pytest.fixture()
+def small_indexes(spark, tmp_path):
+    """Standalone stored indexes with duplicate appends on disk, so
+    the rewrite branch (not the true-up) runs."""
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        append_ivf_index as app_ivf,
+    )
+
+    ann, ivf = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    ids = list(range(50))
+    build_ann_index(spark, _emb(spark, ids), ann)
+    build_ivf_index(spark, _emb(spark, ids), ivf, k_cells=8)
+    append_ann_index(spark, _emb(spark, ids[:10]), ann)
+    app_ivf(spark, _emb(spark, ids[:10]), ivf)
+    return ann, ivf
+
+
+def test_ivf_rebuild_catchup_absorbs_concurrent_append(
+    spark, small_indexes, monkeypatch
+):
+    """The r12 catch-up protocol: an append that lands in the LIVE
+    version while a rebuild trains outside the lock is picked up as
+    the delta, assigned at the NEW centroids, and answers from the
+    flipped version."""
+    from irio2024_mapreduce_spark.operators import ivf_index
+
+    _ann, ivf = small_indexes
+    real = ivf_index._write_version
+
+    def staged_then_append(spark_, vecs, index_dir, n, k, quantize):
+        r = real(spark_, vecs, index_dir, n, k, quantize)
+        # the concurrent daily append — rebuild holds only its
+        # sibling guard here, so this must NOT block
+        ivf_index.append_ivf_index(spark, _emb(spark, [7777]), ivf)
+        return r
+
+    monkeypatch.setattr(ivf_index, "_write_version", staged_then_append)
+    out = ivf_index.rebuild_ivf_index(spark, ivf)
+    assert out["rebuilt"] and out["delta_rows"] == 1, out
+    m = ivf_index.read_ivf_manifest(ivf)
+    assert m["rows"] == out["rows"]
+    q = spark.createDataFrame(
+        [(0, _vec(7777))], "vec_id long, v array<double>"
+    )
+    top = (
+        ivf_index.probe_ivf_index(spark, q, ivf)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    assert top and top[0]["neighbor_id"] == 7777
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ann_resize_catchup_absorbs_concurrent_append(
+    spark, small_indexes, monkeypatch
+):
+    from irio2024_mapreduce_spark.operators import ann_index
+
+    ann, _ivf = small_indexes
+    real = ann_index._write_rows
+    state = {"staged": False}
+
+    def staged_then_append(emb, index_dir, bits, data, mode="overwrite"):
+        r = real(emb, index_dir, bits, data, mode)
+        if not state["staged"]:
+            # only after the STAGING write (the append's own
+            # _write_rows call and the delta write pass through)
+            state["staged"] = True
+            ann_index.append_ann_index(spark, _emb(spark, [8888]), ann)
+        return r
+
+    monkeypatch.setattr(ann_index, "_write_rows", staged_then_append)
+    out = ann_index.resize_ann_index(spark, ann)
+    assert out["compacted"] and out["delta_rows"] == 1, out
+    m = ann_index.read_ann_manifest(ann)
+    assert m["rows"] == out["rows"]
+    q = spark.createDataFrame(
+        [(0, _vec(8888))], "vec_id long, v array<double>"
+    )
+    top = (
+        probe_ann_index(spark, q, ann)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    assert top and top[0]["neighbor_id"] == 8888
+
+
+def test_ivf_rebuild_superseded_by_concurrent_build(
+    spark, small_indexes, monkeypatch
+):
+    """A full build that replaces the index while a rebuild trains:
+    the rebuild must abandon (not flip the manifest back onto the
+    superseded generation) and leave the build's index live."""
+    from irio2024_mapreduce_spark.operators import ivf_index
+
+    _ann, ivf = small_indexes
+    real = ivf_index._write_version
+    new_ids = list(range(5000, 5040))
+    state = {"staged": False}
+
+    def staged_then_build(spark_, vecs, index_dir, n, k, quantize):
+        r = real(spark_, vecs, index_dir, n, k, quantize)
+        if not state["staged"]:
+            state["staged"] = True
+            # the build's own _write_version call passes through
+            ivf_index.build_ivf_index(
+                spark, _emb(spark, new_ids), ivf, k_cells=8
+            )
+        return r
+
+    monkeypatch.setattr(ivf_index, "_write_version", staged_then_build)
+    out = ivf_index.rebuild_ivf_index(spark, ivf)
+    assert out.get("superseded") and not out["rebuilt"], out
+    m = ivf_index.read_ivf_manifest(ivf)
+    assert m["rows"] == len(new_ids)
+    q = spark.createDataFrame(
+        [(0, _vec(5003))], "vec_id long, v array<double>"
+    )
+    top = (
+        ivf_index.probe_ivf_index(spark, q, ivf)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    assert top and top[0]["neighbor_id"] == 5003

@@ -142,6 +142,11 @@ def test_retired_set_is_exactly_the_documented_twins():
         # r9: per-vector symmetric int8 embedding quantization — the
         # 4x memory lever for the 100 TB ANN path (window full)
         "quantize_embeddings",
+        # retired r12 when probe_ann_index (the stored-index
+        # production path) took its graded slot — bit parity between
+        # the two is pinned in tests/test_ann_index.py, and this set
+        # keeps the fly twin locally verified every run
+        "similarity_ann",
         # r7: md5-hash-family SimHash twin (dedup_near_md5 graduated
         # from this set to the graded driver window in r9 — it now
         # carries the near-dedup hash-check in the driver artifact)
