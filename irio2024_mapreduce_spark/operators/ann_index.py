@@ -374,6 +374,10 @@ def resize_ann_index(
         m = read_ann_manifest(index_dir)
         data_dir = os.path.join(index_dir, m["data"])
         snapshot = _tbl0_files(data_dir)
+        if not snapshot:
+            # empty index: nothing to reshape (and an explicit-path
+            # read needs at least one path)
+            return {"bits": m["bits"], "resized": False, "rows": 0}
         stored0 = spark.read.parquet(*sorted(snapshot)).select(
             F.col("neighbor_id").alias("vec_id"),
             F.col("cv").alias("v"),

@@ -361,6 +361,13 @@ def rebuild_ivf_index(
         m = read_ivf_manifest(index_dir)
         data_dir = os.path.join(index_dir, f"cells_v{m['data_version']}")
         snapshot = _data_files(data_dir)
+        if not snapshot:
+            # empty index: nothing to rebuild (and an explicit-path
+            # read needs at least one path)
+            return {
+                "k_cells": m["k_cells"], "rebuilt": False, "rows": 0,
+                "dups_removed": 0,
+            }
         raw = _read_vector_files(spark, sorted(snapshot), m)
         physical = raw.count()
         vecs = raw.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)

@@ -284,7 +284,83 @@ def benchmark_ngram_digests(benchmark: DataFrame) -> DataFrame:
     )
 
 
+def _reraise_if_vanished_input(e: BaseException, index_dir: str) -> None:
+    """Classify a Spark-job failure whose root cause is input files
+    vanishing under ``index_dir`` mid-job — the two lock-free races
+    the r12 multi-process chaos soak surfaced (tools/chaos_ingest.py:
+    raw Py4JJavaErrors where the protocol owed its documented
+    retryables):
+
+    * a maintenance compaction SWAPPED an index part while this
+      batch's scan had its file list (the entry check_not_compacting
+      is advisory — a compaction starting after it is legal);
+    * a ``prepare_corpus`` generation flip replaced the index dir —
+      including ``_staged/`` — while this batch was staging.
+
+    Both are pre-commit (the manifest row is written last), so the
+    batch is losslessly retryable; re-raise with the protocol's
+    retryable phrasing instead of leaking an opaque JVM traceback.
+    A failure that keeps recurring (real corruption) still surfaces:
+    callers bound their retries."""
+    s = str(e)
+    if not any(
+        mark in s
+        for mark in (
+            "FileNotFoundException",
+            "No such file or directory",
+            "does not exist",
+        )
+    ):
+        return
+    root = os.path.abspath(index_dir)
+    if root not in s and index_dir.rstrip("/") not in s:
+        return
+    if "/_staged/" in s:
+        raise RuntimeError(
+            f"ingest staging under {index_dir} was destroyed mid-write "
+            "(a generation flip replaced the index?) — the batch was "
+            "NOT ingested; re-deliver it"
+        ) from e
+    raise RuntimeError(
+        f"index files under {index_dir} vanished beneath the batch's "
+        "scan (a compaction swapped the dataset mid-read) — nothing "
+        "was committed; retry after the maintenance window"
+    ) from e
+
+
 def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    corpus_dir: str,
+    family: str = "ngram",
+    batch_id: int | None = None,
+    stream: str = "",
+    batch_emb: DataFrame | None = None,
+    ann_index_dir: str | None = None,
+    ivf_index_dir: str | None = None,
+    _test_crash_after: str | None = None,
+) -> dict[str, int]:
+    """Retryable-failure boundary around :func:`_ingest_batch_impl`
+    (the real pipeline — its docstring is the contract): protocol
+    RuntimeErrors pass through untouched; anything else is checked
+    against the vanished-input races a concurrent maintenance swap or
+    generation flip can inflict on a lock-free reader, and re-raised
+    as the documented retryable when it matches."""
+    try:
+        return _ingest_batch_impl(
+            spark, batch, index_dir, corpus_dir, family, batch_id,
+            stream, batch_emb, ann_index_dir, ivf_index_dir,
+            _test_crash_after,
+        )
+    except RuntimeError:
+        raise  # already protocol-classified (incl. LockPatienceExhausted)
+    except Exception as e:
+        _reraise_if_vanished_input(e, index_dir)
+        raise
+
+
+def _ingest_batch_impl(
     spark: SparkSession,
     batch: DataFrame,
     index_dir: str,

@@ -334,6 +334,41 @@ def test_ingest_survives_concurrent_maintenance(spark, corpus):
     assert top and top[0]["neighbor_id"] == probe_id
 
 
+def test_vanished_input_classification():
+    """The r12 chaos soak's two lock-free races re-raise as the
+    protocol's documented retryables instead of opaque JVM errors:
+    a compaction swapping an index part beneath the batch's scan, and
+    a generation flip destroying the staging mid-write. Unrelated
+    failures (and vanished files OUTSIDE the index) pass through."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        _reraise_if_vanished_input,
+    )
+
+    idx = "/tmp/chaos_fixture/idx"
+    scan = Exception(
+        "java.io.FileNotFoundException: File "
+        "file:/tmp/chaos_fixture/idx/hashes/part-0.snappy.parquet "
+        "does not exist. It is possible the underlying files have "
+        "been updated."
+    )
+    with pytest.raises(RuntimeError, match="maintenance window"):
+        _reraise_if_vanished_input(scan, idx)
+    staged = Exception(
+        "ExitCodeException exitCode=1: chmod: cannot access "
+        "'/tmp/chaos_fixture/idx/_staged/62d7_1/stats/_temporary/0': "
+        "No such file or directory"
+    )
+    with pytest.raises(RuntimeError, match="re-deliver"):
+        _reraise_if_vanished_input(staged, idx)
+    # not a vanished-file failure: no reclassification
+    _reraise_if_vanished_input(Exception("OutOfMemoryError"), idx)
+    # a vanished file OUTSIDE the index: not this protocol's call
+    _reraise_if_vanished_input(
+        Exception("FileNotFoundException: /somewhere/else/p.parquet"),
+        idx,
+    )
+
+
 # --------------------------------------------- catch-up protocol pins
 @pytest.fixture()
 def small_indexes(spark, tmp_path):

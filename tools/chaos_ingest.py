@@ -514,6 +514,14 @@ def orchestrate(args) -> None:
                 role = "ingest" if name.startswith("w") else name
                 restarts[role] += 1
                 start(name)
+            if kills >= args.kills:
+                # kill budget spent — stop shooting and let the prep
+                # regeneration finish (with ~14 s between kills and a
+                # 1-in-5 victim draw, an unconditional kill loop never
+                # lets a >60 s prep run complete: the first soak run
+                # hit 84 kills and the wall-clock budget with prep
+                # still dead)
+                continue
             # pick a victim that has lived long enough to be mid-work
             candidates = [
                 n
