@@ -118,16 +118,24 @@ def run(spark, n_docs: int) -> dict:
     # interleaved pairs bounds the residual bias in the CONSERVATIVE
     # direction (the base arm holds the warmest slot, so if anything
     # the reported overhead is slightly overstated)
+    pairs = int(os.environ.get("SIM_PAIRS", "2"))
     setups = {
-        "base": [fresh_setup(False), fresh_setup(False)],
-        "integ": [fresh_setup(True), fresh_setup(True)],
+        "base": [fresh_setup(False) for _ in range(pairs)],
+        "integ": [fresh_setup(True) for _ in range(pairs)],
     }
-    base_times = [timed_ingest(setups["base"][0])]
-    integ_times = [
-        timed_ingest(setups["integ"][0]),
-        timed_ingest(setups["integ"][1]),
-    ]
-    base_times.append(timed_ingest(setups["base"][1]))
+    base_times, integ_times = [], []
+    for p in range(pairs):
+        # ABBA chain (A B | B A | A B ...): alternating pair order so
+        # neither arm systematically holds the warmer slot; with the
+        # default 2 pairs this is exactly A B B A — base takes the
+        # coldest AND warmest slots, biasing the reported overhead
+        # conservative (r11 discipline)
+        order = (
+            ("base", "integ") if p % 2 == 0 else ("integ", "base")
+        )
+        for arm in order:
+            sec = timed_ingest(setups[arm][p])
+            (base_times if arm == "base" else integ_times).append(sec)
     base_sec, integ_sec = min(base_times), min(integ_times)
     _, _, ann, ivf = setups["integ"][0]
 
