@@ -337,6 +337,46 @@ def prepare_corpus(
     quarantine_leaks: bool = False,
     _test_crash_after: str | None = None,
 ) -> dict[str, int]:
+    """Retryable-failure boundary around :func:`_prepare_corpus_impl`
+    (the real pipeline — its docstring is the contract): protocol
+    RuntimeErrors pass through; a Spark-job failure whose root cause
+    is files vanishing under ``out_dir`` or ``index_dir`` mid-scan —
+    a maintenance compaction swapping the live corpus/index beneath a
+    lock-free read (the r12 chaos soak hit a prep scan of
+    ``clean_documents.parquet`` racing the corpus compaction) — is
+    re-raised as the documented retryable (the regeneration is
+    all-staged: nothing published before the commit marker, so a
+    retry is lossless)."""
+    from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+        _reraise_if_vanished_input,
+    )
+
+    try:
+        return _prepare_corpus_impl(
+            spark, sf_dir, out_dir, tokenizer_merges, index_dir,
+            near_family, holdout_split, quarantine_leaks,
+            _test_crash_after,
+        )
+    except RuntimeError:
+        raise  # already protocol-classified
+    except Exception as e:
+        _reraise_if_vanished_input(e, out_dir)
+        if index_dir is not None:
+            _reraise_if_vanished_input(e, index_dir)
+        raise
+
+
+def _prepare_corpus_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tokenizer_merges=None,
+    index_dir: str | None = None,
+    near_family: str = "ngram",
+    holdout_split: bool = False,
+    quarantine_leaks: bool = False,
+    _test_crash_after: str | None = None,
+) -> dict[str, int]:
     """Run the cleaning pipeline over ``{sf_dir}/documents.parquet``
     and write the cleaned + packed corpus under ``out_dir``. Returns
     the attrition manifest.

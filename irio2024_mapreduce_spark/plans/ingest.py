@@ -775,8 +775,36 @@ def _new_staging_dir(
                 # recovery — finish its publication, never destroy it
                 _publish_staged(staging, known_committed=True)
                 raise _BatchAlreadyCommitted(staging)
-            shutil.rmtree(staging)
-        os.makedirs(staging)
+            # pre-commit leftover — or the remains of a sibling's
+            # post-publication GC whose rmtree deleted the staged
+            # _committed before our check; either way the dir must
+            # go, and the discard must tolerate that racing deleter
+            shutil.rmtree(staging, ignore_errors=True)
+        # the racing GC's final step is an rmdir BY NAME of the top
+        # dir: retry makedirs while it drains, then drop a sentinel
+        # file immediately so a straggler rmdir hits ENOTEMPTY (its
+        # ignore_errors swallows that) instead of deleting our fresh
+        # empty dir. If a vanishingly-timed rmdir still wins, the
+        # staged writes fail and ingest_batch's vanished-input
+        # classification turns it into the re-deliver retryable —
+        # lossless either way.
+        import time as _time  # noqa: PLC0415
+
+        for attempt in range(40):
+            try:
+                os.makedirs(staging)
+                break
+            except FileExistsError:
+                _time.sleep(0.05)
+                shutil.rmtree(staging, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"{staging}: could not obtain a clean staging dir "
+                "(a sibling deleter kept the path occupied)"
+            )
+        atomic_write_file(
+            os.path.join(staging, "_owner"), f"{os.getpid()}\n"
+        )
     except BaseException:
         release_flock(alive)
         raise
@@ -816,7 +844,23 @@ def _stage_batch(
     else:
         parts["bands"] = corpus_index_bands(survivors)
         parts["rep_shingles"] = corpus_index_rep_shingles(survivors)
-    parts["stats"] = _stats_row_df(cleaned)
+    # keyed stats row (r12): a SIGKILLed publication can be replayed
+    # wholesale (the marker is the last artifact to land), appending
+    # a SECOND stats row for the same batch — unkeyed rows made that
+    # census drift permanent. With the (stream, batch_id) key,
+    # corpus_stats dedupes replays at read exactly like the manifest
+    # rows; seed/correction rows stay unkeyed (null key ⇒ kept as-is)
+    parts["stats"] = _stats_row_df(cleaned).select(
+        (
+            F.lit(stream)
+            if batch_id is not None
+            else F.lit(None).cast("string")
+        ).alias("stream"),
+        F.lit(None if batch_id is None else int(batch_id))
+        .cast("long")
+        .alias("batch_id"),
+        "docs", "tokens", "text_sketch", "token_sketch",
+    )
     if batch_id is not None:
         row = (
             stream,
@@ -1496,7 +1540,14 @@ def recover_staged_batches(
             elif flock_is_live(os.path.join(d, "_alive.lock")):
                 out["in_flight"] += 1
             elif os.path.isdir(d):
-                shutil.rmtree(d)
+                # ignore_errors: the one deleter that can race this
+                # discard is a sibling's POST-publication GC (it holds
+                # no alive lock, and its rmtree may have deleted the
+                # staged _committed before we classified) — both want
+                # the dir gone, and two concurrent rmtrees over one
+                # tree throw ENOENT/ENOTEMPTY at each other (the r12
+                # 4-stream chaos soak hit both shapes)
+                shutil.rmtree(d, ignore_errors=True)
                 out["discarded"] += 1
                 if name.startswith("nokey_"):
                     # dead unkeyed staging: drop its never-reused
@@ -1648,6 +1699,25 @@ def _read_manifest_rows(spark: SparkSession, index_dir: str):
     )
 
 
+def _read_stats_rows(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The stats parquet, schema-normalized (the manifests-read
+    discipline): rows written before the (stream, batch_id) key
+    existed read with NULL keys — their implied class, seed and
+    correction rows — instead of leaving a mixed-schema dir whose
+    footer-resolved schema could silently drop the keys."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(index_dir, "stats")
+    )
+    if "stream" not in df.columns:
+        df = df.withColumn("stream", F.lit(None).cast("string"))
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(None).cast("long"))
+    return df.select(
+        "stream", "batch_id", "docs", "tokens",
+        "text_sketch", "token_sketch",
+    )
+
+
 def _dedupe_manifest_rows(df: DataFrame) -> DataFrame:
     """One row per (stream, batch_id): the row read_recorded_manifest's
     replay would pick (``appended`` desc, then every counter desc —
@@ -1788,6 +1858,10 @@ def _append_stats_row(
 
 
 def _stats_row_df(cleaned: DataFrame) -> DataFrame:
+    """One mergeable stats row, in the FULL six-column schema (null
+    (stream, batch_id) key — the unkeyed class: seed and correction
+    rows; ingest staging overrides the key columns). One schema per
+    writer keeps the part read-normalizable (:func:`_read_stats_rows`)."""
     doc_stats = cleaned.agg(
         F.count("*").alias("docs"),
         F.coalesce(
@@ -1800,7 +1874,11 @@ def _stats_row_df(cleaned: DataFrame) -> DataFrame:
         .filter(F.col("t") != "")
         .agg(F.hll_sketch_agg("t").alias("token_sketch"))
     )
-    return doc_stats.crossJoin(tok_stats)
+    return doc_stats.crossJoin(tok_stats).select(
+        F.lit(None).cast("string").alias("stream"),
+        F.lit(None).cast("long").alias("batch_id"),
+        "docs", "tokens", "text_sketch", "token_sketch",
+    )
 
 
 def seed_index_from_prepared(
@@ -1865,8 +1943,29 @@ def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:
     exact counters sum, HLL sketches merge (``hll_union_agg``); the
     shipped corpus is never rescanned. At 100 TB this is the only
     affordable way to keep live distinct-token / distinct-text
-    counts over a growing corpus."""
-    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    counts over a growing corpus.
+
+    Keyed rows (ingest batches, r12) dedupe here the way manifest
+    rows dedupe in their replay read: a SIGKILLed publication
+    replayed wholesale appends a second stats row for the same
+    (stream, batch_id), and without the dedupe the census drifted by
+    one batch per replay, permanently. Docs-desc picks the original
+    full admission over a re-run that re-convicted some docs; null
+    keys (seed rows, reconciliation corrections) are kept as-is."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    stats = _read_stats_rows(spark, index_dir)
+    keyed = stats.filter(F.col("batch_id").isNotNull())
+    unkeyed = stats.filter(F.col("batch_id").isNull())
+    w = Window.partitionBy("stream", "batch_id").orderBy(
+        F.col("docs").desc(), F.col("tokens").desc()
+    )
+    keyed = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    stats = unkeyed.unionByName(keyed)
     row = stats.agg(
         F.sum("docs").alias("docs"),
         F.sum("tokens").alias("tokens"),
@@ -1883,6 +1982,196 @@ def corpus_stats(spark: SparkSession, index_dir: str) -> dict[str, int]:
         "approx_distinct_texts": int(row["approx_distinct_texts"] or 0),
         "approx_distinct_tokens": int(row["approx_distinct_tokens"] or 0),
     }
+
+
+def reconcile_corpus_duplicates(
+    spark: SparkSession, index_dir: str, corpus_path: str
+) -> dict:
+    """Deep-maintenance reconciliation of the TWO corpus anomalies
+    optimistic multi-writer ingest can leave (both caught by the r12
+    4-stream chaos soak):
+
+    * cross-writer race — two concurrent ``ingest_batch`` calls
+      carrying the same text both probe the dedup index BEFORE
+      either's rows publish (verdicts are computed lock-free; only
+      publication serializes), so both copies land under different
+      doc_ids;
+    * replayed publication — a SIGKILL between a publish's corpus
+      move and its external marker touch, composed with the staging
+      lost to a racing GC/flip, re-runs the whole batch: the same
+      doc_ids land physically twice (the index parts' copies are the
+      crash-replay duplicates maintenance already compacts; the
+      corpus had no analog).
+
+    Serializing admission would kill writer concurrency (wrong at
+    100 TB); the lakehouse answer is optimistic ingest +
+    reconciliation at the quiesced deep pass, which this implements
+    in two idempotent phases under the index→corpus locks (the
+    publish lock order):
+
+    1. duplicate removal — group the live corpus by ``sha2(text)``;
+       each >1 group keeps its LOWEST doc_id (ingest's earlier-doc
+       rule) and the rest are dropped in one filtered rewrite. Flat
+       corpora swap through the compactor's own ``._compact_tmp`` /
+       ``._compact_old`` suffix pair, so every existing
+       ``recover_swap_crash`` call already recovers a crash here;
+       versioned corpora write version N+1 and flip the pointer.
+    2. census correction — one stats row negating the non-quarantined
+       docs that lost ENTIRELY (one subtraction per distinct lost
+       doc_id; replay copies of a surviving doc subtract nothing —
+       their duplicated keyed stats rows already dedupe out of
+       ``corpus_stats``; quarantined docs never entered the census),
+       carrying the losers' own HLL sketches: union is
+       idempotent and the surviving copy contributes the identical
+       text/token values, so distinct estimates are untouched while
+       the exact sums true up. Loser-arithmetic, NOT a global
+       corpus-vs-census measurement, on purpose: ``corpus_stats`` may
+       legitimately cover docs that live outside ``corpus_path``
+       (``build_corpus_index`` seeds the index+census over an
+       existing corpus held elsewhere), so only what this pass itself
+       removed is its to subtract. A crash between the swap commit
+       and the correction append leaves the census high by that
+       pass's losers — advisory drift, bounded, erased wholesale by
+       the next ``prepare_corpus`` regeneration (which rewrites the
+       stats part) and never self-repeating (the rerun finds no dups
+       and appends nothing).
+
+    Dedup-index rows of removed docs stay (conviction needs only
+    SOME row per digest, and the survivor shares it); stored
+    similarity-index rows of removed docs stay until the next deep
+    index pass (probes answer by corpus doc ids, which no longer
+    include the losers)."""
+    import shutil  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        _flip_pointer,
+        release_compaction_lock,
+        resolve_current,
+    )
+
+    corpus_path = corpus_path.rstrip("/")
+    locks = []
+    try:
+        locks.append(_acquire_patiently(index_dir))
+        locks.append(_acquire_patiently(corpus_path))
+        versioned = os.path.exists(
+            os.path.join(corpus_path, "_CURRENT")
+        )
+        target = (
+            resolve_current(corpus_path) if versioned else corpus_path
+        )
+        art = spark.read.parquet(target)
+        has_split = "split" in art.columns
+        art_d = art.withColumn("_d", F.sha2("text", 256))
+        winners = (
+            art_d.groupBy("_d")
+            .agg(
+                F.min("doc_id").alias("_keep"),
+                F.count("*").alias("_n"),
+            )
+            .filter(F.col("_n") > 1)
+            .localCheckpoint(eager=True)
+        )
+        dup_groups = winners.count()
+        losers_removed = 0
+        d_docs = d_tokens = 0
+        if dup_groups:
+            from pyspark.sql.window import Window  # noqa: PLC0415
+
+            # row_number, not a doc_id filter: a replayed publication
+            # leaves two PHYSICAL copies of the SAME doc_id (the r12
+            # 4-stream soak's second finding), which an equality
+            # filter would keep both of. One row survives per digest
+            # — the min-doc_id one; extra copies of any doc_id
+            # collapse with it. Both frames materialized BEFORE the
+            # swap deletes the source files.
+            wd = Window.partitionBy("_d").orderBy("doc_id")
+            ranked = art_d.withColumn(
+                "_keep", F.min("doc_id").over(Window.partitionBy("_d"))
+            ).withColumn("_rn", F.row_number().over(wd))
+            losers = (
+                ranked.filter(F.col("_rn") > 1)
+                .localCheckpoint(eager=True)
+            )
+            losers_removed = losers.count()
+            survivors = (
+                ranked.filter(F.col("_rn") == 1)
+                .drop("_d", "_keep", "_rn")
+                .localCheckpoint(eager=True)
+            )
+            writer = survivors.write.mode("overwrite")
+            if has_split:
+                writer = writer.partitionBy("split")
+            if versioned:
+                cur_n = int(os.path.basename(target)[1:])
+                new_dir = os.path.join(corpus_path, f"v{cur_n + 1}")
+                if os.path.exists(new_dir):
+                    shutil.rmtree(new_dir)
+                writer.parquet(new_dir)
+                _flip_pointer(corpus_path, cur_n + 1)  # commit point
+                target = new_dir
+            else:
+                tmp = corpus_path + "._compact_tmp"
+                old = corpus_path + "._compact_old"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                writer.parquet(tmp)
+                os.rename(corpus_path, old)
+                os.rename(tmp, corpus_path)
+                shutil.rmtree(old)
+            # phase 2: census correction for the non-quarantined
+            # DOCS that lost entirely — one subtraction per distinct
+            # lost doc_id (a doc_id never spans digests: same id ⇒
+            # same text). Replay copies of a SURVIVING doc_id
+            # subtract nothing: their duplicated stats rows carry the
+            # same (stream, batch_id) key and dedupe out of
+            # corpus_stats at read, so the census already counts that
+            # doc exactly once. Quarantined docs never entered the
+            # census.
+            non_q = losers.filter(
+                F.col("doc_id") != F.col("_keep")
+            ).dropDuplicates(["doc_id"])
+            if has_split:
+                non_q = non_q.filter(F.col("split") != "quarantined")
+            loss = non_q.agg(
+                F.count("*").alias("docs"),
+                F.coalesce(
+                    F.sum(F.size(F.split("text", " "))).cast("long"),
+                    F.lit(0),
+                ).alias("tokens"),
+            ).collect()[0]
+            d_docs = -int(loss["docs"])
+            d_tokens = -int(loss["tokens"])
+            if d_docs or d_tokens:
+                correction = _stats_row_df(non_q).select(
+                    "stream",
+                    "batch_id",
+                    F.lit(d_docs).cast("long").alias("docs"),
+                    F.lit(d_tokens).cast("long").alias("tokens"),
+                    "text_sketch",
+                    "token_sketch",
+                )
+                correction.write.mode("append").parquet(
+                    os.path.join(index_dir, "stats")
+                )
+        ran = bool(dup_groups)
+        return {
+            "ran": ran,
+            "reason": (
+                f"{dup_groups} duplicate text groups; removed "
+                f"{losers_removed} late copies (census {d_docs:+d} "
+                f"docs {d_tokens:+d} tokens)"
+                if ran
+                else "no duplicate texts"
+            ),
+            "dup_groups": dup_groups,
+            "losers_removed": losers_removed,
+            "census_delta_docs": d_docs,
+            "census_delta_tokens": d_tokens,
+        }
+    finally:
+        for lock in reversed(locks):
+            release_compaction_lock(lock)
 
 
 def compact_corpus_index(
@@ -1958,7 +2247,12 @@ def compact_corpus_index(
             df.dropDuplicates(), ["band", "band_hash"], LSH_BUCKET_CAP
         ),
         "rep_shingles": lambda df: df.dropDuplicates(["doc_id"]),
-        "stats": lambda df: df,
+        # schema-normalized like manifests (rows written before the
+        # r12 (stream, batch_id) key read with null keys) so the
+        # rewrite leaves ONE schema; rows preserved verbatim — the
+        # replay dedupe happens at corpus_stats read time, where the
+        # winner rule lives
+        "stats": lambda _df: _read_stats_rows(spark, index_dir),
         # schema-normalized (pre-stream-column rows gain stream='')
         # so the rewrite leaves ONE schema behind, not a mixed dir;
         # deduped to ONE row per (stream, batch_id) with the same

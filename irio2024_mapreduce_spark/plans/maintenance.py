@@ -154,6 +154,10 @@ def maintain_corpus_index(
         )
 
         recover_prepared(os.path.dirname(os.path.abspath(corpus_path)))
+    if corpus_path and index_dir:
+        report["corpus_reconcile"] = _maybe_reconcile_dups(
+            spark, index_dir, corpus_path, deep
+        )
     if index_dir:
         report["index_compaction"] = _maybe_compact_index(
             spark, index_dir, max_files_per_part, frag_ratio,
@@ -182,6 +186,26 @@ def maintain_corpus_index(
             deep=deep,
         )
     return report
+
+
+def _maybe_reconcile_dups(spark, index_dir, corpus_path, deep) -> dict:
+    """Deep-only: the late-duplicate reconciliation (see
+    :func:`plans.ingest.reconcile_corpus_duplicates`) needs a
+    content-level corpus scan, which footers cannot gate — the shapes
+    it fixes (two concurrent same-text ingests both admitting; a
+    census drifted by a crash between a corpus rewrite and its stats
+    correction) are invisible to metadata. Runs at the quiesced deep
+    pass, the documented post-chaos/post-regeneration step."""
+    if not deep:
+        return {
+            "ran": False,
+            "reason": "content-level duplicate scan is deep-only",
+        }
+    from irio2024_mapreduce_spark.plans.ingest import (  # noqa: PLC0415
+        reconcile_corpus_duplicates,
+    )
+
+    return reconcile_corpus_duplicates(spark, index_dir, corpus_path)
 
 
 def _maybe_compact_index(

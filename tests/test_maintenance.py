@@ -336,3 +336,119 @@ def test_missing_markers_trip_regeneration(spark, tmp_path):
         pytest.skip("fixture tripped compaction; markers covered there")
     assert report["commit_markers"]["ran"]
     assert os.listdir(markers)
+
+
+def test_deep_reconcile_removes_late_duplicates_and_corrects_census(
+    spark, tmp_path
+):
+    """The r12 4-stream chaos soak's finding: two concurrent
+    same-text ingests can BOTH admit (verdicts are lock-free;
+    publication serializes) — optimistic multi-writer ingest. The
+    deep reconciliation pass removes the late copy (earliest doc_id
+    wins, ingest's rule), subtracts exactly that copy from the
+    census, is idempotent, and never runs without deep=True."""
+    from irio2024_mapreduce_spark.plans.ingest import corpus_stats
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    m = ingest_batch(
+        spark, _docs(spark, [200, 201]), idx, out,
+        batch_id=0, stream="s",
+    )
+    assert m["appended"] == 2
+    corpus = os.path.join(out, "clean_documents.parquet")
+    census_before = corpus_stats(spark, idx)
+    art = spark.read.parquet(corpus)
+    # simulate the lost race: the same text under a LATER doc_id,
+    # already in the corpus AND already counted by a stats row — the
+    # exact state two racing ingests leave behind
+    dup = art.filter("doc_id = 200").withColumn(
+        "doc_id", F.lit(9000).cast("long")
+    )
+    dup.write.mode("append").parquet(corpus)
+    from irio2024_mapreduce_spark.plans.ingest import _stats_row_df
+
+    _stats_row_df(dup).write.mode("append").parquet(
+        os.path.join(idx, "stats")
+    )
+    assert corpus_stats(spark, idx)["docs"] == census_before["docs"] + 1
+
+    # non-deep: the content scan must not run
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus
+    )["corpus_reconcile"]
+    assert not rec["ran"] and "deep-only" in rec["reason"]
+    assert spark.read.parquet(corpus).count() == 3
+
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert rec["ran"], rec
+    assert rec["dup_groups"] == 1 and rec["losers_removed"] == 1
+    art2 = spark.read.parquet(corpus)
+    assert art2.count() == 2
+    assert art2.filter("doc_id = 9000").count() == 0  # later copy lost
+    assert art2.filter("doc_id = 200").count() == 1  # earliest kept
+    # census back to exactly the pre-race value (sketches untouched:
+    # the duplicate's text/tokens were already present via doc 200)
+    after = corpus_stats(spark, idx)
+    assert after["docs"] == census_before["docs"]
+    assert after["tokens"] == census_before["tokens"]
+
+    # idempotent: a second deep call finds nothing
+    rec2 = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert not rec2["ran"], rec2
+    assert corpus_stats(spark, idx)["docs"] == census_before["docs"]
+
+
+def test_deep_reconcile_collapses_replayed_publication(spark, tmp_path):
+    """The r12 soak's second finding: a SIGKILLed publication replayed
+    wholesale lands the same doc_ids physically TWICE, plus a second
+    keyed stats row. The deep pass collapses the physical copies (one
+    row per digest) while the keyed stats dedupe in corpus_stats
+    absorbs the census side — no loser subtraction for a doc that
+    survives."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        _read_stats_rows,
+        corpus_stats,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    m = ingest_batch(
+        spark, _docs(spark, [300, 301, 302]), idx, out,
+        batch_id=7, stream="s",
+    )
+    assert m["appended"] == 3
+    corpus = os.path.join(out, "clean_documents.parquet")
+    census_before = corpus_stats(spark, idx)
+    # replay the batch's physical footprint: corpus rows AND the
+    # keyed stats row appended a second time
+    art = spark.read.parquet(corpus)
+    art.write.mode("append").parquet(corpus)
+    stats = _read_stats_rows(spark, idx)
+    stats.filter("batch_id = 7").write.mode("append").parquet(
+        os.path.join(idx, "stats")
+    )
+    # keyed dedupe already absorbs the duplicated stats row
+    assert corpus_stats(spark, idx)["docs"] == census_before["docs"]
+    assert spark.read.parquet(corpus).count() == 6
+
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert rec["ran"], rec
+    assert rec["dup_groups"] == 3 and rec["losers_removed"] == 3
+    # replay copies of SURVIVING docs: no census subtraction
+    assert rec["census_delta_docs"] == 0, rec
+    art2 = spark.read.parquet(corpus)
+    assert art2.count() == 3
+    assert art2.select("doc_id").distinct().count() == 3
+    assert corpus_stats(spark, idx)["docs"] == census_before["docs"]
+    # idempotent
+    rec2 = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert not rec2["ran"], rec2

