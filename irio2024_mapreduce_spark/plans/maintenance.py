@@ -118,9 +118,12 @@ def maintain_corpus_index(
     deep: bool = False,
 ) -> dict[str, dict]:
     """Run every tripped maintenance pass over the given artifacts, in
-    dependency order: dedup-index compaction (which also regenerates
-    the commit markers) → standalone marker regeneration (only when
-    compaction did NOT run) → corpus compaction with fused z-order →
+    dependency order: crashed-generation roll-forward → corpus
+    duplicate reconciliation (deep only — the multi-writer race /
+    replay convergence pass, r12) → dedup-index compaction (which
+    also regenerates the commit markers) → standalone marker
+    regeneration (only when compaction did NOT run) → corpus
+    compaction with fused z-order →
     ANN resize → IVF rebuild. Each sub-pass takes its own advisory
     lock exactly as when called directly; a pass whose threshold
     isn't tripped is SKIPPED and says why. Idempotent: a second call
