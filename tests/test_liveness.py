@@ -360,6 +360,15 @@ def test_vanished_input_classification():
     )
     with pytest.raises(RuntimeError, match="re-deliver"):
         _reraise_if_vanished_input(staged, idx)
+    # third observed form: Hadoop's committer failing to mkdir under
+    # a staging a generation flip took away mid-write
+    mkdirs = Exception(
+        "java.io.IOException: Mkdirs failed to create "
+        "file:/tmp/chaos_fixture/idx/_staged/a95d_4/rep_shingles/"
+        "_temporary/0/_temporary/attempt_x (exists=false)"
+    )
+    with pytest.raises(RuntimeError, match="re-deliver"):
+        _reraise_if_vanished_input(mkdirs, idx)
     # not a vanished-file failure: no reclassification
     _reraise_if_vanished_input(Exception("OutOfMemoryError"), idx)
     # a vanished file OUTSIDE the index: not this protocol's call

@@ -452,3 +452,68 @@ def test_deep_reconcile_collapses_replayed_publication(spark, tmp_path):
         spark, index_dir=idx, corpus_path=corpus, deep=True
     )["corpus_reconcile"]
     assert not rec2["ran"], rec2
+
+
+def test_deep_reconcile_measured_census_mode(spark, tmp_path):
+    """census_from_corpus=True (self-contained corpora — the
+    prepare_corpus lifecycle): the deep pass trues the census up to
+    the MEASURED non-quarantined corpus, healing ledger drift that
+    leaves no physical duplicates (the r12 soak's off-by-one: two
+    replays of one batch admitting different verdict sets while the
+    keyed stats dedupe keeps only one run's summary)."""
+    from irio2024_mapreduce_spark.plans.corpus_prep import (
+        prepare_corpus,
+    )
+    from irio2024_mapreduce_spark.plans.ingest import (
+        _stats_row_df,
+        corpus_stats,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _docs(spark, range(500, 512)).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    prepare_corpus(
+        spark, sf, out, holdout_split=True, index_dir=idx
+    )
+    corpus = os.path.join(out, "clean_documents.parquet")
+
+    def non_q_count():
+        # fresh read each time: the maintenance corpus compaction
+        # rewrites the files under any cached frame
+        return (
+            spark.read.parquet(corpus)
+            .filter(F.col("split") != "quarantined")
+            .count()
+        )
+
+    expected = non_q_count()
+    assert corpus_stats(spark, idx)["docs"] == expected
+
+    # ledger drift with NO physical duplicate: a phantom stats row
+    # (the composed-replay shape arithmetic cannot see)
+    phantom = (
+        spark.read.parquet(corpus)
+        .filter(F.col("split") != "quarantined")
+        .limit(1)
+    )
+    _stats_row_df(phantom).write.mode("append").parquet(
+        os.path.join(idx, "stats")
+    )
+    assert corpus_stats(spark, idx)["docs"] == expected + 1
+
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus=True, partition_by=["split"],
+    )["corpus_reconcile"]
+    assert rec["ran"] and rec["dup_groups"] == 0, rec
+    assert rec["census_delta_docs"] == -1, rec
+    assert corpus_stats(spark, idx)["docs"] == expected == non_q_count()
+    # idempotent
+    rec2 = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus=True, partition_by=["split"],
+    )["corpus_reconcile"]
+    assert not rec2["ran"], rec2

@@ -384,6 +384,12 @@ def _verify(root: str, streams: int, batches: int, docs: int) -> dict:
         spark, index_dir=idx, corpus_path=corpus,
         partition_by=["split"],
         ann_index_dir=ann, ivf_index_dir=ivf, deep=True,
+        # this corpus is SELF-CONTAINED (prepare_corpus seeded it),
+        # so the deep pass's census true-up is the measured mode —
+        # replay races can drift the ledger by admitting different
+        # verdict sets across re-runs without leaving physical
+        # duplicates for the arithmetic to see
+        census_from_corpus=True,
     )
 
     art = spark.read.parquet(corpus)
