@@ -68,6 +68,7 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock_patiently,
     atomic_write_file,
     release_compaction_lock,
+    reraise_if_vanished_input,
 )
 
 ANN_INDEX_MANIFEST = "_ann_manifest.json"
@@ -153,19 +154,37 @@ def _gc_orphan_data_dirs(index_dir: str, live: str) -> int:
 
 
 def _tbl0_files(data_dir: str) -> set[str]:
-    """The tbl=0 (corpus-vector) parquet files of a data dir — the
-    snapshot/delta unit of the resize catch-up protocol. By-path
+    """The tbl=0 (corpus-vector) COMMITTED parquet files of a data dir
+    — the snapshot/delta unit of the resize catch-up protocol. By-path
     reads lose the tbl/pb partition columns, which the resize never
-    needs (it reshapes from vec_id + cv)."""
+    needs (it reshapes from vec_id + cv). Hidden dirs/files
+    (``_temporary`` task attempts of a racing or SIGKILLed locked
+    append) are pruned — ADVICE r12: in-flight files vanish on task
+    commit and crashed leftovers are truncated parquet."""
     out: set[str] = set()
     root0 = os.path.join(data_dir, "tbl=0")
-    for root, _dirs, files in os.walk(root0):
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         out.update(
             os.path.join(root, f)
             for f in files
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
+
+
+def _gc_stage_dirs(index_dir: str) -> int:
+    """Remove crashed resizes' ``stage_rows_*`` staging dirs. ONLY
+    safe while holding the ``.rebuild`` guard: guard-holders are the
+    only stage writers and they serialize, so a match is a SIGKILLed
+    predecessor's leftover."""
+    removed = 0
+    for d in os.listdir(index_dir):
+        p = os.path.join(index_dir, d)
+        if d.startswith("stage_rows_") and os.path.isdir(p):
+            shutil.rmtree(p)
+            removed += 1
+    return removed
 
 
 def _footer_file_rows(files: set[str]) -> int:
@@ -368,9 +387,38 @@ def resize_ann_index(
     sibling ``.rebuild`` guard. A delta row duplicating a snapshot
     row stays duplicated until the next quiesced deep pass
     (probe-side keep-one absorbs it — the established redelivery
-    semantics)."""
+    semantics).
+
+    STAGING is under a unique ``stage_rows_*`` name renamed to the
+    versioned dir under the index lock AFTER the superseded check
+    (ADVICE r13-input, medium): ``build_ann_index`` holds only the
+    index lock and can compute the same versioned name from the same
+    manifest, so staging directly at it could interleave two writers'
+    overwrites into one corrupt committed dir.
+
+    Retryable-failure boundary (ADVICE r12, low): the lock-free
+    snapshot reads can fail with raw Py4JJavaErrors when files vanish
+    mid-scan (a racing full build's ``_gc_orphan_data_dirs``, a
+    ``_temporary`` rename) — classified to the protocol's documented
+    retryable via the same shared ``reraise_if_vanished_input`` that
+    ingest_batch / prepare_corpus use."""
+    try:
+        return _resize_ann_index_locked(spark, index_dir, bucket_target)
+    except RuntimeError:
+        raise  # already protocol-classified (incl. LockPatienceExhausted)
+    except Exception as e:
+        reraise_if_vanished_input(e, index_dir)
+        raise
+
+
+def _resize_ann_index_locked(
+    spark: SparkSession,
+    index_dir: str,
+    bucket_target: int | None,
+) -> dict:
     guard = acquire_compaction_lock_patiently(index_dir + ".rebuild")
     try:
+        _gc_stage_dirs(index_dir)
         m = read_ann_manifest(index_dir)
         data_dir = os.path.join(index_dir, m["data"])
         snapshot = _tbl0_files(data_dir)
@@ -419,22 +467,30 @@ def resize_ann_index(
                 release_compaction_lock(lock)
             return {"bits": h2, "resized": False, "rows": rows + delta_n}
         data2, n2 = _next_data_name(index_dir, h2)
-        # reshape + stage the new width OUTSIDE the index lock
-        # (overwrite mode absorbs a crashed predecessor's same-name
-        # orphan)
-        _write_rows(vecs, index_dir, h2, data2)
+        # reshape + stage the new width OUTSIDE the index lock, under
+        # a unique name no concurrent full build can collide with
+        # (builds write only rows_h* names; the guard serializes
+        # stage writers)
+        stage = f"stage_{data2}.{os.getpid()}"
+        _write_rows(vecs, index_dir, h2, stage)
         lock = acquire_compaction_lock_patiently(index_dir)
         try:
             m2 = read_ann_manifest(index_dir)
             if m2["data"] != m["data"]:
                 # a concurrent full build replaced the index while we
-                # reshaped — abandon; the staged dir is an orphan a
-                # later pass GCs
+                # reshaped — abandon; the staged dir is a leftover the
+                # next guard-holder GCs
                 return {
                     "bits_before": m["bits"], "bits": m2["bits"],
                     "resized": False, "superseded": True,
                     "rows": m2["rows"],
                 }
+            # not superseded + index lock held: an existing data2 dir
+            # is a crashed writer's orphan — replace it with the stage
+            final = os.path.join(index_dir, data2)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(os.path.join(index_dir, stage), final)
             delta = _tbl0_files(data_dir) - snapshot
             delta_n = 0
             if delta:

@@ -61,6 +61,7 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock_patiently,
     atomic_write_file,
     release_compaction_lock,
+    reraise_if_vanished_input,
 )
 
 IVF_INDEX_MANIFEST = "_ivf_manifest.json"
@@ -121,7 +122,11 @@ def read_ivf_manifest(index_dir: str) -> dict:
 
 def _gc_orphan_versions(index_dir: str, live: int) -> int:
     """Remove cells_v*/centroids_v* dirs other than the live version —
-    crashed-rebuild leftovers and superseded versions."""
+    crashed-rebuild leftovers and superseded versions — plus stale
+    ``_temporary`` staging dirs inside the LIVE version. Callers hold
+    the index flock, and appends hold that same flock for their whole
+    write, so any ``_temporary`` visible here is a SIGKILLed append's
+    leftover, never an in-flight one (ADVICE r12)."""
     removed = 0
     for d in os.listdir(index_dir):
         p = os.path.join(index_dir, d)
@@ -134,6 +139,11 @@ def _gc_orphan_versions(index_dir: str, live: int) -> int:
             ):
                 shutil.rmtree(p)
                 removed += 1
+    live_cells = os.path.join(index_dir, f"cells_v{live}")
+    stale_tmp = os.path.join(live_cells, "_temporary")
+    if os.path.isdir(stale_tmp):
+        shutil.rmtree(stale_tmp, ignore_errors=True)
+        removed += 1
     return removed
 
 
@@ -143,9 +153,15 @@ def footer_cell_counts(data_dir: str) -> dict[str, int]:
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     counts: dict[str, int] = {}
-    for root, _dirs, files in os.walk(data_dir):
+    for root, dirs, files in os.walk(data_dir):
+        # prune Spark's in-flight/hidden paths (_temporary task-attempt
+        # dirs, _SUCCESS siblings' dot-dirs): only COMMITTED data files
+        # may enter footer arithmetic — an in-flight file vanishes on
+        # task commit and a crashed write leaves truncated parquet
+        # (ADVICE r12, high)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            if not f.endswith(".parquet"):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
                 continue
             rel = os.path.relpath(root, data_dir)
             cell = next(
@@ -197,21 +213,41 @@ def _write_version(
     spark: SparkSession,
     emb: DataFrame,
     index_dir: str,
-    n: int,
+    tag: str,
     k: int,
     quantize: bool,
 ) -> DataFrame:
-    """Train + assign + write version ``n``'s dirs. Returns the
-    centroid frame (for callers that keep probing)."""
+    """Train + assign + write ``centroids_{tag}`` / ``cells_{tag}``.
+    ``tag`` is ``v{N}`` for a direct build; the lock-free rebuild
+    stages under a unique non-version tag and renames under the index
+    lock. Returns the centroid frame (for callers that keep
+    probing)."""
     centroids = _ivf_centroids(spark, emb, k)
     centroids.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"centroids_v{n}")
+        os.path.join(index_dir, f"centroids_{tag}")
     )
     assigned = _nearest_cell(emb, centroids)
     _stored_rows(assigned, quantize).repartition("cell").write.mode(
         "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, f"cells_v{n}"))
+    ).partitionBy("cell").parquet(os.path.join(index_dir, f"cells_{tag}"))
     return centroids
+
+
+def _gc_stage_dirs(index_dir: str) -> int:
+    """Remove crashed rebuilds' staging dirs (``cells_stage.*`` /
+    ``centroids_stage.*`` — ANN uses ``stage_rows_*``). ONLY safe while
+    holding the ``.rebuild`` guard: guard-holders are the only writers
+    of stage names, and they serialize, so anything matching here is a
+    SIGKILLed predecessor's leftover."""
+    removed = 0
+    for d in os.listdir(index_dir):
+        p = os.path.join(index_dir, d)
+        if d.startswith(
+            ("cells_stage.", "centroids_stage.", "stage_rows_")
+        ) and os.path.isdir(p):
+            shutil.rmtree(p)
+            removed += 1
+    return removed
 
 
 def build_ivf_index(
@@ -239,7 +275,7 @@ def build_ivf_index(
             with open(_manifest_path(index_dir)) as f:
                 prior = int(json.load(f).get("data_version", 0))
         n = prior + 1
-        _write_version(spark, emb, index_dir, n, k, quantize)
+        _write_version(spark, emb, index_dir, f"v{n}", k, quantize)
         manifest = {
             "version": IVF_INDEX_VERSION,
             "family": "ivf-cosine",
@@ -289,13 +325,21 @@ def append_ivf_index(
 
 
 def _data_files(path: str) -> set[str]:
-    """All parquet data files under a (partitioned) dataset dir."""
+    """All COMMITTED parquet data files under a (partitioned) dataset
+    dir. Dirs whose basename starts with ``_`` or ``.`` are pruned —
+    Spark stages task attempts under ``_temporary/`` and a concurrent
+    (or SIGKILLed) locked append would otherwise leak in-flight or
+    truncated files into the lock-free rebuild snapshot/delta sets
+    (ADVICE r12, high: the old directory-level ``spark.read.parquet``
+    skipped underscore paths implicitly; the explicit-path snapshot
+    must skip them explicitly)."""
     out: set[str] = set()
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         out.update(
             os.path.join(root, f)
             for f in files
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
 
@@ -355,9 +399,41 @@ def rebuild_ivf_index(
     (two lock-free rebuilds would stage the same version name). A
     delta row that duplicates a snapshot row stays duplicated until
     the next quiesced deep pass — the publish path's established
-    redelivery semantics (probe-side keep-one absorbs it)."""
+    redelivery semantics (probe-side keep-one absorbs it).
+
+    STAGING is under a unique non-version name (``cells_stage.{pid}``)
+    renamed to ``cells_v{n}`` under the index lock AFTER the
+    superseded check (ADVICE r13-input, medium): ``build_ivf_index``
+    holds only the index lock and computes the same n from the same
+    manifest, so staging directly at ``cells_v{n}`` could interleave
+    with a racing full build's overwrite of the identical dirs — one
+    writer's centroids committed with the other's cell assignments,
+    undetectable by the data_version equality check.
+
+    Retryable-failure boundary (ADVICE r12, low): the lock-free
+    snapshot reads can fail with raw Py4JJavaErrors when files vanish
+    mid-scan (a racing full build's ``_gc_orphan_versions``, a
+    ``_temporary`` rename) — classified to the protocol's documented
+    retryable via the same shared ``reraise_if_vanished_input`` that
+    ingest_batch / prepare_corpus use."""
+    try:
+        return _rebuild_ivf_index_locked(spark, index_dir, k_cells, force)
+    except RuntimeError:
+        raise  # already protocol-classified (incl. LockPatienceExhausted)
+    except Exception as e:
+        reraise_if_vanished_input(e, index_dir)
+        raise
+
+
+def _rebuild_ivf_index_locked(
+    spark: SparkSession,
+    index_dir: str,
+    k_cells: int | None,
+    force: bool,
+) -> dict:
     guard = acquire_compaction_lock_patiently(index_dir + ".rebuild")
     try:
+        _gc_stage_dirs(index_dir)
         m = read_ivf_manifest(index_dir)
         data_dir = os.path.join(index_dir, f"cells_v{m['data_version']}")
         snapshot = _data_files(data_dir)
@@ -403,21 +479,33 @@ def rebuild_ivf_index(
                 "dups_removed": 0,
             }
         n = m["data_version"] + 1
-        # train + stage version n OUTSIDE the index lock (overwrite
-        # mode absorbs a crashed predecessor's orphan of the same n)
-        _write_version(spark, vecs, index_dir, n, k, m["quantized"])
+        # train + stage OUTSIDE the index lock, under a unique name no
+        # concurrent full build can collide with (builds write only
+        # cells_v*/centroids_v*; the guard serializes stage writers)
+        stage = f"stage.{os.getpid()}"
+        _write_version(spark, vecs, index_dir, stage, k, m["quantized"])
         lock = acquire_compaction_lock_patiently(index_dir)
         try:
             m2 = read_ivf_manifest(index_dir)
             if m2["data_version"] != m["data_version"]:
                 # a concurrent full build replaced the index while we
-                # trained — abandon; the staged dirs are orphans the
-                # next pass GCs
+                # trained — abandon; the staged dirs are leftovers the
+                # next guard-holder GCs
                 return {
                     "k_before": m["k_cells"], "k_cells": k,
                     "rebuilt": False, "superseded": True,
                     "rows": m2["rows"], "dups_removed": 0,
                 }
+            # not superseded + index lock held: any existing v{n} dirs
+            # are a crashed writer's orphans — replace them with the
+            # staged version atomically-per-dir
+            for prefix in ("cells", "centroids"):
+                final = os.path.join(index_dir, f"{prefix}_v{n}")
+                if os.path.isdir(final):
+                    shutil.rmtree(final)
+                os.rename(
+                    os.path.join(index_dir, f"{prefix}_{stage}"), final
+                )
             delta = _data_files(data_dir) - snapshot
             delta_n = 0
             if delta:

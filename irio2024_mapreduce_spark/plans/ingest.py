@@ -85,6 +85,7 @@ from irio2024_mapreduce_spark.sources.sinks import (
     SimulatedCrash,
     atomic_write_file,
     check_not_compacting,
+    reraise_if_vanished_input as _reraise_if_vanished_input,
 )
 
 # ----------------------------------------------------------- index manifest
@@ -284,54 +285,10 @@ def benchmark_ngram_digests(benchmark: DataFrame) -> DataFrame:
     )
 
 
-def _reraise_if_vanished_input(e: BaseException, index_dir: str) -> None:
-    """Classify a Spark-job failure whose root cause is input files
-    vanishing under ``index_dir`` mid-job — the two lock-free races
-    the r12 multi-process chaos soak surfaced (tools/chaos_ingest.py:
-    raw Py4JJavaErrors where the protocol owed its documented
-    retryables):
-
-    * a maintenance compaction SWAPPED an index part while this
-      batch's scan had its file list (the entry check_not_compacting
-      is advisory — a compaction starting after it is legal);
-    * a ``prepare_corpus`` generation flip replaced the index dir —
-      including ``_staged/`` — while this batch was staging.
-
-    Both are pre-commit (the manifest row is written last), so the
-    batch is losslessly retryable; re-raise with the protocol's
-    retryable phrasing instead of leaking an opaque JVM traceback.
-    A failure that keeps recurring (real corruption) still surfaces:
-    callers bound their retries."""
-    s = str(e)
-    if not any(
-        mark in s
-        for mark in (
-            "FileNotFoundException",
-            "No such file or directory",
-            "does not exist",
-            # a staged write whose dir was destroyed under it (a
-            # generation flip taking `_staged/` away mid-write)
-            # surfaces from Hadoop's committer as these two shapes,
-            # not as FileNotFound (r12 4-stream soak, third form)
-            "Mkdirs failed to create",
-            "Failed to rename",
-        )
-    ):
-        return
-    root = os.path.abspath(index_dir)
-    if root not in s and index_dir.rstrip("/") not in s:
-        return
-    if "/_staged/" in s:
-        raise RuntimeError(
-            f"ingest staging under {index_dir} was destroyed mid-write "
-            "(a generation flip replaced the index?) — the batch was "
-            "NOT ingested; re-deliver it"
-        ) from e
-    raise RuntimeError(
-        f"index files under {index_dir} vanished beneath the batch's "
-        "scan (a compaction swapped the dataset mid-read) — nothing "
-        "was committed; retry after the maintenance window"
-    ) from e
+# _reraise_if_vanished_input moved to sources/sinks.py (shared with the
+# index-maintenance entry points — ADVICE r12, low); re-exported here
+# because ingest is the protocol's home and plans/corpus_prep imports
+# it from here.
 
 
 def ingest_batch(
@@ -1920,7 +1877,13 @@ def seed_index_from_prepared(
         # not wipe the live index's exactly-once state
         raise ValueError(f"unknown index family: {family!r}")
     if "split" in cleaned.columns:
-        cleaned = cleaned.filter(F.col("split") != "quarantined")
+        # null-safe, matching reconcile_corpus_duplicates' census
+        # modes: a NULL split is not quarantined and belongs in the
+        # census — a plain != here would seed a census the measured
+        # true-up (which includes NULL splits) later "corrects"
+        cleaned = cleaned.filter(
+            ~F.col("split").eqNullSafe("quarantined")
+        )
     _clear_prior_life(index_dir)
     corpus_index_hashes(raw_survivors).write.mode("overwrite").parquet(
         os.path.join(index_dir, "hashes")
@@ -2068,6 +2031,7 @@ def reconcile_corpus_duplicates(
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         _flip_pointer,
+        recover_swap_crash,
         release_compaction_lock,
         resolve_current,
     )
@@ -2077,6 +2041,15 @@ def reconcile_corpus_duplicates(
     try:
         locks.append(_acquire_patiently(index_dir))
         locks.append(_acquire_patiently(corpus_path))
+        # recovery-first, mirroring _publish_staged (ADVICE r13-input,
+        # medium): this pass runs FIRST in the deep order, so it is
+        # the reader that trips over a predecessor's crashed flat swap
+        # — a leftover ._compact_old beside a live dir would make this
+        # pass's own os.rename(corpus, old) fail ENOTEMPTY, and an old
+        # WITHOUT a live dir (crash between the two renames) means
+        # corpus_path itself is absent until restored
+        recover_swap_crash(corpus_path)
+        recover_swap_crash(corpus_path, "._zorder_tmp", "._zorder_old")
         versioned = os.path.exists(
             os.path.join(corpus_path, "_CURRENT")
         )
@@ -2157,8 +2130,11 @@ def reconcile_corpus_duplicates(
                     F.col("doc_id") != F.col("_keep")
                 ).dropDuplicates(["doc_id"])
                 if has_split:
+                    # null-safe (ADVICE r13-input, low): a plain
+                    # != also drops NULL splits, silently excluding
+                    # such rows from loser subtraction
                     non_q = non_q.filter(
-                        F.col("split") != "quarantined"
+                        ~F.col("split").eqNullSafe("quarantined")
                     )
                 loss = non_q.agg(
                     F.count("*").alias("docs"),
@@ -2189,8 +2165,10 @@ def reconcile_corpus_duplicates(
             # replay races can drift the ledger without leaving
             # physical duplicates (see the docstring)
             live = spark.read.parquet(target)
+            # null-safe (ADVICE r13-input, low): a NULL split is not
+            # quarantined and must stay in the measured census
             non_q_live = (
-                live.filter(F.col("split") != "quarantined")
+                live.filter(~F.col("split").eqNullSafe("quarantined"))
                 if has_split
                 else live
             )

@@ -623,3 +623,59 @@ def compact_parquet_versioned(
         }
     finally:
         release_compaction_lock(lock)
+
+
+def reraise_if_vanished_input(e: BaseException, index_dir: str) -> None:
+    """Classify a Spark-job failure whose root cause is input files
+    vanishing under ``index_dir`` mid-job — the lock-free races the
+    r12 multi-process chaos soak surfaced (tools/chaos_ingest.py:
+    raw Py4JJavaErrors where the protocol owed its documented
+    retryables):
+
+    * a maintenance compaction SWAPPED an index part while this
+      reader's scan had its file list (the entry check_not_compacting
+      is advisory — a compaction starting after it is legal);
+    * a ``prepare_corpus`` generation flip replaced the index dir —
+      including ``_staged/`` — while a batch was staging;
+    * a full index build's orphan GC removed the version dirs a
+      lock-free rebuild snapshot was still reading (ADVICE r12, low —
+      the reason this lives in the shared module: ingest AND the
+      index-maintenance entry points classify the same way).
+
+    All are pre-commit (manifest rows/flips are written last), so the
+    operation is losslessly retryable; re-raise with the protocol's
+    retryable phrasing instead of leaking an opaque JVM traceback.
+    A failure that keeps recurring (real corruption) still surfaces:
+    callers bound their retries."""
+    import os as _os
+
+    s = str(e)
+    if not any(
+        mark in s
+        for mark in (
+            "FileNotFoundException",
+            "No such file or directory",
+            "does not exist",
+            # a staged write whose dir was destroyed under it (a
+            # generation flip taking `_staged/` away mid-write)
+            # surfaces from Hadoop's committer as these two shapes,
+            # not as FileNotFound (r12 4-stream soak, third form)
+            "Mkdirs failed to create",
+            "Failed to rename",
+        )
+    ):
+        return
+    root = _os.path.abspath(index_dir)
+    if root not in s and index_dir.rstrip("/") not in s:
+        return
+    if "/_staged/" in s:
+        raise RuntimeError(
+            f"ingest staging under {index_dir} was destroyed mid-write "
+            "(a generation flip replaced the index?) — the batch was "
+            "NOT ingested; re-deliver it"
+        ) from e
+    raise RuntimeError(
+        f"index files under {index_dir} vanished beneath the batch's "
+        "scan (a compaction swapped the dataset mid-read) — nothing "
+        "was committed; retry after the maintenance window"
+    ) from e

@@ -206,3 +206,93 @@ def test_crashed_resize_leaves_old_index_live(spark, emb, tmp_path):
 
     resize_ann_index(spark, idx)  # GC runs even when bits don't change
     assert not os.path.isdir(orphan)
+
+
+def test_resize_snapshot_skips_inflight_temporary(spark, emb, tmp_path):
+    """ADVICE r12 (high): the lock-free resize snapshot walks the data
+    dir with os.walk, which — unlike Spark's directory read — does not
+    skip hidden paths. A SIGKILLed locked append leaves truncated
+    task-attempt parquet under ``tbl=0/_temporary/``; baking it into
+    the snapshot crashes the explicit-path read (or the footer
+    arithmetic) on every subsequent rebuild — a permanent wedge."""
+    from irio2024_mapreduce_spark.operators.ann_index import _tbl0_files
+
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ann_index(spark, corpus, idx)  # default bits: resize is a no-op
+    before = _rows(probe_ann_index(spark, queries, idx))
+    data_dir = os.path.join(idx, read_ann_manifest(idx)["data"])
+    tmp_dir = os.path.join(
+        data_dir, "tbl=0", "_temporary", "0", "task_000", "pb=0"
+    )
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "part-crashed.parquet"), "wb") as f:
+        f.write(b"truncated, not parquet")
+    assert not any(
+        "_temporary" in p for p in _tbl0_files(data_dir)
+    ), "in-flight task-attempt files leaked into the snapshot set"
+    out = resize_ann_index(spark, idx)  # must not wedge on the junk
+    # the junk file must not enter the no-op path's footer-delta
+    # arithmetic either (it is unreadable parquet)
+    assert not out["resized"], out
+    assert _rows(probe_ann_index(spark, queries, idx)) == before
+
+
+def test_resize_stages_under_unique_name_and_gcs_leftovers(
+    spark, emb, tmp_path
+):
+    """ADVICE r13-input (medium): the lock-free resize must never
+    stage at the versioned name a racing full build would also write
+    (two interleaved overwrites → one corrupt committed dir). It
+    stages under ``stage_rows_*`` — a name outside every builder's and
+    GC's prefix — renamed under the index lock; crashed stage dirs
+    are GC'd at guard acquisition."""
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    h = build_ann_index(spark, corpus, idx)["bits"]
+    before = _rows(probe_ann_index(spark, queries, idx))
+    # a SIGKILLed predecessor's stage leftover
+    crashed = os.path.join(idx, f"stage_rows_h{h}_v2.424242")
+    os.makedirs(os.path.join(crashed, "tbl=0", "pb=0"))
+    # a crashed direct writer's orphan at the NEXT versioned name,
+    # with junk inside — the rename path must replace it wholesale
+    orphan = os.path.join(idx, f"rows_h{h}_v2")
+    junk = os.path.join(orphan, "tbl=0", "pb=0", "part-junk.parquet")
+    os.makedirs(os.path.dirname(junk))
+    with open(junk, "wb") as f:
+        f.write(b"junk")
+    # duplicate appends force the rewrite path (same width, dups)
+    append_ann_index(spark, corpus.limit(3), idx)
+    out = resize_ann_index(spark, idx)
+    assert out["compacted"] and not out["resized"], out
+    assert not os.path.isdir(crashed), "stage leftover survived GC"
+    m = read_ann_manifest(idx)
+    assert m["data"] == f"rows_h{h}_v2"
+    assert not os.path.exists(junk), (
+        "crashed orphan's junk baked into the committed dir"
+    )
+    assert _rows(probe_ann_index(spark, queries, idx)) == before
+
+
+def test_resize_classifies_vanished_input(spark, emb, tmp_path, monkeypatch):
+    """ADVICE r12 (low): maintenance entry points classify
+    vanished-input Py4J failures to the protocol's documented
+    retryable instead of leaking an opaque JVM traceback."""
+    import irio2024_mapreduce_spark.operators.ann_index as mod
+
+    idx = str(tmp_path / "ann")
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id") >= N_QUERIES), idx
+    )
+
+    def boom(*a, **k):
+        raise Exception(
+            "java.io.FileNotFoundException: File file:"
+            f"{idx}/rows_h8_v1/tbl=0/pb=3/part-0.parquet does not exist"
+        )
+
+    monkeypatch.setattr(mod, "_resize_ann_index_locked", boom)
+    with pytest.raises(RuntimeError, match="vanished beneath"):
+        resize_ann_index(spark, idx)

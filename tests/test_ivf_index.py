@@ -187,3 +187,98 @@ def test_manifest_guards_probe(spark, emb, tmp_path):
         probe_ivf_index(
             spark, emb.filter(F.col("vec_id") < N_QUERIES), idx
         )
+
+
+def test_rebuild_snapshot_skips_inflight_temporary(spark, emb, tmp_path):
+    """ADVICE r12 (high): the lock-free rebuild snapshot walks the
+    cells dir with os.walk, which — unlike Spark's directory read —
+    does not skip hidden paths. A SIGKILLed locked append leaves
+    truncated task-attempt parquet under ``cells_vN/_temporary/``;
+    baking it into the snapshot crashes the explicit-path read (or
+    ``footer_cell_counts``) on every subsequent rebuild — a permanent
+    wedge."""
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        _data_files,
+        footer_cell_counts,
+    )
+
+    idx = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ivf_index(spark, corpus, idx)  # default k: rebuild is a no-op
+    before = _rows(probe_ivf_index(spark, queries, idx))
+    n = read_ivf_manifest(idx)["data_version"]
+    data_dir = os.path.join(idx, f"cells_v{n}")
+    counts_before = footer_cell_counts(data_dir)
+    tmp_dir = os.path.join(data_dir, "_temporary", "0", "task_000", "cell=0")
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "part-crashed.parquet"), "wb") as f:
+        f.write(b"truncated, not parquet")
+    assert not any("_temporary" in p for p in _data_files(data_dir)), (
+        "in-flight task-attempt files leaked into the snapshot set"
+    )
+    # the footer signals (imbalance, dup recount) must skip it too
+    assert footer_cell_counts(data_dir) == counts_before
+    out = rebuild_ivf_index(spark, idx)  # must not wedge on the junk
+    assert not out["rebuilt"], out
+    assert _rows(probe_ivf_index(spark, queries, idx)) == before
+
+
+def test_rebuild_stages_under_unique_name_and_gcs_leftovers(
+    spark, emb, tmp_path
+):
+    """ADVICE r13-input (medium): the lock-free rebuild must never
+    stage at the ``cells_v{n}``/``centroids_v{n}`` names a racing full
+    build computes from the same manifest (two interleaved overwrites
+    → one writer's centroids committed with the other's assignments).
+    It stages under ``*_stage.{pid}`` — outside every builder's and
+    GC's prefix — renamed under the index lock; crashed stage dirs
+    are GC'd at guard acquisition."""
+    idx = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ivf_index(spark, corpus, idx)
+    # a SIGKILLed predecessor's stage leftovers
+    for d in ("cells_stage.424242", "centroids_stage.424242"):
+        os.makedirs(os.path.join(idx, d, "cell=0"))
+    # a crashed direct writer's orphans at the NEXT version, with junk
+    # inside — the rename path must replace them wholesale
+    junk = os.path.join(idx, "cells_v2", "cell=0", "part-junk.parquet")
+    os.makedirs(os.path.dirname(junk))
+    os.makedirs(os.path.join(idx, "centroids_v2"))
+    with open(junk, "wb") as f:
+        f.write(b"junk")
+    out = rebuild_ivf_index(spark, idx, force=True)  # re-train, same k
+    assert out["rebuilt"], out
+    assert not os.path.isdir(os.path.join(idx, "cells_stage.424242"))
+    assert not os.path.isdir(os.path.join(idx, "centroids_stage.424242"))
+    m = read_ivf_manifest(idx)
+    assert m["data_version"] == 2
+    assert not os.path.exists(junk), (
+        "crashed orphan's junk baked into the committed dir"
+    )
+    # the committed v2 answers probes (centroids and cells are from
+    # ONE writer — the staged pair, renamed together)
+    assert len(_rows(probe_ivf_index(spark, queries, idx))) > 0
+
+
+def test_rebuild_classifies_vanished_input(spark, emb, tmp_path, monkeypatch):
+    """ADVICE r12 (low): maintenance entry points classify
+    vanished-input Py4J failures to the protocol's documented
+    retryable instead of leaking an opaque JVM traceback."""
+    import irio2024_mapreduce_spark.operators.ivf_index as mod
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark, emb.filter(F.col("vec_id") >= N_QUERIES), idx
+    )
+
+    def boom(*a, **k):
+        raise Exception(
+            "java.io.FileNotFoundException: File file:"
+            f"{idx}/cells_v1/cell=3/part-0.parquet does not exist"
+        )
+
+    monkeypatch.setattr(mod, "_rebuild_ivf_index_locked", boom)
+    with pytest.raises(RuntimeError, match="vanished beneath"):
+        rebuild_ivf_index(spark, idx)

@@ -517,3 +517,97 @@ def test_deep_reconcile_measured_census_mode(spark, tmp_path):
         census_from_corpus=True, partition_by=["split"],
     )["corpus_reconcile"]
     assert not rec2["ran"], rec2
+
+
+def test_deep_reconcile_recovers_crashed_swap_first(spark, tmp_path):
+    """ADVICE r13-input (medium): reconcile runs FIRST in the deep
+    order, so it is the reader that trips over a predecessor's crashed
+    flat swap. A leftover ``._compact_old`` beside a live corpus used
+    to make this pass's own os.rename(corpus, old) fail ENOTEMPTY; a
+    crash between the two renames leaves corpus_path absent entirely.
+    Both shapes must be recovered (recover_swap_crash, mirroring
+    _publish_staged) before the pass reads."""
+    import shutil
+
+    from irio2024_mapreduce_spark.plans.ingest import corpus_stats
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    ingest_batch(
+        spark, _docs(spark, [200, 201]), idx, out,
+        batch_id=0, stream="s",
+    )
+    corpus = os.path.join(out, "clean_documents.parquet")
+    census = corpus_stats(spark, idx)["docs"]
+
+    # shape B first: old WITHOUT live (crash between the renames) —
+    # the pre-swap truth must be restored before the read
+    os.rename(corpus, corpus + "._compact_old")
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert not rec["ran"], rec
+    assert os.path.isdir(corpus)
+    assert not os.path.exists(corpus + "._compact_old")
+
+    # shape A: stale old BESIDE the live dir, plus a dup group so the
+    # pass actually swaps — previously ENOTEMPTY at the rename
+    shutil.copytree(corpus, corpus + "._compact_old")
+    from irio2024_mapreduce_spark.plans.ingest import _stats_row_df
+
+    art = spark.read.parquet(corpus)
+    dup = art.filter("doc_id = 200").withColumn(
+        "doc_id", F.lit(9000).cast("long")
+    )
+    dup.write.mode("append").parquet(corpus)
+    _stats_row_df(dup).write.mode("append").parquet(
+        os.path.join(idx, "stats")
+    )
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert rec["ran"] and rec["losers_removed"] == 1, rec
+    assert not os.path.exists(corpus + "._compact_old")
+    art2 = spark.read.parquet(corpus)
+    assert art2.filter("doc_id = 9000").count() == 0
+    assert corpus_stats(spark, idx)["docs"] == census
+
+
+def test_measured_census_counts_null_splits(spark, tmp_path):
+    """ADVICE r13-input (low): a NULL split is not quarantined — the
+    quarantine filters must be null-safe or rows with NULL splits
+    silently vanish from the measured census (SQL null comparison)."""
+    from irio2024_mapreduce_spark.plans.corpus_prep import prepare_corpus
+    from irio2024_mapreduce_spark.plans.ingest import corpus_stats
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _docs(spark, range(600, 612)).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    prepare_corpus(spark, sf, out, holdout_split=True, index_dir=idx)
+    corpus = os.path.join(out, "clean_documents.parquet")
+    expected = corpus_stats(spark, idx)["docs"]
+
+    # a physically-present doc whose split is NULL (a writer that
+    # never assigned one) — present in the corpus, absent from the
+    # ledger census
+    art = spark.read.parquet(corpus)
+    art.limit(1).withColumn(
+        "doc_id", F.lit(77_000).cast("long")
+    ).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" nullsplit marker"))
+    ).withColumn(
+        "split", F.lit(None).cast("string")
+    ).write.mode("append").partitionBy("split").parquet(corpus)
+    live = spark.read.parquet(corpus)
+    assert live.filter(F.col("split").isNull()).count() == 1
+
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus=True, partition_by=["split"],
+    )["corpus_reconcile"]
+    # the NULL-split doc is counted by the measured true-up: +1
+    assert rec["census_delta_docs"] == 1, rec
+    assert corpus_stats(spark, idx)["docs"] == expected + 1
