@@ -532,6 +532,16 @@ def _resize_ann_index_locked(
 
 
 # ------------------------------------------------- graded fixture probe
+# Build-vs-probe decomposition evidence (r12 verdict item 4): the
+# graded/benched probe_* queries amortize a fixture BUILD behind a
+# cache, so their first-call wall conflates build with the point-read
+# probe the name advertises. Each fixture call appends its build-phase
+# wall (lock wait + cache check + build when needed; ~ms when cached)
+# here; bench.py drains the log per iteration and emits
+# wall − build = probe into the BENCH_DETAIL sidecar.
+FIXTURE_BUILD_LOG: list[float] = []
+
+
 def _fixture_footer_rows(path: str) -> int:
     """Fingerprint of a parquet dataset from footers only (no job).
     ``path`` may be a single parquet FILE (the testdata layout) or a
@@ -576,9 +586,12 @@ def probe_ann_index_fixture(
         load_table_parallel,
     )
 
+    import time  # noqa: PLC0415
+
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
+    t_build0 = time.perf_counter()
     n_total = _fixture_footer_rows(
         os.path.join(sf_dir, "embeddings.parquet")
     )
@@ -616,6 +629,7 @@ def probe_ann_index_fixture(
             )
     finally:
         release_compaction_lock(guard)
+    FIXTURE_BUILD_LOG.append(time.perf_counter() - t_build0)
     return probe_ann_index(
         spark, emb.filter(F.col("vec_id") < N_QUERIES), idx
     )

@@ -692,3 +692,93 @@ def measure_ivf_recall(
         "k": k,
         "nprobe": nprobe,
     }
+
+
+# ------------------------------------------------- graded fixture probe
+# Build-vs-probe decomposition evidence (r12 verdict item 4) — the
+# ann_index.FIXTURE_BUILD_LOG discipline; see that docstring.
+FIXTURE_BUILD_LOG: list[float] = []
+
+
+def probe_ivf_index_fixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GRADED stored-index IVF path (r12 verdict item 6,
+    mirroring ``probe_ann_index_fixture``): build — once per
+    (sf_dir, embeddings row-count fingerprint), cached under the
+    system temp dir behind an advisory lock — the stored IVF index
+    over the embeddings CORPUS (``vec_id >= N_QUERIES``) at the
+    graded query's k (IVF_CENTROIDS), then answer the same N_QUERIES
+    query vectors from it via the versioned-dir point-read probe.
+
+    The oracle is the same full-pipeline SQL as the fly twin's
+    (``similarity.ivf_oracle_for``) with ONE parameter moved: the
+    injected centroids replay corpus-only training
+    (``train_min_id=N_QUERIES``), because the production build trains
+    on what it stores — query vectors are arrivals, not index
+    members. Everything downstream (assignment argmax, nprobe
+    window, rounded-cosine top-k) is shared code, so stored-probe
+    answers are fly answers at those centroids by construction."""
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
+        _fixture_footer_rows,
+    )
+    from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
+        N_QUERIES,
+        _as_double,
+    )
+    from irio2024_mapreduce_spark.sources.tables import (  # noqa: PLC0415
+        load_table_parallel,
+    )
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    t_build0 = time.perf_counter()
+    n_total = _fixture_footer_rows(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
+    os.makedirs(root, exist_ok=True)
+    tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(root, f"ivf_{tag}_{n_total}")
+    os.makedirs(idx, exist_ok=True)
+    # the guard lock is a SIBLING path (`.build`), not the index dir:
+    # build_ivf_index takes the index dir's own lock, and flock
+    # conflicts across fds within one process too
+    guard = acquire_compaction_lock_patiently(
+        idx + ".build", attempts=240, wait=0.5
+    )
+    try:
+        need = True
+        if os.path.exists(_manifest_path(idx)):
+            try:
+                m = read_ivf_manifest(idx)
+                need = not (
+                    m["k_cells"] == IVF_CENTROIDS
+                    and m["rows"] == n_total - N_QUERIES
+                    and not m["quantized"]
+                    and os.path.isdir(
+                        os.path.join(idx, f"cells_v{m['data_version']}")
+                    )
+                )
+            except ValueError:
+                need = True
+        if need:
+            build_ivf_index(
+                spark,
+                emb.filter(F.col("vec_id") >= N_QUERIES),
+                idx,
+                k_cells=IVF_CENTROIDS,
+            )
+    finally:
+        release_compaction_lock(guard)
+    FIXTURE_BUILD_LOG.append(time.perf_counter() - t_build0)
+    return probe_ivf_index(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES), idx
+    )

@@ -721,7 +721,9 @@ def _fold_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def ivf_centroids_for(sf_dir: str) -> list[tuple[int, list[float]]]:
+def ivf_centroids_for(
+    sf_dir: str, train_min_id: int | None = None
+) -> list[tuple[int, list[float]]]:
     """Replay `similarity_ivf`'s quantizer training OUTSIDE Spark:
     read the embeddings parquet directly (pyarrow), select the same
     deterministic sample (smallest signed-xxhash64(str(vec_id)),
@@ -732,7 +734,13 @@ def ivf_centroids_for(sf_dir: str) -> list[tuple[int, list[float]]]:
     loop is literally the same code — the returned centroids equal
     the ones the Spark query trains, making them injectable into the
     DuckDB oracle as constants (the r7 `similarity_ann` recipe, where
-    the injected constants were the splitmix64 hyperplanes)."""
+    the injected constants were the splitmix64 hyperplanes).
+
+    ``train_min_id`` replays a CORPUS-ONLY training set (filter
+    ``vec_id >= train_min_id`` BEFORE the hash sort, exactly like
+    ``_ivf_centroids`` over a pre-filtered frame) — the shape
+    ``build_ivf_index`` trains in the stored-index production path,
+    where query vectors are arrivals, not index members."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
@@ -743,13 +751,16 @@ def ivf_centroids_for(sf_dir: str) -> list[tuple[int, list[float]]]:
         for vid, emb in zip(
             tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
         )
+        if train_min_id is None or vid >= train_min_id
     ]
     rows.sort(key=lambda r: r["_k"])
     cents_df_rows = _train_rows(rows[:IVF_TRAIN_MAX])
     return cents_df_rows
 
 
-def ivf_oracle_for(sf_dir: str) -> str:
+def ivf_oracle_for(
+    sf_dir: str, train_min_id: int | None = None
+) -> str:
     """similarity_ivf's FULL pipeline in DuckDB SQL for the data at
     ``sf_dir`` — train the quantizer via :func:`ivf_centroids_for`
     (deterministic ⇒ equal to the Spark-side fixpoint), inject both
@@ -757,8 +768,14 @@ def ivf_oracle_for(sf_dir: str) -> str:
     against them) and the UNIT centroids (corpus assignment divides
     by the centroid norm exactly once, Spark-side in `nearest_cell`)
     as list literals, then mirror the assignment argmax, the nprobe
-    window, and the rounded-cosine top-k term-for-term."""
-    cents = ivf_centroids_for(sf_dir)
+    window, and the rounded-cosine top-k term-for-term.
+
+    With ``train_min_id`` the injected centroids replay corpus-only
+    training — the oracle of ``probe_ivf_index`` (the STORED-index
+    production path, r13): the assignment/probe/top-k SQL is
+    identical because the stored probe shares the fly query's exact
+    scoring code; only the trained constants move."""
+    cents = ivf_centroids_for(sf_dir, train_min_id)
     ucents = []
     for cell, cv in cents:
         norm = _fold_dot(cv, cv) ** 0.5
@@ -1101,18 +1118,41 @@ def probe_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ann_index_fixture(spark, sf_dir)
 
 
+def probe_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded stored-index IVF path (r12 verdict item 6): the fly
+    twin ``similarity_ivf`` retired to RETIRED_TWIN_QUERIES in its
+    favor, so the driver now grades the production machinery — build
+    → cell-partitioned versioned dirs → atomic manifest → dir-pruned
+    nprobe probe — that rounds 9-12 built and maintained. The oracle
+    is ``ivf_oracle_for(sf_dir, train_min_id=N_QUERIES)``: same full
+    pipeline SQL, centroids replayed over corpus-only training (the
+    production build trains on what it stores). Lazy import —
+    ivf_index imports from this module."""
+    from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
+        probe_ivf_index_fixture,
+    )
+
+    return probe_ivf_index_fixture(spark, sf_dir)
+
+
 # Never-registered local-oracle queries (driver window is full at
 # 50): verified every test run by tests/test_retired_twins.py.
 # similarity_ann retired in r12 when probe_ann_index (the stored-index
 # production path) took its graded slot — bit parity between the two
-# is additionally pinned by tests/test_ann_index.py.
+# is additionally pinned by tests/test_ann_index.py. similarity_ivf
+# followed in r13 when probe_ivf_index took its slot the same way
+# (parity: tests/test_ivf_index.py::test_build_probe_parity_with_fly);
+# its oracle is DATA-DEPENDENT, so the retired entry is the builder
+# itself (test_retired_twins calls it per sf_dir).
 RETIRED_TWIN_QUERIES = {
     "quantize_embeddings": quantize_embeddings,
     "similarity_ann": similarity_ann,
+    "similarity_ivf": similarity_ivf,
 }
 RETIRED_TWIN_ORACLES = {
     "quantize_embeddings": QUANTIZE_ORACLE,
     "similarity_ann": _ann_oracle(),
+    "similarity_ivf": ivf_oracle_for,
 }
 
 
@@ -1153,13 +1193,22 @@ ORACLE_SQL = {
 # tooling (tools/check_oracle.py --sf ...) rebuilds DATA-DEPENDENT
 # oracles for whatever SF it checks via registry.oracle_sql_for.
 DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
-SF_DEPENDENT_ORACLES = {"similarity_ivf": ivf_oracle_for}
+
+
+def _stored_ivf_oracle_for(sf_dir: str) -> str:
+    """probe_ivf_index's oracle: the shared IVF pipeline SQL with
+    centroids replayed over CORPUS-ONLY training (train_min_id =
+    N_QUERIES) — what build_ivf_index trains in the stored path."""
+    return ivf_oracle_for(sf_dir, train_min_id=N_QUERIES)
+
+
+SF_DEPENDENT_ORACLES = {"probe_ivf_index": _stored_ivf_oracle_for}
 
 _LAZY_DRIVER_ORACLES: dict[str, str] = {}
 
 
 def lazy_driver_oracles() -> dict[str, str]:
-    """similarity_ivf's oracle is DATA-DEPENDENT (the trained
+    """probe_ivf_index's oracle is DATA-DEPENDENT (the trained
     centroids are injected as SQL constants), so building it reads
     the driver-SF embeddings and replays the full Lloyd fixpoint.
     Built on the FIRST ``registry.oracle_sql()`` call and cached —
@@ -1170,7 +1219,7 @@ def lazy_driver_oracles() -> dict[str, str]:
     if not _LAZY_DRIVER_ORACLES and os.path.exists(
         os.path.join(DRIVER_ORACLE_SF, "embeddings.parquet")
     ):
-        _LAZY_DRIVER_ORACLES["similarity_ivf"] = ivf_oracle_for(
+        _LAZY_DRIVER_ORACLES["probe_ivf_index"] = _stored_ivf_oracle_for(
             DRIVER_ORACLE_SF
         )
     return dict(_LAZY_DRIVER_ORACLES)
@@ -1178,5 +1227,5 @@ def lazy_driver_oracles() -> dict[str, str]:
 QUERIES = {
     "similarity_topk": similarity_topk,
     "probe_ann_index": probe_ann_index_query,
-    "similarity_ivf": similarity_ivf,
+    "probe_ivf_index": probe_ivf_index_query,
 }

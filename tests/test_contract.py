@@ -58,7 +58,13 @@ EXPECTED_QUERY_ORDER = [
     # index; the fly twin similarity_ann retired to the locally-
     # verified pool (bit parity pinned in tests/test_ann_index.py)
     "similarity_topk", "probe_ann_index",
-    "similarity_ivf", "text_analysis", "lang_id", "quality_score",
+    # r13: the graded IVF slot is the STORED-index path too (r12
+    # verdict item 6) — probe_ivf_index builds/probes the versioned
+    # cell-partitioned index; the fly twin similarity_ivf retired to
+    # the locally-verified pool (parity pinned in
+    # tests/test_ivf_index.py; its data-dependent oracle is replayed
+    # per sf_dir by tests/test_retired_twins.py)
+    "probe_ivf_index", "text_analysis", "lang_id", "quality_score",
     "quality_funnel", "bm25_search",
     "decontaminate",
 ]

@@ -131,7 +131,8 @@ def test_quantized_store_matches_on_this_data(spark, emb, tmp_path):
 def test_append_assigns_to_stored_centroids(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # ONE query (see the ANN twin test): nprobe=3 of 8 cells
+    queries = emb.filter(F.col("vec_id") == 0)
     build_ivf_index(spark, corpus, idx, k_cells=IVF_CENTROIDS)
     extra = corpus.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
@@ -282,3 +283,49 @@ def test_rebuild_classifies_vanished_input(spark, emb, tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "_rebuild_ivf_index_locked", boom)
     with pytest.raises(RuntimeError, match="vanished beneath"):
         rebuild_ivf_index(spark, idx)
+
+
+def test_probe_opens_only_probed_cell_dirs(spark, emb, tmp_path):
+    """r12 verdict item 4 (IVF side): the stored probe's scan opens
+    EXACTLY the nprobe cell dirs the query signatures select — a
+    strict subset of the index's cells."""
+    idx = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    # ONE query (see the ANN twin test): nprobe=3 of 8 cells
+    queries = emb.filter(F.col("vec_id") == 0)
+    build_ivf_index(spark, corpus, idx, k_cells=IVF_CENTROIDS)
+    m = read_ivf_manifest(idx)
+    data_dir = os.path.realpath(
+        os.path.join(idx, f"cells_v{m['data_version']}")
+    )
+    res = probe_ivf_index(spark, queries, idx)
+    opened = {
+        os.path.realpath(
+            os.path.dirname(f[len("file:"):] if f.startswith("file:") else f)
+        )
+        for f in res.inputFiles()
+    }
+    opened_in_index = {d for d in opened if d.startswith(data_dir)}
+    assert opened_in_index, "probe read no stored files?"
+    # recompute the probed cells with the shared machinery
+    centroids = spark.read.parquet(
+        os.path.join(idx, f"centroids_v{m['data_version']}")
+    )
+    cells = {
+        r["cell"]
+        for r in _query_cells(queries, centroids)
+        .select("cell").distinct().collect()
+    }
+    parents = {
+        os.path.realpath(os.path.join(data_dir, f"cell={c}"))
+        for c in cells
+    }
+    assert opened_in_index <= parents, opened_in_index - parents
+    all_dirs = {
+        os.path.realpath(root)
+        for root, _d, files in os.walk(data_dir)
+        if any(f.endswith(".parquet") for f in files)
+    }
+    assert len(parents & all_dirs) < len(all_dirs), (
+        "probe list covers every cell — no pruning to pin at this scale"
+    )

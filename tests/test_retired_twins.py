@@ -147,6 +147,12 @@ def test_retired_set_is_exactly_the_documented_twins():
         # the two is pinned in tests/test_ann_index.py, and this set
         # keeps the fly twin locally verified every run
         "similarity_ann",
+        # retired r13 when probe_ivf_index (the stored-index
+        # production path) took its graded slot, same discipline —
+        # stored/fly parity pinned in tests/test_ivf_index.py; this
+        # oracle entry is a CALLABLE (sf_dir -> sql): the injected
+        # centroids are data-dependent
+        "similarity_ivf",
         # r7: md5-hash-family SimHash twin (dedup_near_md5 graduated
         # from this set to the graded driver window in r9 — it now
         # carries the near-dedup hash-check in the driver artifact)
@@ -194,6 +200,8 @@ def test_rows_only_retiree_still_runs(name, spark, sf_dir):
 @pytest.mark.parametrize("name", sorted(RETIRED))
 def test_retired_twin_matches_oracle(name, spark, sf_dir, duck):
     fn, sql = RETIRED[name]
+    if callable(sql):  # data-dependent oracle (similarity_ivf)
+        sql = sql(sf_dir)
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
