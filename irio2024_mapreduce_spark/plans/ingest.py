@@ -1957,7 +1957,7 @@ def reconcile_corpus_duplicates(
     spark: SparkSession,
     index_dir: str,
     corpus_path: str,
-    census_from_corpus: bool = False,
+    census_from_corpus: bool | str = False,
 ) -> dict:
     """Deep-maintenance reconciliation of the TWO corpus anomalies
     optimistic multi-writer ingest can leave (both caught by the r12
@@ -2013,6 +2013,19 @@ def reconcile_corpus_duplicates(
     every censused doc lives in ``corpus_path``) — replaces phase 2
     with a MEASURED true-up: append one correction row making the
     census equal the post-rewrite non-quarantined corpus exactly.
+    ``census_from_corpus="external"`` — for the ``build_corpus_index``
+    EXTERNAL-seed lifecycle (r12 verdict item 3: the seed docs are
+    censused but live outside ``corpus_path``, so neither pure
+    measurement nor loser arithmetic covers composed-replay drift
+    there) — trues the census up to seed-rows + measured
+    non-quarantined ``corpus_path``: the seed subtotal is the sum of
+    the UNTAGGED unkeyed stats rows (seed rows carry NULL
+    stream/batch_id; correction rows are tagged
+    stream=``__correction__`` since r13 precisely so this
+    decomposition is well-defined), and the keyed + correction
+    accounting of the corpus_path domain is replaced wholesale by the
+    measurement. The external corpus is NEVER rescanned — its census
+    is the immutable seed row, which no ingest path can drift.
     Arithmetic alone can go off by one under composed replay races
     (the r12 soak's third finding: two replays of one batch can
     admit DIFFERENT verdict sets — one convicting a cross-stream
@@ -2147,8 +2160,12 @@ def reconcile_corpus_duplicates(
                 d_docs = -int(loss["docs"])
                 d_tokens = -int(loss["tokens"])
                 if d_docs or d_tokens:
+                    # tagged (r13): corrections must be separable
+                    # from seed rows for the external measured mode;
+                    # batch_id stays NULL so the census's unkeyed
+                    # class still sums them as-is
                     correction = _stats_row_df(non_q).select(
-                        "stream",
+                        F.lit("__correction__").alias("stream"),
                         "batch_id",
                         F.lit(d_docs).cast("long").alias("docs"),
                         F.lit(d_tokens).cast("long").alias("tokens"),
@@ -2159,11 +2176,13 @@ def reconcile_corpus_duplicates(
                         os.path.join(index_dir, "stats")
                     )
         if census_from_corpus:
-            # phase 2 (measured mode, self-contained corpora): make
-            # the census equal the post-rewrite non-quarantined
-            # corpus exactly — runs even with zero dup groups, since
-            # replay races can drift the ledger without leaving
-            # physical duplicates (see the docstring)
+            # phase 2 (measured mode): make the census equal the
+            # measured truth exactly — runs even with zero dup
+            # groups, since replay races can drift the ledger without
+            # leaving physical duplicates (see the docstring). Truth =
+            # measured corpus_path for self-contained corpora; seed
+            # rows + measured corpus_path for the external-seed
+            # lifecycle ("external").
             live = spark.read.parquet(target)
             # null-safe (ADVICE r13-input, low): a NULL split is not
             # quarantined and must stay in the measured census
@@ -2180,11 +2199,28 @@ def reconcile_corpus_duplicates(
                 ).alias("tokens"),
             ).collect()[0]
             census = corpus_stats(spark, index_dir)
-            d_docs = int(actual["docs"]) - census["docs"]
-            d_tokens = int(actual["tokens"]) - census["tokens"]
+            base_docs = base_tokens = 0
+            if census_from_corpus == "external":
+                seed = (
+                    _read_stats_rows(spark, index_dir)
+                    .filter(
+                        F.col("batch_id").isNull()
+                        & F.col("stream").isNull()
+                    )
+                    .agg(
+                        F.coalesce(F.sum("docs"), F.lit(0)).alias("d"),
+                        F.coalesce(F.sum("tokens"), F.lit(0)).alias("t"),
+                    )
+                    .collect()[0]
+                )
+                base_docs, base_tokens = int(seed["d"]), int(seed["t"])
+            d_docs = base_docs + int(actual["docs"]) - census["docs"]
+            d_tokens = (
+                base_tokens + int(actual["tokens"]) - census["tokens"]
+            )
             if d_docs or d_tokens:
                 correction = _stats_row_df(non_q_live).select(
-                    "stream",
+                    F.lit("__correction__").alias("stream"),
                     "batch_id",
                     F.lit(d_docs).cast("long").alias("docs"),
                     F.lit(d_tokens).cast("long").alias("tokens"),

@@ -116,7 +116,7 @@ def maintain_corpus_index(
     imbalance_min_rows: int = 1024,
     target_file_bytes: int = 128 * 1024 * 1024,
     deep: bool = False,
-    census_from_corpus: bool = False,
+    census_from_corpus: bool | str = False,
 ) -> dict[str, dict]:
     """Run every tripped maintenance pass over the given artifacts, in
     dependency order: crashed-generation roll-forward → corpus
@@ -194,7 +194,7 @@ def maintain_corpus_index(
 
 
 def _maybe_reconcile_dups(
-    spark, index_dir, corpus_path, deep, census_from_corpus=False
+    spark, index_dir, corpus_path, deep, census_from_corpus=False,
 ) -> dict:
     """Deep-only: the late-duplicate reconciliation (see
     :func:`plans.ingest.reconcile_corpus_duplicates`) needs a

@@ -611,3 +611,82 @@ def test_measured_census_counts_null_splits(spark, tmp_path):
     # the NULL-split doc is counted by the measured true-up: +1
     assert rec["census_delta_docs"] == 1, rec
     assert corpus_stats(spark, idx)["docs"] == expected + 1
+
+
+def test_external_seed_census_heals_composed_replay_drift(
+    spark, tmp_path
+):
+    """r12 verdict item 3: the composed-replay shape on the
+    build_corpus_index EXTERNAL-seed lifecycle — two replays of one
+    batch admit DIFFERENT verdict sets (each convicted a different
+    cross-stream duplicate), the physical corpus holds their UNION,
+    but the keyed stats dedupe keeps only one run's summary: the
+    census is low by one with NO physical duplicate left for loser
+    arithmetic to see. Self-contained measured mode cannot run here
+    (the census's domain includes the external seed, which does not
+    live at corpus_path); the external measured mode reconciles as
+    seed-rows + measured(corpus_path)."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        _stats_row_df,
+        corpus_stats,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    # EXTERNAL seed: censused by build_corpus_index, never lives at
+    # corpus_path
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    assert corpus_stats(spark, idx)["docs"] == 4
+    m = ingest_batch(
+        spark, _docs(spark, [200, 201, 202]), idx, out,
+        batch_id=3, stream="s",
+    )
+    assert m["appended"] == 3
+    corpus = os.path.join(out, "clean_documents.parquet")
+
+    # composed replay: run B of batch 3 admitted {201, 202, 203} —
+    # it convicted 200 against a cross-stream duplicate run A raced
+    # past, and admitted 203 which run A had convicted. Physically:
+    # 201/202 land twice (same doc_id — replayed publication), 203
+    # lands once; the keyed stats dedupe keeps ONE run's summary
+    # (docs=3 either way), so the census misses 203 forever.
+    art = spark.read.parquet(corpus)
+    extra = (
+        art.orderBy("doc_id").limit(1)
+        .withColumn("doc_id", F.lit(203).cast("long"))
+        .withColumn("text", F.lit(_text(203)))
+    )
+    run_b = art.filter("doc_id in (201, 202)").unionByName(extra)
+    run_b.write.mode("append").parquet(corpus)
+    _stats_row_df(run_b).select(
+        F.lit("s").alias("stream"),
+        F.lit(3).cast("long").alias("batch_id"),
+        "docs", "tokens", "text_sketch", "token_sketch",
+    ).write.mode("append").parquet(os.path.join(idx, "stats"))
+    # census still 4 + 3 (keyed dedupe), physical non-dup content is
+    # 4 ingested docs + 4 external docs
+    assert corpus_stats(spark, idx)["docs"] == 7
+
+    # ledger mode removes the physical copies of 201/202 but has no
+    # loser to subtract for 203 — census stays 7, truth is 8
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True
+    )["corpus_reconcile"]
+    assert rec["losers_removed"] == 2 and rec["census_delta_docs"] == 0
+    assert spark.read.parquet(corpus).count() == 4
+    assert corpus_stats(spark, idx)["docs"] == 7  # the drift
+
+    # the external measured mode: seed rows + measured corpus_path
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus="external",
+    )["corpus_reconcile"]
+    assert rec["census_delta_docs"] == 1, rec
+    assert corpus_stats(spark, idx)["docs"] == 8
+
+    # idempotent: a second external measured pass finds nothing
+    rec2 = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus="external",
+    )["corpus_reconcile"]
+    assert not rec2["ran"], rec2
+    assert corpus_stats(spark, idx)["docs"] == 8
