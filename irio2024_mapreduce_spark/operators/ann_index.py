@@ -80,6 +80,22 @@ BITS_MIN, BITS_MAX = 4, 24
 # physical partition dirs per table are capped at 2^PART_BITS; finer
 # bucket selectivity comes from in-file sorting + row-group pruning
 PART_BITS = 8
+# Per-batch delta dirs (r12 verdict item 5): at production geometry
+# the live layout's tables × 2^PART_BITS dirs set a multi-second
+# per-dir writer-init floor on every ingest batch's staged write
+# (measured +35-55% at 12k docs, tools/stress_ingest_sim_r12.json).
+# Ingest therefore stages each batch partitioned by ``tbl`` ONLY
+# (tables dirs, pb/cb as sorted data columns) and publish renames the
+# staged dir to ``{data}.deltas/b={tag}/`` — one atomic rename.
+# Probes union delta rows in (visibility is directory presence, the
+# same discipline as the layout itself; in-file (pb, cb) sort keeps
+# row-group pruning); maintenance folds accumulated deltas into the
+# layout with ONE dynamic-partition append — the per-dir cost paid
+# once per maintenance window instead of once per batch.
+DELTAS_SUFFIX = ".deltas"
+# fold when the delta area holds at least this many parquet files
+# (maintenance default; deep passes fold unconditionally)
+FOLD_DELTA_FILES = 64
 
 
 def target_bits(
@@ -143,11 +159,14 @@ def read_ann_manifest(index_dir: str) -> dict:
 
 def _gc_orphan_data_dirs(index_dir: str, live: str) -> int:
     """Remove rows_h* dirs the manifest does not reference — the
-    leftovers of a resize that crashed before its manifest flip."""
+    leftovers of a resize that crashed before its manifest flip —
+    including superseded versions' delta roots; the LIVE version's
+    ``.deltas`` sibling is part of the live dataset and kept."""
     removed = 0
+    keep = {live, live + DELTAS_SUFFIX}
     for d in os.listdir(index_dir):
         p = os.path.join(index_dir, d)
-        if d.startswith("rows_h") and d != live and os.path.isdir(p):
+        if d.startswith("rows_h") and d not in keep and os.path.isdir(p):
             shutil.rmtree(p)
             removed += 1
     return removed
@@ -171,6 +190,116 @@ def _tbl0_files(data_dir: str) -> set[str]:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
+
+
+def _deltas_root(index_dir: str, data: str) -> str:
+    return os.path.join(index_dir, data + DELTAS_SUFFIX)
+
+
+def _delta_files(
+    index_dir: str, data: str, tbl: int | None = None
+) -> set[str]:
+    """COMMITTED parquet files in the delta area (optionally one
+    table's), hidden paths pruned — same discipline as
+    :func:`_tbl0_files`."""
+    out: set[str] = set()
+    droot = _deltas_root(index_dir, data)
+    if not os.path.isdir(droot):
+        return out
+    for b in os.listdir(droot):
+        if not b.startswith("b="):
+            continue
+        scan = (
+            os.path.join(droot, b)
+            if tbl is None
+            else os.path.join(droot, b, f"tbl={tbl}")
+        )
+        for root, dirs, files in os.walk(scan):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out.update(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+    return out
+
+
+def _corpus_tbl0_files(index_dir: str, data: str) -> set[str]:
+    """The complete committed corpus-vector file set: the layout's
+    ``tbl=0`` files plus the delta area's — the snapshot/delta unit of
+    the resize catch-up protocol now that batches publish as deltas."""
+    return _tbl0_files(os.path.join(index_dir, data)) | _delta_files(
+        index_dir, data, tbl=0
+    )
+
+
+def delta_shaped_rows(
+    emb: DataFrame, bits: int, nparts: int | None = None
+) -> DataFrame:
+    """Index rows in the per-batch DELTA write shape: partitioned by
+    ``tbl`` only (tables dirs — no per-``pb`` writer-init floor), with
+    ``pb``/``cb`` as data columns sorted within each file so the
+    probe's ``cb IN (...)`` filter still prunes at row-group
+    granularity."""
+    sigs = _ann_sigs(emb, bits)
+    rows = _ann_corpus_rows(sigs, min_id=None).withColumn(
+        "pb", F.shiftrightunsigned(F.col("cb"), _pb_shift(bits))
+    )
+    rep = (
+        rows.repartition(nparts, "tbl")
+        if nparts
+        else rows.repartition("tbl")
+    )
+    return rep.sortWithinPartitions("tbl", "pb", "cb")
+
+
+def fold_ann_deltas(spark: SparkSession, index_dir: str) -> dict:
+    """Maintenance: fold every published delta dir into the live
+    two-level layout with ONE dynamic-partition append, then drop the
+    folded dirs — all under the index lock (publishes take the same
+    lock, so no delta can land mid-fold). The fold is delta-mass
+    bounded: rows are already signed (``pb``/``cb`` stored), so this
+    is a read + repartition + partitioned write of the accumulated
+    batches, never a corpus pass. Crash between the append and the
+    dir drops leaves rows duplicated layout-vs-delta — absorbed by
+    the probe's candidate dedupe and collapsed by the next resize
+    pass's keep-one (the established at-least-once shape)."""
+    lock = acquire_compaction_lock_patiently(index_dir)
+    try:
+        m = read_ann_manifest(index_dir)
+        droot = _deltas_root(index_dir, m["data"])
+        files = _delta_files(index_dir, m["data"])
+        if not files:
+            return {"folded": 0, "batches": 0}
+        batches = [
+            d for d in os.listdir(droot) if d.startswith("b=")
+        ]
+        rows = (
+            spark.read.option("basePath", droot)
+            .parquet(*sorted(files))
+            .select(
+                "neighbor_id", "cv",
+                F.col("tbl").cast("int").alias("tbl"),
+                F.col("pb").cast("long").alias("pb"),
+                F.col("cb").cast("long").alias("cb"),
+            )
+        )
+        n = rows.count()
+        dirs = ANN_TABLES * (1 << min(m["bits"], PART_BITS))
+        width = max(1, -(-n // 50_000), min(16, -(-dirs // 8)))
+        data_dir = os.path.join(index_dir, m["data"])
+        # a SIGKILLed previous fold's in-flight staging
+        stale = os.path.join(data_dir, "_temporary")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        rows.repartition(width, "tbl", "pb").sortWithinPartitions(
+            "tbl", "pb", "cb"
+        ).write.mode("append").partitionBy("tbl", "pb").parquet(data_dir)
+        for b in batches:
+            shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
+        return {"folded": n, "batches": len(batches)}
+    finally:
+        release_compaction_lock(lock)
 
 
 def _gc_stage_dirs(index_dir: str) -> int:
@@ -338,7 +467,26 @@ def probe_ann_index(
         for t, p in parents
         if os.path.isdir(os.path.join(data_dir, f"tbl={t}", f"pb={p}"))
     ]
-    if not paths:
+    # published-but-unfolded batch deltas (per-batch dirs under
+    # {data}.deltas/b=*/tbl=*): pruned at table granularity by the
+    # path list and at row-group granularity by the pushed-down IN
+    # filter over the in-file (pb, cb) sort — the delta area is
+    # batch-mass sized between maintenance folds, never corpus-sized
+    droot = _deltas_root(index_dir, m["data"])
+    tset = sorted({t for t, _ in pairs})
+    delta_paths = []
+    if os.path.isdir(droot):
+        for b in sorted(os.listdir(droot)):
+            if not b.startswith("b="):
+                continue
+            delta_paths.extend(
+                p
+                for t in tset
+                if os.path.isdir(
+                    p := os.path.join(droot, b, f"tbl={t}")
+                )
+            )
+    if not paths and not delta_paths:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
@@ -346,17 +494,27 @@ def probe_ann_index(
     # the pushed-down IN filter over the in-file cb clustering (the
     # row-group skip) — the equi-join then exacts (tbl, cb) equality
     cb_list = sorted({b for _, b in pairs})
-    stored = (
-        spark.read.option("basePath", data_dir)
-        .parquet(*paths)
-        .filter(F.col("cb").isin(cb_list))
-        .select(
+
+    def _rows(df):
+        return df.filter(F.col("cb").isin(cb_list)).select(
             "neighbor_id",
             "cv",
             F.col("tbl").cast("int").alias("tbl"),
             F.col("cb").cast("long").alias("cb"),
         )
-    )
+
+    parts = []
+    if paths:
+        parts.append(
+            _rows(spark.read.option("basePath", data_dir).parquet(*paths))
+        )
+    if delta_paths:
+        parts.append(
+            _rows(
+                spark.read.option("basePath", droot).parquet(*delta_paths)
+            )
+        )
+    stored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     return _ann_join_score(stored, probes)
 
 
@@ -421,7 +579,9 @@ def _resize_ann_index_locked(
         _gc_stage_dirs(index_dir)
         m = read_ann_manifest(index_dir)
         data_dir = os.path.join(index_dir, m["data"])
-        snapshot = _tbl0_files(data_dir)
+        # snapshot unit: layout tbl=0 files PLUS the per-batch delta
+        # area — deltas are committed corpus vectors (r13)
+        snapshot = _corpus_tbl0_files(index_dir, m["data"])
         if not snapshot:
             # empty index: nothing to reshape (and an explicit-path
             # read needs at least one path)
@@ -453,7 +613,7 @@ def _resize_ann_index_locked(
                         "superseded": True, "rows": m2["rows"],
                     }
                 delta_n = _footer_file_rows(
-                    _tbl0_files(data_dir) - snapshot
+                    _corpus_tbl0_files(index_dir, m["data"]) - snapshot
                 )
                 _write_manifest(
                     index_dir,
@@ -491,7 +651,7 @@ def _resize_ann_index_locked(
             if os.path.isdir(final):
                 shutil.rmtree(final)
             os.rename(os.path.join(index_dir, stage), final)
-            delta = _tbl0_files(data_dir) - snapshot
+            delta = _corpus_tbl0_files(index_dir, m["data"]) - snapshot
             delta_n = 0
             if delta:
                 # catch-up: rows appended during the reshape, shaped

@@ -66,6 +66,17 @@ from irio2024_mapreduce_spark.sources.sinks import (
 
 IVF_INDEX_MANIFEST = "_ivf_manifest.json"
 IVF_INDEX_VERSION = 1
+# Per-batch delta dirs (r12 verdict item 5, symmetric with
+# ann_index.DELTAS_SUFFIX): at production k (≈√n, capped at MAX_CELLS
+# = 1024) the cells layout sets the same per-dir writer-init floor on
+# every batch's staged write the ANN side had. Ingest stages each
+# batch FLAT (cell as a sorted data column), publish renames the
+# staged dir to ``cells_v{N}.deltas/b={tag}/``, probes union delta
+# rows in (cell-isin filter + in-file cell sort keep row-group
+# pruning), and the maintenance fold pays the cell-partitioned write
+# once per window.
+DELTAS_SUFFIX = ".deltas"
+FOLD_DELTA_FILES = 64
 # cells are capped so the bounded training sample keeps at least a
 # few points per centroid (k-means quality saturates there — the
 # IVF_TRAIN_MAX rationale), and floored at the graded query's k
@@ -131,10 +142,14 @@ def _gc_orphan_versions(index_dir: str, live: int) -> int:
     for d in os.listdir(index_dir):
         p = os.path.join(index_dir, d)
         for prefix in ("cells_v", "centroids_v"):
+            tail = d[len(prefix):]
+            if tail.endswith(DELTAS_SUFFIX):
+                # a version's delta root lives and dies with it
+                tail = tail[: -len(DELTAS_SUFFIX)]
             if (
                 d.startswith(prefix)
-                and d[len(prefix):].isdigit()
-                and int(d[len(prefix):]) != live
+                and tail.isdigit()
+                and int(tail) != live
                 and os.path.isdir(p)
             ):
                 shutil.rmtree(p)
@@ -324,6 +339,94 @@ def append_ivf_index(
         release_compaction_lock(lock)
 
 
+def _deltas_root(index_dir: str, n: int) -> str:
+    return os.path.join(index_dir, f"cells_v{n}{DELTAS_SUFFIX}")
+
+
+def _delta_files(index_dir: str, n: int) -> set[str]:
+    """COMMITTED parquet files in the delta area, hidden paths pruned
+    (the ``_data_files`` discipline)."""
+    out: set[str] = set()
+    droot = _deltas_root(index_dir, n)
+    if not os.path.isdir(droot):
+        return out
+    for b in os.listdir(droot):
+        if not b.startswith("b="):
+            continue
+        for root, dirs, files in os.walk(os.path.join(droot, b)):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out.update(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+    return out
+
+
+def _corpus_cell_files(index_dir: str, n: int) -> set[str]:
+    """The complete committed corpus file set of version ``n``: the
+    cell-partitioned layout plus the per-batch delta area — the
+    snapshot/delta unit of the rebuild catch-up protocol now that
+    batches publish as deltas (r13)."""
+    return _data_files(
+        os.path.join(index_dir, f"cells_v{n}")
+    ) | _delta_files(index_dir, n)
+
+
+def delta_stored_rows(
+    assigned: DataFrame, quantize: bool, nparts: int = 1
+) -> DataFrame:
+    """The per-batch DELTA write shape: the same columns as
+    :func:`_stored_rows` with ``cell`` kept as a sorted data column —
+    a FLAT write (no per-cell dirs), so a batch pays no writer-init
+    floor; the probe's ``cell IN (...)`` filter prunes at row-group
+    granularity over the in-file sort."""
+    return _stored_rows(assigned, quantize).repartition(
+        nparts
+    ).sortWithinPartitions("cell")
+
+
+def fold_ivf_deltas(spark: SparkSession, index_dir: str) -> dict:
+    """Maintenance: fold every published delta dir into the live
+    cell-partitioned layout with ONE dynamic-partition append, then
+    drop the folded dirs — all under the index lock (publishes take
+    the same lock). Delta-mass bounded; crash between append and the
+    dir drops duplicates rows layout-vs-delta, absorbed by the
+    probe's keep-one and collapsed by the next rebuild (the
+    established at-least-once shape)."""
+    lock = acquire_compaction_lock_patiently(index_dir)
+    try:
+        m = read_ivf_manifest(index_dir)
+        n = m["data_version"]
+        droot = _deltas_root(index_dir, n)
+        files = _delta_files(index_dir, n)
+        if not files:
+            return {"folded": 0, "batches": 0}
+        batches = [d for d in os.listdir(droot) if d.startswith("b=")]
+        rows = spark.read.option("basePath", droot).parquet(
+            *sorted(files)
+        )
+        cols = (
+            ["vec_id", "scale", "codes", "cell"]
+            if m["quantized"]
+            else ["vec_id", "v", "cell"]
+        )
+        rows = rows.select(*cols)
+        cnt = rows.count()
+        data_dir = os.path.join(index_dir, f"cells_v{n}")
+        stale = os.path.join(data_dir, "_temporary")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        rows.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(data_dir)
+        for b in batches:
+            shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
+        return {"folded": cnt, "batches": len(batches)}
+    finally:
+        release_compaction_lock(lock)
+
+
 def _data_files(path: str) -> set[str]:
     """All COMMITTED parquet data files under a (partitioned) dataset
     dir. Dirs whose basename starts with ``_`` or ``.`` are pruned —
@@ -353,15 +456,28 @@ def _footer_file_rows(files: set[str]) -> int:
 def _read_vector_files(
     spark: SparkSession, files: list[str], m: dict
 ) -> DataFrame:
-    """(vec_id, v) from an explicit file list of a cells dir (the
-    ``cell`` partition column is lost in a by-path read — the
-    rebuild never needs it), dequantizing if the index stores int8."""
-    df = spark.read.parquet(*files)
-    if m["quantized"]:
-        return df.select(
-            "vec_id", _dequant(F.col("codes"), F.col("scale")).alias("v")
-        )
-    return df.select("vec_id", "v")
+    """(vec_id, v) from an explicit file list of a version's committed
+    set (the ``cell`` partition column is lost in a by-path read — the
+    rebuild never needs it), dequantizing if the index stores int8.
+    Layout files and delta files carry different physical schemas
+    (delta rows keep ``cell`` as a data column), so the two subsets
+    are read separately and unioned on the shared projection — one
+    mixed read would take whichever schema the reader samples first."""
+
+    def _sel(df):
+        if m["quantized"]:
+            return df.select(
+                "vec_id",
+                _dequant(F.col("codes"), F.col("scale")).alias("v"),
+            )
+        return df.select("vec_id", "v")
+
+    layout = [f for f in files if DELTAS_SUFFIX + os.sep not in f]
+    delta = [f for f in files if DELTAS_SUFFIX + os.sep in f]
+    parts = [
+        _sel(spark.read.parquet(*sub)) for sub in (layout, delta) if sub
+    ]
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
 
 def rebuild_ivf_index(
@@ -436,7 +552,9 @@ def _rebuild_ivf_index_locked(
         _gc_stage_dirs(index_dir)
         m = read_ivf_manifest(index_dir)
         data_dir = os.path.join(index_dir, f"cells_v{m['data_version']}")
-        snapshot = _data_files(data_dir)
+        # snapshot unit: the layout PLUS the per-batch delta area —
+        # deltas are committed corpus vectors (r13)
+        snapshot = _corpus_cell_files(index_dir, m["data_version"])
         if not snapshot:
             # empty index: nothing to rebuild (and an explicit-path
             # read needs at least one path)
@@ -463,7 +581,8 @@ def _rebuild_ivf_index_locked(
                         "dups_removed": 0,
                     }
                 delta_n = _footer_file_rows(
-                    _data_files(data_dir) - snapshot
+                    _corpus_cell_files(index_dir, m["data_version"])
+                    - snapshot
                 )
                 _write_manifest(
                     index_dir, {**m2, "rows": rows + delta_n}
@@ -506,7 +625,10 @@ def _rebuild_ivf_index_locked(
                 os.rename(
                     os.path.join(index_dir, f"{prefix}_{stage}"), final
                 )
-            delta = _data_files(data_dir) - snapshot
+            delta = (
+                _corpus_cell_files(index_dir, m["data_version"])
+                - snapshot
+            )
             delta_n = 0
             if delta:
                 # catch-up: rows appended during the rebuild, assigned
@@ -553,15 +675,10 @@ def _rebuild_ivf_index_locked(
 def _read_vectors(
     spark: SparkSession, index_dir: str, m: dict
 ) -> DataFrame:
-    """(vec_id, v) from the live cells dirs, dequantizing if needed."""
-    df = spark.read.parquet(
-        os.path.join(index_dir, f"cells_v{m['data_version']}")
-    )
-    if m["quantized"]:
-        return df.select(
-            "vec_id", _dequant(F.col("codes"), F.col("scale")).alias("v")
-        )
-    return df.select("vec_id", "v")
+    """(vec_id, v) from the live version's COMPLETE committed set —
+    layout plus unfolded deltas — dequantizing if needed."""
+    files = _corpus_cell_files(index_dir, m["data_version"])
+    return _read_vector_files(spark, sorted(files), m)
 
 
 def _dequant(codes, scale):
@@ -595,30 +712,55 @@ def probe_ivf_index(
         for c in cells
         if os.path.isdir(os.path.join(data_dir, f"cell={c}"))
     ]
-    if not paths:
+    # published-but-unfolded batch deltas (flat per-batch dirs under
+    # cells_vN.deltas/b=*): the cell-isin filter prunes at row-group
+    # granularity over the in-file cell sort — the delta area is
+    # batch-mass sized between maintenance folds, never corpus-sized
+    droot = _deltas_root(index_dir, n)
+    delta_paths = (
+        [
+            os.path.join(droot, b)
+            for b in sorted(os.listdir(droot))
+            if b.startswith("b=")
+        ]
+        if os.path.isdir(droot)
+        else []
+    )
+    if not paths and not delta_paths:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
+
+    def _sel(df):
+        if m["quantized"]:
+            return df.select(
+                "vec_id",
+                _dequant(F.col("codes"), F.col("scale")).alias("v"),
+                F.col("cell").cast("int").alias("cell"),
+            )
+        return df.select(
+            "vec_id", "v", F.col("cell").cast("int").alias("cell")
+        )
+
+    parts = []
+    if paths:
+        parts.append(
+            _sel(spark.read.option("basePath", data_dir).parquet(*paths))
+        )
+    if delta_paths:
+        parts.append(
+            _sel(
+                spark.read.option("basePath", droot)
+                .parquet(*delta_paths)
+                .filter(F.col("cell").isin([int(c) for c in cells]))
+            )
+        )
+    stored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # keep-one on vec_id: a crash-replayed ingest roll-forward can
     # re-append rows (at-least-once in its rare re-shape path); the
     # dedup runs on the PROBED subset only — bounded row mass — and
     # is a no-op hash-agg when no duplicates exist
-    stored = (
-        spark.read.option("basePath", data_dir)
-        .parquet(*paths)
-        .dropDuplicates(["vec_id"])
-    )
-    if m["quantized"]:
-        stored = stored.select(
-            "vec_id",
-            _dequant(F.col("codes"), F.col("scale")).alias("v"),
-            F.col("cell").cast("int").alias("cell"),
-        )
-    else:
-        stored = stored.select(
-            "vec_id", "v", F.col("cell").cast("int").alias("cell")
-        )
-    return _ivf_score(stored, q_cells)
+    return _ivf_score(stored.dropDuplicates(["vec_id"]), q_cells)
 
 
 def measure_ivf_recall(

@@ -903,40 +903,46 @@ def _stage_batch(
             else 0
         )
         if n_vecs:
-            # staged-write width: scale with BOTH the row count and
-            # the number of partition DIRS the write creates — a
-            # dynamic-partition write opens one writer per dir per
-            # task, and one task grinding through hundreds of dirs
-            # serially is what made a 12k-doc batch's ANN staging
-            # blow past the row work (bits=8 → 2·2^8 = 512 dirs);
-            # ~8 dirs per task keeps the writers parallel (measured
-            # sweep at 4k/128 dirs: width 1 → 4.5 s, 4 → 1.7 s,
-            # 8-16 → 1.2 s, 32 → 1.7 s) while a small batch still
-            # avoids a corpus-width shuffle
-            def _sim_width(rows: int, dirs: int) -> int:
-                return max(
-                    1, -(-rows // 50_000), min(16, -(-dirs // 8))
-                )
-
+            # staged-write shape (r13): per-batch DELTA dirs — the
+            # hive-layout staging's per-dir writer-init floor (r12:
+            # width sweeps still bottomed at ~4.6 s for 512 dirs at
+            # 12k docs) is gone; the maintenance fold pays the full
+            # layout write once per window instead of per batch
             if ann_index_dir:
                 from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
-                    PART_BITS,
-                    _shaped_rows,
+                    ANN_TABLES,
+                    delta_shaped_rows,
                     read_ann_manifest,
                 )
 
                 am = read_ann_manifest(ann_index_dir)
-                ann_dirs = 2 * (1 << min(am["bits"], PART_BITS))
-                ann_width = _sim_width(n_vecs, ann_dirs)
+                # delta staging (r12 verdict item 5): partitioned by
+                # tbl ONLY — ANN_TABLES dirs instead of the layout's
+                # tables × 2^PART_BITS, removing the per-dir
+                # writer-init floor from every batch; publish renames
+                # the staged dir into the index's delta area and the
+                # maintenance fold pays the full-layout write once per
+                # window (operators/ann_index.py DELTAS_SUFFIX).
+                # Width scales with ROWS only (the dir floor is gone;
+                # what remains is the signature projection + sort —
+                # measured at 12k: width 1 → 2.7 s, 16 → 1.3 s); the
+                # fold coalesces the extra files per window
+                ann_width = max(1, min(16, -(-n_vecs // 1000)))
                 futures.append(
                     pool.submit(
-                        lambda: _shaped_rows(
+                        lambda: delta_shaped_rows(
                             vecs, am["bits"], nparts=ann_width
                         )
                         .write.mode("overwrite")
-                        .partitionBy("tbl", "pb")
+                        .partitionBy("tbl")
                         .parquet(os.path.join(staging, "ann_index"))
                     )
+                )
+                import hashlib  # noqa: PLC0415
+
+                tag = "b={}.{}".format(
+                    hashlib.md5(stream.encode()).hexdigest()[:10],
+                    0 if batch_id is None else int(batch_id),
                 )
                 extras.append(
                     {
@@ -944,12 +950,13 @@ def _stage_batch(
                         "root": os.path.abspath(ann_index_dir),
                         "staged": "ann_index",
                         "data": am["data"],
+                        "delta": tag,
                         "rows": n_vecs,
                     }
                 )
             if ivf_index_dir:
                 from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
-                    _stored_rows,
+                    delta_stored_rows,
                     read_ivf_manifest,
                 )
                 from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
@@ -961,25 +968,39 @@ def _stage_batch(
                     ivf_index_dir, f"centroids_v{im['data_version']}"
                 )
 
-                ivf_width = _sim_width(n_vecs, im["k_cells"])
+                # delta staging (r12 verdict item 5, symmetric with
+                # the ANN side): a FLAT write — the per-cell dir
+                # floor (k ≈ √n dirs, up to MAX_CELLS=1024) is paid
+                # by the maintenance fold once per window, not here.
+                # Width scales with rows (the remaining cost is the
+                # broadcast-centroid argmax + sort; measured at 12k:
+                # width 1 → 3.4 s, 16 → 2.1 s)
+                ivf_width = max(1, min(16, -(-n_vecs // 1000)))
 
                 def _stage_ivf():
                     assigned = _nearest_cell(
                         vecs, spark.read.parquet(cdir)
                     )
-                    _stored_rows(assigned, im["quantized"]).repartition(
-                        ivf_width, "cell"
-                    ).write.mode("overwrite").partitionBy("cell").parquet(
+                    delta_stored_rows(
+                        assigned, im["quantized"], nparts=ivf_width
+                    ).write.mode("overwrite").parquet(
                         os.path.join(staging, "ivf_index")
                     )
 
                 futures.append(pool.submit(_stage_ivf))
+                import hashlib  # noqa: PLC0415
+
+                ivf_tag = "b={}.{}".format(
+                    hashlib.md5(stream.encode()).hexdigest()[:10],
+                    0 if batch_id is None else int(batch_id),
+                )
                 extras.append(
                     {
                         "kind": "ivf",
                         "root": os.path.abspath(ivf_index_dir),
                         "staged": "ivf_index",
                         "data_version": im["data_version"],
+                        "delta": ivf_tag,
                         "rows": n_vecs,
                     }
                 )
@@ -1292,13 +1313,34 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
     try:
         if ex["kind"] == "ann":
             from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
+                _deltas_root,
                 _write_manifest as _ann_write_manifest,
                 _write_rows as _ann_write_rows,
                 read_ann_manifest,
             )
+            from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+                fsync_dir,
+            )
 
             m = read_ann_manifest(ex["root"])
-            if m["data"] == ex["data"]:
+            if m["data"] == ex["data"] and "delta" in ex:
+                # fast path (r13): ONE atomic rename of the staged
+                # per-batch dir into the live delta area — probes see
+                # the whole batch or none of it, and the rename is
+                # idempotent under roll-forward (a deterministic
+                # (stream, batch) tag; a crashed predecessor's partial
+                # target absorbs the rest via the per-file mover)
+                droot = _deltas_root(ex["root"], m["data"])
+                os.makedirs(droot, exist_ok=True)
+                target = os.path.join(droot, ex["delta"])
+                if os.path.isdir(target):
+                    _move_staged_files(staged_dir, target)
+                else:
+                    os.rename(staged_dir, target)
+                fsync_dir(droot)
+            elif m["data"] == ex["data"]:
+                # plans staged by pre-delta code (r12): hive-shaped
+                # staging moves straight into the layout
                 _move_staged_files(
                     staged_dir, os.path.join(ex["root"], m["data"])
                 )
@@ -1330,7 +1372,26 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
             cells = os.path.join(
                 ex["root"], f"cells_v{m['data_version']}"
             )
-            if m["data_version"] == ex["data_version"]:
+            if m["data_version"] == ex["data_version"] and "delta" in ex:
+                # fast path (r13): one atomic rename into the live
+                # delta area — the ANN publish discipline
+                from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
+                    _deltas_root as _ivf_deltas_root,
+                )
+                from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+                    fsync_dir,
+                )
+
+                droot = _ivf_deltas_root(ex["root"], m["data_version"])
+                os.makedirs(droot, exist_ok=True)
+                target = os.path.join(droot, ex["delta"])
+                if os.path.isdir(target):
+                    _move_staged_files(staged_dir, target)
+                else:
+                    os.rename(staged_dir, target)
+                fsync_dir(droot)
+            elif m["data_version"] == ex["data_version"]:
+                # plans staged by pre-delta code (r12): hive-shaped
                 _move_staged_files(staged_dir, cells)
             else:
                 spark = _active_session(_SS, ex)

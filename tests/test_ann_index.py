@@ -350,3 +350,112 @@ def test_probe_opens_only_probed_partition_dirs(spark, emb, tmp_path):
     assert len(parents & all_dirs) < len(all_dirs), (
         "probe list covers every dir — no pruning to pin at this scale"
     )
+
+
+def _plant_delta(spark, idx, emb_delta, tag="b=test.1"):
+    """Publish a batch as ingest does (r13): delta-shaped write +
+    rename into the live delta area + advisory rows bump."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _deltas_root,
+        _write_manifest,
+        delta_shaped_rows,
+    )
+
+    m = read_ann_manifest(idx)
+    droot = _deltas_root(idx, m["data"])
+    os.makedirs(droot, exist_ok=True)
+    staged = os.path.join(droot, tag + ".staging")
+    delta_shaped_rows(emb_delta, m["bits"], nparts=1).write.mode(
+        "overwrite"
+    ).partitionBy("tbl").parquet(staged)
+    os.rename(staged, os.path.join(droot, tag))
+    n = emb_delta.count()
+    _write_manifest(idx, {**m, "rows": m["rows"] + n})
+    return n
+
+
+def test_probe_unions_unfolded_deltas_and_fold_preserves_answers(
+    spark, emb, tmp_path
+):
+    """r12 verdict item 5: batches publish as per-batch delta dirs —
+    probes must see delta rows immediately (visibility = directory
+    presence), and the maintenance fold must move them into the
+    two-level layout without changing a single answer."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _delta_files,
+        _deltas_root,
+        fold_ann_deltas,
+    )
+
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    build_ann_index(spark, half_a, idx)
+    _plant_delta(spark, idx, half_b)
+    m = read_ann_manifest(idx)
+    assert _delta_files(idx, m["data"]), "delta publish left no files"
+
+    # reference: one index holding everything via the locked append
+    ref = str(tmp_path / "ann_ref")
+    build_ann_index(spark, half_a, ref, bits=m["bits"])
+    append_ann_index(spark, half_b, ref)
+    want = _rows(probe_ann_index(spark, queries, ref))
+    got = _rows(probe_ann_index(spark, queries, idx))
+    assert got == want and len(got) > 0
+
+    out = fold_ann_deltas(spark, idx)
+    from irio2024_mapreduce_spark.operators.ann_index import ANN_TABLES
+
+    # folded counts INDEX rows: one per (vector, table)
+    assert out["folded"] == half_b.count() * ANN_TABLES
+    assert out["batches"] == 1
+    assert not _delta_files(idx, m["data"])
+    # the fold left no stray dirs under the delta root
+    droot = _deltas_root(idx, m["data"])
+    assert not [d for d in os.listdir(droot) if d.startswith("b=")]
+    assert _rows(probe_ann_index(spark, queries, idx)) == want
+    # folded rows are physically in the layout now
+    layout0 = spark.read.parquet(
+        os.path.join(idx, m["data"])
+    ).filter(F.col("tbl") == 0)
+    assert layout0.count() == corpus.count()
+    # idempotent: nothing left to fold
+    assert fold_ann_deltas(spark, idx)["folded"] == 0
+
+
+def test_resize_absorbs_unfolded_deltas(spark, emb, tmp_path):
+    """The resize snapshot unit is layout ∪ delta area: a rewrite
+    (here: duplicate-collapse) must carry delta vectors into the new
+    version and GC the old version's delta root with it."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _corpus_tbl0_files,
+    )
+
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    h = build_ann_index(spark, half_a, idx)["bits"]
+    _plant_delta(spark, idx, half_b)
+    # duplicate append forces the same-width rewrite path
+    append_ann_index(spark, half_a.limit(3), idx)
+    out = resize_ann_index(spark, idx)
+    assert out["compacted"], out
+    m2 = read_ann_manifest(idx)
+    assert m2["data"].startswith(f"rows_h{h}_v")
+    # old version + its delta root GC'd; new version holds everything
+    assert not os.path.isdir(os.path.join(idx, f"rows_h{h}_v1"))
+    assert not os.path.isdir(
+        os.path.join(idx, f"rows_h{h}_v1.deltas")
+    )
+    stored = spark.read.parquet(*sorted(_corpus_tbl0_files(idx, m2["data"])))
+    assert stored.select("neighbor_id").distinct().count() == corpus.count()
+    # answers equal a clean full build at the same width
+    ref = str(tmp_path / "ann_ref")
+    build_ann_index(spark, corpus, ref, bits=h)
+    assert _rows(probe_ann_index(spark, queries, idx)) == _rows(
+        probe_ann_index(spark, queries, ref)
+    )

@@ -117,21 +117,34 @@ def _ingest(spark, idx, out, ann, ivf, crash=None):
 
 
 def _ann_ids(spark, ann):
+    # the committed corpus-vector set is layout ∪ per-batch deltas
+    # (r13: ingest publishes batches as delta dirs; maintenance folds)
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _corpus_tbl0_files,
+    )
+
     m = read_ann_manifest(ann)
-    df = spark.read.parquet(os.path.join(ann, m["data"]))
+    files = sorted(_corpus_tbl0_files(ann, m["data"]))
+    if not files:
+        return []
+    df = spark.read.parquet(*files)
     return sorted(
-        r["neighbor_id"]
-        for r in df.filter(F.col("tbl") == 0)
-        .select("neighbor_id")
-        .collect()
+        r["neighbor_id"] for r in df.select("neighbor_id").collect()
     )
 
 
 def _ivf_ids(spark, ivf):
-    m = read_ivf_manifest(ivf)
-    df = spark.read.parquet(
-        os.path.join(ivf, f"cells_v{m['data_version']}")
+    # the committed set is layout ∪ per-batch deltas (r13)
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        _corpus_cell_files,
+        _read_vector_files,
     )
+
+    m = read_ivf_manifest(ivf)
+    files = sorted(_corpus_cell_files(ivf, m["data_version"]))
+    if not files:
+        return []
+    df = _read_vector_files(spark, files, m)
     return sorted(r["vec_id"] for r in df.select("vec_id").collect())
 
 
