@@ -309,7 +309,16 @@ def ingest_batch(
     RuntimeErrors pass through untouched; anything else is checked
     against the vanished-input races a concurrent maintenance swap or
     generation flip can inflict on a lock-free reader, and re-raised
-    as the documented retryable when it matches."""
+    as the documented retryable when it matches.
+
+    Classification covers EVERY root the batch reads lock-free — the
+    dedup index, the corpus, and the similarity indexes: the r13 soak
+    caught ``_stage_ivf``'s centroid read dying with a raw
+    Py4JJavaError when a mid-fire deep rebuild flipped the IVF
+    version and GC'd ``centroids_v{N}`` under it, because the old
+    boundary only matched paths under ``index_dir``. Staging is
+    pre-commit, so the batch is losslessly retryable against any of
+    these roots."""
     try:
         return _ingest_batch_impl(
             spark, batch, index_dir, corpus_dir, family, batch_id,
@@ -319,7 +328,10 @@ def ingest_batch(
     except RuntimeError:
         raise  # already protocol-classified (incl. LockPatienceExhausted)
     except Exception as e:
-        _reraise_if_vanished_input(e, index_dir)
+        for root_dir in (index_dir, corpus_dir, ann_index_dir,
+                         ivf_index_dir):
+            if root_dir:
+                _reraise_if_vanished_input(e, root_dir)
         raise
 
 

@@ -131,6 +131,12 @@ def maintain_corpus_index(
     right after finds nothing tripped. Returns
     ``{pass_name: {"ran": bool, "reason": str, ...pass_result}}``.
 
+    The ANN/IVF passes FOLD ingest's per-batch delta dirs into the
+    two-level/cell layouts before reading their footer signals (r13:
+    ingest publishes similarity-index parts as cheap delta renames;
+    the fold pays the partitioned write once per window) — tripped by
+    delta file count, unconditional on deep passes.
+
     ``deep=True`` additionally runs the ANN/IVF passes' own SCAN-level
     duplicate checks (physical vs distinct ``vec_id``) even when every
     footer signal is clean. The one duplicate shape footers cannot

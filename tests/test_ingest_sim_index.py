@@ -417,3 +417,23 @@ def test_missing_batch_emb_fails_loudly(spark, tmp_path):
             batch_emb=_emb(spark, [200]),
             ann_index_dir=ann, ivf_index_dir=ann,
         )
+
+
+def test_vanished_similarity_index_classifies_retryable(
+    spark, tmp_path
+):
+    """The r13 soak's finding: _stage_ivf reads the IVF centroids
+    lock-free, and a concurrent deep rebuild can flip the version and
+    GC centroids_v{N} mid-read. ingest_batch's retryable boundary
+    must classify vanished files under ANY root the batch reads —
+    the similarity indexes included — not just the dedup index."""
+    import shutil
+
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    m = read_ivf_manifest(ivf)
+    # the post-GC state a racing rebuild leaves a staged reader: the
+    # centroid version the manifest pointed at when staging planned
+    # its read is gone
+    shutil.rmtree(os.path.join(ivf, f"centroids_v{m['data_version']}"))
+    with pytest.raises(RuntimeError, match="retry after the maintenance"):
+        _ingest(spark, idx, out, ann, ivf)

@@ -111,18 +111,31 @@ def test_stream_keeps_similarity_indexes_fresh(spark, tmp_path):
     )
     assert [m["appended"] for m in manifests] == [1, 1]
 
+    # committed set = layout ∪ per-batch deltas (r13: micro-batches
+    # publish as delta dirs; the maintenance fold moves them later)
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _corpus_tbl0_files,
+    )
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        _corpus_cell_files,
+        _read_vector_files,
+    )
+
     m_ann, m_ivf = read_ann_manifest(ann), read_ivf_manifest(ivf)
     ann_ids = {
         r["neighbor_id"]
-        for r in spark.read.parquet(os.path.join(ann, m_ann["data"]))
-        .filter(F.col("tbl") == 0)
+        for r in spark.read.parquet(
+            *sorted(_corpus_tbl0_files(ann, m_ann["data"]))
+        )
         .select("neighbor_id")
         .collect()
     }
     ivf_ids = {
         r["vec_id"]
-        for r in spark.read.parquet(
-            os.path.join(ivf, f"cells_v{m_ivf['data_version']}")
+        for r in _read_vector_files(
+            spark,
+            sorted(_corpus_cell_files(ivf, m_ivf["data_version"])),
+            m_ivf,
         )
         .select("vec_id")
         .collect()
