@@ -60,8 +60,8 @@ from irio2024_mapreduce_spark.operators.similarity import (
     EMB_DIM,
     _ann_corpus_rows,
     _ann_join_score,
-    _ann_query_probes,
     _ann_sigs,
+    py_query_probes,
 )
 from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
@@ -452,15 +452,24 @@ def probe_ann_index(
     m = read_ann_manifest(index_dir)
     data_dir = os.path.join(index_dir, m["data"])
     shift = _pb_shift(m["bits"])
-    probes = _ann_query_probes(
-        _ann_sigs(queries, m["bits"]), m["bits"], max_id=None
-    ).localCheckpoint(eager=True)
-    # the probe list is bounded by construction: queries × tables ×
-    # (1 + P + P(P-1)/2) pairs — a driver-side list, never corpus-sized
-    pairs = {
-        (r["qtbl"], r["probe"])
-        for r in probes.select("qtbl", "probe").distinct().collect()
-    }
+    # the query side is DRIVER-BOUNDED by design (the probe list —
+    # queries × tables × (1 + P + P(P-1)/2) pairs — is collected to
+    # build the path list regardless), so sign it driver-side with
+    # the bit-exact engine-free replay (similarity.py_query_probes):
+    # pushing ten vectors through the 32×64-double planes literal
+    # cost ~1.3 s of analyze/codegen per probe call (measured r13),
+    # versus microseconds of Python for the identical bits
+    spark_q = queries.sparkSession
+    q_rows = [
+        (r["vec_id"], list(r["v"]))
+        for r in queries.select("vec_id", "v").collect()
+    ]
+    probe_rows = py_query_probes(q_rows, m["bits"])
+    probes = spark_q.createDataFrame(
+        probe_rows,
+        "query_id long, qv array<double>, qtbl int, probe long",
+    )
+    pairs = {(t, pb) for _, _, t, pb in probe_rows}
     parents = sorted({(t, b >> shift) for t, b in pairs})
     paths = [
         os.path.join(data_dir, f"tbl={t}", f"pb={p}")

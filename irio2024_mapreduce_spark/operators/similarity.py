@@ -721,6 +721,71 @@ def _fold_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def py_query_probes(
+    rows: list[tuple[int, list[float]]], bits: int | None = None
+) -> list[tuple[int, list[float], int, int]]:
+    """Engine-free replay of ``_ann_query_probes`` for a DRIVER-SIDE
+    query list — (query_id, qv, qtbl, probe) tuples, bit-identical to
+    the Spark expression tree (r13): the stored-index probe's query
+    side is driver-bounded BY DESIGN (the probe list is collected to
+    build the path list anyway), and signing ten vectors through the
+    32×64-double planes literal cost ~1.3 s of analyze/codegen per
+    call versus microseconds of Python.
+
+    Bit-parity argument, mirror of the r7 oracle recipe: projections
+    are ``_fold_dot`` (the proven left-fold replay of ``_dot``); the
+    signature sums the same power-of-two masks on the same
+    ``proj > 0`` predicate (integer adds, exact); flip planes sort
+    (|proj|, index) tuples exactly like the struct ``array_sort`` —
+    fieldwise, ties to the smaller index, NaN greater than every
+    double (Spark's double ordering, replicated explicitly because
+    Python's ``sorted`` has no NaN total order). Pinned by
+    tests/test_ann_index.py::test_build_probe_parity_with_fly and the
+    driver's oracle hash row."""
+    import math  # noqa: PLC0415
+
+    bits = bits or ANN_PLANES
+    n_probe = min(ANN_PROBE_BITS, bits)
+    planes = [
+        _hyperplane_values(i) for i in range(ANN_TABLES * bits)
+    ]
+    out: list[tuple[int, list[float], int, int]] = []
+    for qid, v in rows:
+        for t in range(ANN_TABLES):
+            projs = [
+                _fold_dot(v, planes[t * bits + p]) for p in range(bits)
+            ]
+            # Spark's NaN semantics: NaN compares GREATER than any
+            # double, so `proj > 0` is TRUE for NaN projections
+            sig = sum(
+                1 << p
+                for p in range(bits)
+                if projs[p] > 0 or math.isnan(projs[p])
+            )
+            ranked = sorted(
+                range(bits),
+                key=lambda p: (
+                    math.isnan(abs(projs[p])),
+                    abs(projs[p]),
+                    p,
+                ),
+            )
+            flips = [1 << ranked[k] for k in range(n_probe)]
+            probes = [sig]
+            probes += [sig ^ m for m in flips]
+            probes += [
+                sig ^ flips[i] ^ flips[j]
+                for i in range(n_probe)
+                for j in range(i + 1, n_probe)
+            ]
+            seen: set[int] = set()
+            for pb in probes:
+                if pb not in seen:
+                    seen.add(pb)
+                    out.append((qid, v, t, pb))
+    return out
+
+
 def ivf_centroids_for(
     sf_dir: str, train_min_id: int | None = None
 ) -> list[tuple[int, list[float]]]:
