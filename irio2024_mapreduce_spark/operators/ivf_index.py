@@ -53,6 +53,7 @@ from irio2024_mapreduce_spark.operators.similarity import (
     _ivf_score,
     _nearest_cell,
     _query_cells,
+    py_query_cells,
     quant_abs_max,
     quant_code_col,
 )
@@ -697,15 +698,27 @@ def probe_ivf_index(
     join+cosine+top-k. Unprobed cells are never opened."""
     m = read_ivf_manifest(index_dir)
     n = m["data_version"]
-    centroids = spark.read.parquet(
-        os.path.join(index_dir, f"centroids_v{n}")
+    # the query side is DRIVER-BOUNDED by design (the probed-cell set
+    # is collected to build the path list regardless) and the
+    # centroids are k ≤ MAX_CELLS tiny rows: rank cells driver-side
+    # with the bit-exact engine-free replay (similarity.py_query_cells
+    # — the py_query_probes rationale; the broadcast-join + window +
+    # localCheckpoint plan was per-call overhead, not data work)
+    cent_rows = [
+        (r["cell"], list(r["cv"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, f"centroids_v{n}")
+        ).collect()
+    ]
+    q_rows = [
+        (r["vec_id"], list(r["v"]))
+        for r in queries.select("vec_id", "v").collect()
+    ]
+    qc_rows = py_query_cells(q_rows, cent_rows, nprobe)
+    q_cells = spark.createDataFrame(
+        qc_rows, "query_id long, qv array<double>, cell int"
     )
-    q_cells = _query_cells(queries, centroids, nprobe).localCheckpoint(
-        eager=True
-    )
-    cells = sorted(
-        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
-    )
+    cells = sorted({c for _, _, c in qc_rows})
     data_dir = os.path.join(index_dir, f"cells_v{n}")
     paths = [
         os.path.join(data_dir, f"cell={c}")

@@ -786,6 +786,50 @@ def py_query_probes(
     return out
 
 
+def py_query_cells(
+    q_rows: list[tuple[int, list[float]]],
+    cent_rows: list[tuple[int, list[float]]],
+    nprobe: int = IVF_NPROBE,
+) -> list[tuple[int, list[float], int]]:
+    """Engine-free replay of ``_query_cells`` for a DRIVER-SIDE query
+    list against COLLECTED centroids (k ≤ MAX_CELLS rows — bounded) —
+    (query_id, qv, cell) tuples, bit-identical to the Spark window
+    (r13, the ``py_query_probes`` rationale: the stored probe already
+    collects the distinct probed cells, so the query side is
+    driver-bounded by design and the broadcast-join + window plan was
+    pure per-call overhead).
+
+    Bit parity: cosine is ``_fold_dot`` + ``math.sqrt`` (IEEE
+    exact-rounded, same as the JVM); division replicates IEEE
+    x/0 = ±Inf and 0/0 = NaN explicitly (Python raises where the JVM
+    yields); ranking is desc-sim, ties to the smallest cell, NaN
+    GREATEST (Spark's double ordering), via a stable two-pass sort."""
+    import math  # noqa: PLC0415
+
+    def _ieee_div(n: float, d: float) -> float:
+        if d != 0.0:
+            return n / d
+        if n == 0.0 or math.isnan(n):
+            return float("nan")
+        return math.copysign(float("inf"), n) * math.copysign(1.0, d)
+
+    out: list[tuple[int, list[float], int]] = []
+    for qid, v in q_rows:
+        vnorm = math.sqrt(_fold_dot(v, v))
+        scored = []
+        for cell, cv in cent_rows:
+            sim = _ieee_div(
+                _fold_dot(v, cv), vnorm * math.sqrt(_fold_dot(cv, cv))
+            )
+            scored.append((cell, sim))
+        scored.sort(key=lambda r: r[0])  # ties → smallest cell
+        scored.sort(
+            key=lambda r: (math.isnan(r[1]), r[1]), reverse=True
+        )  # desc sim, NaN greatest (stable over the cell order)
+        out.extend((qid, v, cell) for cell, _ in scored[:nprobe])
+    return out
+
+
 def ivf_centroids_for(
     sf_dir: str, train_min_id: int | None = None
 ) -> list[tuple[int, list[float]]]:
