@@ -417,3 +417,72 @@ def test_quantize_excludes_nonfinite_vectors(spark):
     rows = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
     assert set(rows) == {4}
     assert rows[4]["codes"] == [32, -127]
+
+
+def test_py_probe_replays_match_spark_bitwise(spark):
+    """r13: the driver-side stored-probe replays (py_query_probes /
+    py_query_cells) must be BIT-identical to the Spark expression
+    trees they replace — checked on adversarial vectors: a zero
+    vector (all projections 0.0 → tie-ranking everywhere), tiny and
+    negative components, and a plain case."""
+    import random
+
+    from irio2024_mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        _ann_query_probes,
+        _ann_sigs,
+        _ivf_centroids,
+        _query_cells,
+        py_query_cells,
+        py_query_probes,
+    )
+
+    rng = random.Random(42)
+    vecs = [
+        (0, [0.0] * EMB_DIM),                                   # all ties
+        (1, [rng.uniform(-1, 1) for _ in range(EMB_DIM)]),      # plain
+        (2, [(-1.0) ** d * 1e-12 for d in range(EMB_DIM)]),     # tiny
+        (3, [-abs(rng.uniform(0, 1)) for _ in range(EMB_DIM)]),  # negative
+    ]
+    q = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+
+    want = {
+        (r["query_id"], r["qtbl"], r["probe"])
+        for r in _ann_query_probes(
+            _ann_sigs(q, 8), 8, max_id=None
+        ).collect()
+    }
+    got = {(qid, t, pb) for qid, _, t, pb in py_query_probes(
+        [(i, v) for i, v in vecs], 8
+    )}
+    assert got == want
+
+    # IVF cells: centroids trained on a small deterministic frame.
+    # The ZERO vector is excluded from the parity set: under Spark 4
+    # ANSI the expression path RAISES DIVIDE_BY_ZERO on a zero-norm
+    # query, while the replay follows IEEE (NaN sims → a graceful
+    # nprobe pick) — asserted below as the documented divergence, in
+    # the replay's favor.
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(EMB_DIM)])
+         for i in range(64)],
+        "vec_id long, v array<double>",
+    )
+    cents = _ivf_centroids(spark, corpus, 8)
+    finite = [(i, v) for i, v in vecs if i != 0]
+    q_fin = spark.createDataFrame(finite, "vec_id long, v array<double>")
+    want_cells = {
+        (r["query_id"], r["cell"])
+        for r in _query_cells(q_fin, cents).collect()
+    }
+    cent_rows = [(r["cell"], list(r["cv"])) for r in cents.collect()]
+    got_cells = {
+        (qid, c) for qid, _, c in py_query_cells(finite, cent_rows)
+    }
+    assert got_cells == want_cells
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _query_cells(q, cents).collect()  # the zero vector, ANSI
+    zero_cells = py_query_cells([vecs[0]], cent_rows)
+    assert len(zero_cells) == 3  # nprobe picks, no crash
