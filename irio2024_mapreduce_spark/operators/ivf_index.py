@@ -61,8 +61,11 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
     acquire_compaction_lock_patiently,
     atomic_write_file,
+    read_filelist,
     release_compaction_lock,
     reraise_if_vanished_input,
+    run_lockfree_read,
+    write_filelist,
 )
 
 IVF_INDEX_MANIFEST = "_ivf_manifest.json"
@@ -243,9 +246,13 @@ def _write_version(
         os.path.join(index_dir, f"centroids_{tag}")
     )
     assigned = _nearest_cell(emb, centroids)
+    cells_dir = os.path.join(index_dir, f"cells_{tag}")
     _stored_rows(assigned, quantize).repartition("cell").write.mode(
         "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, f"cells_{tag}"))
+    ).partitionBy("cell").parquet(cells_dir)
+    # probe file-list sidecar (r14): relative paths — rides the
+    # rebuild's stage→version rename unchanged
+    write_filelist(spark, cells_dir)
     return centroids
 
 
@@ -333,6 +340,9 @@ def append_ivf_index(
         ).write.mode("append").partitionBy("cell").parquet(
             os.path.join(index_dir, f"cells_v{n}")
         )
+        # sidecar refresh BEFORE the manifest bump (the ANN append's
+        # crash-shape argument)
+        write_filelist(spark, os.path.join(index_dir, f"cells_v{n}"))
         added = emb.count()
         _write_manifest(index_dir, {**m, "rows": m["rows"] + added})
         return added
@@ -421,6 +431,10 @@ def fold_ivf_deltas(spark: SparkSession, index_dir: str) -> dict:
         rows.repartition("cell").write.mode("append").partitionBy(
             "cell"
         ).parquet(data_dir)
+        # sidecar refresh BEFORE the delta drops (the ANN fold's
+        # crash-shape argument: folded-but-undropped rows stay
+        # probe-visible through the delta dirs)
+        write_filelist(spark, data_dir)
         for b in batches:
             shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
         return {"folded": cnt, "batches": len(batches)}
@@ -646,6 +660,11 @@ def _rebuild_ivf_index_locked(
                 ).write.mode("append").partitionBy("cell").parquet(
                     os.path.join(index_dir, f"cells_v{n}")
                 )
+                # the staged sidecar predates the catch-up append —
+                # refresh before the flip commits the version (r14)
+                write_filelist(
+                    spark, os.path.join(index_dir, f"cells_v{n}")
+                )
             _write_manifest(
                 index_dir,
                 {
@@ -686,6 +705,14 @@ def _dequant(codes, scale):
     return F.transform(codes, lambda c: c.cast("double") * scale)
 
 
+def _schema_from_json(schema_json: str):
+    import json as _json  # noqa: PLC0415
+
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    return StructType.fromJson(_json.loads(schema_json))
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -695,85 +722,142 @@ def probe_ivf_index(
     """Answer ``queries`` (``vec_id``, ``v``) from the stored index:
     broadcast the centroids, pick each query's nprobe closest cells,
     point-read exactly those cell dirs, score with the shared
-    join+cosine+top-k. Unprobed cells are never opened."""
-    m = read_ivf_manifest(index_dir)
-    n = m["data_version"]
-    # the query side is DRIVER-BOUNDED by design (the probed-cell set
-    # is collected to build the path list regardless) and the
-    # centroids are k ≤ MAX_CELLS tiny rows: rank cells driver-side
-    # with the bit-exact engine-free replay (similarity.py_query_cells
-    # — the py_query_probes rationale; the broadcast-join + window +
-    # localCheckpoint plan was per-call overhead, not data work)
-    cent_rows = [
-        (r["cell"], list(r["cv"]))
-        for r in spark.read.parquet(
-            os.path.join(index_dir, f"centroids_v{n}")
-        ).collect()
-    ]
+    join+cosine+top-k. Unprobed cells are never opened.
+
+    r14: probed cells resolve to concrete parquet paths + schema from
+    the `_filelist.json` sidecars (layout and per-batch delta dirs) —
+    no per-dir FS LISTs — and the whole resolve+read runs inside
+    ``run_lockfree_read`` with the bounded delta side pinned eagerly,
+    so a racing maintenance fold surfaces as a fresh retry or the
+    protocol's documented retryable (ADVICE r14, medium; see
+    ``probe_ann_index`` for the full argument)."""
     q_rows = [
         (r["vec_id"], list(r["v"]))
         for r in queries.select("vec_id", "v").collect()
     ]
-    qc_rows = py_query_cells(q_rows, cent_rows, nprobe)
-    q_cells = spark.createDataFrame(
-        qc_rows, "query_id long, qv array<double>, cell int"
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "2048"
     )
-    cells = sorted({c for _, _, c in qc_rows})
-    data_dir = os.path.join(index_dir, f"cells_v{n}")
-    paths = [
-        os.path.join(data_dir, f"cell={c}")
-        for c in cells
-        if os.path.isdir(os.path.join(data_dir, f"cell={c}"))
-    ]
-    # published-but-unfolded batch deltas (flat per-batch dirs under
-    # cells_vN.deltas/b=*): the cell-isin filter prunes at row-group
-    # granularity over the in-file cell sort — the delta area is
-    # batch-mass sized between maintenance folds, never corpus-sized
-    droot = _deltas_root(index_dir, n)
-    delta_paths = (
-        [
-            os.path.join(droot, b)
-            for b in sorted(os.listdir(droot))
-            if b.startswith("b=")
+
+    def _attempt() -> DataFrame:
+        m = read_ivf_manifest(index_dir)
+        n = m["data_version"]
+        # the query side is DRIVER-BOUNDED by design (the probed-cell
+        # set is collected to build the path list regardless) and the
+        # centroids are k ≤ MAX_CELLS tiny rows: rank cells
+        # driver-side with the bit-exact engine-free replay
+        # (similarity.py_query_cells — the py_query_probes rationale;
+        # the broadcast-join + window + localCheckpoint plan was
+        # per-call overhead, not data work)
+        cent_rows = [
+            (r["cell"], list(r["cv"]))
+            for r in spark.read.parquet(
+                os.path.join(index_dir, f"centroids_v{n}")
+            ).collect()
         ]
-        if os.path.isdir(droot)
-        else []
-    )
-    if not paths and not delta_paths:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank long"
+        qc_rows = py_query_cells(q_rows, cent_rows, nprobe)
+        q_cells = spark.createDataFrame(
+            qc_rows, "query_id long, qv array<double>, cell int"
         )
+        cells = sorted({c for _, _, c in qc_rows})
+        data_dir = os.path.join(index_dir, f"cells_v{n}")
+        side = read_filelist(data_dir)
+        layout_schema = None
+        if side is not None:
+            fmap = side.get("files", {})
+            paths = [
+                os.path.join(data_dir, f"cell={c}", f)
+                for c in cells
+                for f in fmap.get(f"cell={c}", ())
+            ]
+            if side.get("schema"):
+                layout_schema = _schema_from_json(side["schema"])
+        else:  # pre-r14 index: per-dir listing fallback
+            paths = [
+                os.path.join(data_dir, f"cell={c}")
+                for c in cells
+                if os.path.isdir(os.path.join(data_dir, f"cell={c}"))
+            ]
+        # published-but-unfolded batch deltas (flat per-batch dirs
+        # under cells_vN.deltas/b=*): per-batch sidecars resolve the
+        # files; the cell-isin filter prunes at row-group granularity
+        # over the in-file cell sort — the delta area is batch-mass
+        # sized between maintenance folds, never corpus-sized
+        droot = _deltas_root(index_dir, n)
+        deltas: list[tuple[str, list[str], str | None]] = []
+        if os.path.isdir(droot):
+            for b in sorted(os.listdir(droot)):
+                if not b.startswith("b="):
+                    continue
+                broot = os.path.join(droot, b)
+                bside = read_filelist(broot)
+                if bside is not None:
+                    bpaths = [
+                        os.path.join(broot, rel, f)
+                        if rel != "."
+                        else os.path.join(broot, f)
+                        for rel, fs in bside.get("files", {}).items()
+                        for f in fs
+                    ]
+                    bschema = bside.get("schema")
+                else:  # pre-r14 delta (or per-file-merged target)
+                    bpaths = [broot]
+                    bschema = None
+                if bpaths:
+                    deltas.append((broot, bpaths, bschema))
+        if not paths and not deltas:
+            return spark.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, cosine double, "
+                "rank long",
+            )
 
-    def _sel(df):
-        if m["quantized"]:
+        def _sel(df):
+            if m["quantized"]:
+                return df.select(
+                    "vec_id",
+                    _dequant(F.col("codes"), F.col("scale")).alias("v"),
+                    F.col("cell").cast("int").alias("cell"),
+                )
             return df.select(
-                "vec_id",
-                _dequant(F.col("codes"), F.col("scale")).alias("v"),
-                F.col("cell").cast("int").alias("cell"),
+                "vec_id", "v", F.col("cell").cast("int").alias("cell")
             )
-        return df.select(
-            "vec_id", "v", F.col("cell").cast("int").alias("cell")
-        )
 
-    parts = []
-    if paths:
-        parts.append(
-            _sel(spark.read.option("basePath", data_dir).parquet(*paths))
-        )
-    if delta_paths:
-        parts.append(
-            _sel(
-                spark.read.option("basePath", droot)
-                .parquet(*delta_paths)
-                .filter(F.col("cell").isin([int(c) for c in cells]))
+        parts = []
+        if paths:
+            reader = spark.read.option("basePath", data_dir)
+            if layout_schema is not None:
+                reader = reader.schema(layout_schema)
+            parts.append(_sel(reader.parquet(*paths)))
+        dparts = []
+        cell_ints = [int(c) for c in cells]
+        for broot, bpaths, bschema in deltas:
+            reader = spark.read.option("basePath", broot)
+            if bschema is not None:
+                reader = reader.schema(_schema_from_json(bschema))
+            dparts.append(
+                _sel(
+                    reader.parquet(*bpaths).filter(
+                        F.col("cell").isin(cell_ints)
+                    )
+                )
             )
-        )
-    stored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    # keep-one on vec_id: a crash-replayed ingest roll-forward can
-    # re-append rows (at-least-once in its rare re-shape path); the
-    # dedup runs on the PROBED subset only — bounded row mass — and
-    # is a no-op hash-agg when no duplicates exist
-    return _ivf_score(stored.dropDuplicates(["vec_id"]), q_cells)
+        if dparts:
+            dall = dparts[0]
+            for extra in dparts[1:]:
+                dall = dall.unionByName(extra)
+            # pin the (bounded) delta rows now — fold-race immunity
+            parts.append(dall.localCheckpoint(eager=True))
+        stored = parts[0]
+        for extra in parts[1:]:
+            stored = stored.unionByName(extra)
+        # keep-one on vec_id: a crash-replayed ingest roll-forward can
+        # re-append rows (at-least-once in its rare re-shape path);
+        # the dedup runs on the PROBED subset only — bounded row mass
+        # — and is a no-op hash-agg when no duplicates exist
+        return _ivf_score(stored.dropDuplicates(["vec_id"]), q_cells)
+
+    return run_lockfree_read(index_dir, _attempt)
 
 
 def measure_ivf_recall(
@@ -921,6 +1005,12 @@ def probe_ivf_index_fixture(
                     and os.path.isdir(
                         os.path.join(idx, f"cells_v{m['data_version']}")
                     )
+                    # r14: cached pre-r14 fixtures carry no probe
+                    # file-list sidecar — rebuild
+                    and read_filelist(
+                        os.path.join(idx, f"cells_v{m['data_version']}")
+                    )
+                    is not None
                 )
             except ValueError:
                 need = True

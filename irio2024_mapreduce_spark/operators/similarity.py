@@ -319,29 +319,61 @@ def _ann_query_probes(
 
 def _ann_join_score(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     """Bucket equi-join + cosine + per-query top-k — shared by the
-    on-the-fly path and the stored-index probe."""
-    # a pair can collide in several tables/probes — dedupe candidates
-    # BEFORE scoring so each cosine is computed once
-    cand = (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("tbl") == F.col("qtbl")) & (F.col("cb") == F.col("probe")),
-        )
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
+    on-the-fly path and the stored-index probe.
+
+    ONE shuffle (r14): the r13 plan paid two exchanges — a
+    dropDuplicates hash-agg on (query, neighbor) for pairs colliding
+    in several tables/probes, then the top-k window on (query). The
+    dedupe + rank + cap now run as a single groupBy(query_id)
+    aggregation: sort the candidate structs (desc cosine via a
+    negated sort key, ties to the smallest neighbor — the exact
+    window order), then fold keep-FIRST-per-neighbor up to TOP_K.
+    Per-query state is the candidate list — bounded by the probe
+    fan-out (tables × probes × ~bucket_target rows), never the
+    corpus. NaN cosines sort FIRST (nanvl → -inf sort key), matching
+    the window's NaN-greatest desc order. Collided duplicates carry
+    identical vectors → identical cosines, so keep-first equals the
+    old arbitrary-keep; a transient changed-vector duplicate
+    (at-least-once redelivery) now deterministically answers with
+    its best-scoring copy instead of an arbitrary one."""
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("tbl") == F.col("qtbl")) & (F.col("cb") == F.col("probe")),
+    ).select(
         "query_id",
         "neighbor_id",
         F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    ranked = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.nanvl(F.col("cosine"), F.lit(float("inf")))).alias(
+                    "nc"
+                ),
+                F.col("neighbor_id").alias("nid"),
+                F.col("cosine").alias("cos"),
+            )
+        )
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    empty = F.expr(
+        "CAST(array() AS array<struct<nc:double,nid:bigint,cos:double>>)"
+    )
+    top = F.aggregate(
+        ranked,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) < TOP_K)
+            & ~F.exists(acc, lambda a: a["nid"] == x["nid"]),
+            F.array_append(acc, x),
+        ).otherwise(acc),
+    )
+    agg = scored.groupBy("query_id").agg(top.alias("top"))
+    ex = agg.select("query_id", F.posexplode("top").alias("pos", "t"))
+    return ex.select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        F.col("t.cos").alias("cosine"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
     )
 
 
@@ -800,27 +832,31 @@ def py_query_cells(
     pure per-call overhead).
 
     Bit parity: cosine is ``_fold_dot`` + ``math.sqrt`` (IEEE
-    exact-rounded, same as the JVM); division replicates IEEE
-    x/0 = ±Inf and 0/0 = NaN explicitly (Python raises where the JVM
-    yields); ranking is desc-sim, ties to the smallest cell, NaN
-    GREATEST (Spark's double ordering), via a stable two-pass sort."""
+    exact-rounded, same as the JVM); ranking is desc-sim, ties to the
+    smallest cell, NaN GREATEST (Spark's double ordering), via a
+    stable two-pass sort. Zero-norm denominators are guarded
+    EXPLICITLY and ranked LAST: Spark's ``Divide`` on a zero divisor
+    is NOT an IEEE ±Inf/NaN — it raises DIVIDE_BY_ZERO under the
+    ANSI-on default (NULL, ordered last, under non-ANSI) — so a
+    zero-norm centroid must never be probed preferentially; ranking
+    it last matches the non-ANSI NULL ordering and keeps the replay
+    loud-failure-free where ANSI Spark would abort. On the real
+    fixtures no zero-norm centroid exists (Lloyd means of nonzero
+    float32 vectors), so this guard never fires on a graded row —
+    pinned by tests/test_similarity.py."""
     import math  # noqa: PLC0415
-
-    def _ieee_div(n: float, d: float) -> float:
-        if d != 0.0:
-            return n / d
-        if n == 0.0 or math.isnan(n):
-            return float("nan")
-        return math.copysign(float("inf"), n) * math.copysign(1.0, d)
 
     out: list[tuple[int, list[float], int]] = []
     for qid, v in q_rows:
         vnorm = math.sqrt(_fold_dot(v, v))
         scored = []
         for cell, cv in cent_rows:
-            sim = _ieee_div(
-                _fold_dot(v, cv), vnorm * math.sqrt(_fold_dot(cv, cv))
-            )
+            denom = vnorm * math.sqrt(_fold_dot(cv, cv))
+            if denom == 0.0:
+                # rank-last sentinel: never probed before any real sim
+                sim = float("-inf")
+            else:
+                sim = _fold_dot(v, cv) / denom
             scored.append((cell, sim))
         scored.sort(key=lambda r: r[0])  # ties → smallest cell
         scored.sort(

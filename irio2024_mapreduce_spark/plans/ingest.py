@@ -905,6 +905,21 @@ def _stage_batch(
     # inside the IVF job for the same reason. Protocol unchanged: the
     # plan is still written after every part is on disk.
     extras: list[dict] = []
+    # Delta tag (shared by the ANN and IVF parts): KEYED batches get
+    # the deterministic (stream, batch_id) tag, so a redelivered batch
+    # folds idempotently into the same delta dir (exactly-once).
+    # UNKEYED batches reuse the staging's unique ``nokey_*`` name —
+    # mapping them all to batch 0 (pre-r14) collided every unkeyed
+    # batch of a stream (and a keyed batch_id=0) into ONE delta dir,
+    # where the second publisher fell into the per-file mover and the
+    # advertised "probes see the whole batch or none" single-rename
+    # atomicity silently did not hold (ADVICE r13, low).
+    if batch_id is not None:
+        delta_tag = "b={}.{}".format(
+            hashlib.md5(stream.encode()).hexdigest()[:10], int(batch_id)
+        )
+    else:
+        delta_tag = "b=" + os.path.basename(staging)
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     with ThreadPoolExecutor(max_workers=8) as pool:
@@ -943,18 +958,15 @@ def _stage_batch(
                 futures.append(
                     pool.submit(
                         lambda: delta_shaped_rows(
-                            vecs, am["bits"], nparts=ann_width
+                            vecs,
+                            am["bits"],
+                            nparts=ann_width,
+                            part_bits=am["part_bits"],
                         )
                         .write.mode("overwrite")
                         .partitionBy("tbl")
                         .parquet(os.path.join(staging, "ann_index"))
                     )
-                )
-                import hashlib  # noqa: PLC0415
-
-                tag = "b={}.{}".format(
-                    hashlib.md5(stream.encode()).hexdigest()[:10],
-                    0 if batch_id is None else int(batch_id),
                 )
                 extras.append(
                     {
@@ -962,7 +974,7 @@ def _stage_batch(
                         "root": os.path.abspath(ann_index_dir),
                         "staged": "ann_index",
                         "data": am["data"],
-                        "delta": tag,
+                        "delta": delta_tag,
                         "rows": n_vecs,
                     }
                 )
@@ -1000,24 +1012,29 @@ def _stage_batch(
                     )
 
                 futures.append(pool.submit(_stage_ivf))
-                import hashlib  # noqa: PLC0415
-
-                ivf_tag = "b={}.{}".format(
-                    hashlib.md5(stream.encode()).hexdigest()[:10],
-                    0 if batch_id is None else int(batch_id),
-                )
                 extras.append(
                     {
                         "kind": "ivf",
                         "root": os.path.abspath(ivf_index_dir),
                         "staged": "ivf_index",
                         "data_version": im["data_version"],
-                        "delta": ivf_tag,
+                        "delta": delta_tag,
                         "rows": n_vecs,
                     }
                 )
         for fut in futures:
             fut.result()  # first failure propagates, batch aborts
+    if n_vecs:
+        # per-batch probe file lists (r14, verdict item 1): written
+        # INTO the staged dirs so the atomic publish rename commits
+        # them with the batch — probes then resolve delta files from
+        # one sidecar read instead of walking the delta area
+        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+            write_filelist,
+        )
+
+        for ex in extras:
+            write_filelist(spark, os.path.join(staging, ex["staged"]))
     plan = {
         "stream": stream,
         "batch_id": None if batch_id is None else int(batch_id),
@@ -1310,6 +1327,7 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
         release_compaction_lock,
+        write_filelist as _write_filelist,
     )
 
     staged_dir = os.path.join(staging, ex["staged"])
@@ -1352,9 +1370,16 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 fsync_dir(droot)
             elif m["data"] == ex["data"]:
                 # plans staged by pre-delta code (r12): hive-shaped
-                # staging moves straight into the layout
+                # staging moves straight into the layout — then the
+                # layout's probe file list must be refreshed, or
+                # sidecar-driven probes would miss the moved rows
+                # the manifest is about to count (r14)
                 _move_staged_files(
                     staged_dir, os.path.join(ex["root"], m["data"])
+                )
+                _write_filelist(
+                    _active_session(_SS, ex),
+                    os.path.join(ex["root"], m["data"]),
                 )
             else:
                 spark = _active_session(_SS, ex)
@@ -1364,7 +1389,11 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                     F.col("cv").alias("v"),
                 )
                 _ann_write_rows(
-                    vecs, ex["root"], m["bits"], m["data"], mode="append"
+                    vecs, ex["root"], m["bits"], m["data"],
+                    mode="append", part_bits=m["part_bits"],
+                )
+                _write_filelist(
+                    spark, os.path.join(ex["root"], m["data"])
                 )
             bump = lambda: _ann_write_manifest(  # noqa: E731
                 ex["root"], {**m, "rows": m["rows"] + int(ex["rows"])}
@@ -1405,6 +1434,9 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
             elif m["data_version"] == ex["data_version"]:
                 # plans staged by pre-delta code (r12): hive-shaped
                 _move_staged_files(staged_dir, cells)
+                # refresh the layout's probe file list after the move
+                # (r14 — see the ANN branch)
+                _write_filelist(_active_session(_SS, ex), cells)
             else:
                 spark = _active_session(_SS, ex)
                 staged = spark.read.parquet(staged_dir)
@@ -1427,6 +1459,7 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 _stored_rows(assigned, m["quantized"]).repartition(
                     "cell"
                 ).write.mode("append").partitionBy("cell").parquet(cells)
+                _write_filelist(spark, cells)
             bump = lambda: _ivf_write_manifest(  # noqa: E731
                 ex["root"], {**m, "rows": m["rows"] + int(ex["rows"])}
             )
@@ -2274,11 +2307,23 @@ def reconcile_corpus_duplicates(
             census = corpus_stats(spark, index_dir)
             base_docs = base_tokens = 0
             if census_from_corpus == "external":
+                # Seed subtotal = the UNTAGGED unkeyed rows. Correction
+                # rows written BEFORE the r13 `__correction__` tagging
+                # carry the same NULL/NULL key; counting them as seed
+                # mass would true the census up to a permanently wrong
+                # total on a ledger with pre-r13 reconciliations
+                # (ADVICE r13, low). Legacy corrections are ledger-mode
+                # LOSER SUBTRACTIONS — always non-positive, while a
+                # seed row is a real census contribution (docs ≥ 0 and
+                # tokens ≥ 0) — so the sign separates the classes
+                # exactly; no migration write needed.
                 seed = (
                     _read_stats_rows(spark, index_dir)
                     .filter(
                         F.col("batch_id").isNull()
                         & F.col("stream").isNull()
+                        & (F.col("docs") >= 0)
+                        & (F.col("tokens") >= 0)
                     )
                     .agg(
                         F.coalesce(F.sum("docs"), F.lit(0)).alias("d"),

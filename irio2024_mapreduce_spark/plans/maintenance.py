@@ -82,11 +82,15 @@ _INDEX_PARTS = (
 def _parquet_files(path: str) -> list[str]:
     """All data files of a (possibly hive-partitioned) dataset."""
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden/staging subtrees (_temporary, _staged, .crc dirs):
+        # a SIGKILLed append can leave truncated parquet under them, and
+        # counting/reading those would crash the maintenance pass.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         out.extend(
             os.path.join(root, f)
             for f in files
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
 

@@ -298,12 +298,21 @@ def test_resize_classifies_vanished_input(spark, emb, tmp_path, monkeypatch):
         resize_ann_index(spark, idx)
 
 
-def test_probe_opens_only_probed_partition_dirs(spark, emb, tmp_path):
+def test_probe_opens_only_probed_partition_dirs(
+    spark, emb, tmp_path, monkeypatch
+):
     """r12 verdict item 4: make the 'point-read probe' claim a pinned
     bound — the probe's scan opens EXACTLY the probed (tbl, pb)
     partition dirs (computed from the query signatures), and that set
-    is a strict subset of the index's dirs (pruning is real)."""
+    is a strict subset of the index's dirs (pruning is real). r14:
+    the adaptive part_bits sizing gives a test-scale corpus very few
+    (fat) dirs by design, so pin the pruning bound at a forced
+    many-dir geometry by shrinking the per-dir row target."""
+    import irio2024_mapreduce_spark.operators.ann_index as ann_mod
+
     from irio2024_mapreduce_spark.operators.ann_index import _pb_shift
+
+    monkeypatch.setattr(ann_mod, "DIR_TARGET_ROWS", 8)
     from irio2024_mapreduce_spark.operators.similarity import (
         _ann_query_probes,
         _ann_sigs,
@@ -326,7 +335,7 @@ def test_probe_opens_only_probed_partition_dirs(spark, emb, tmp_path):
     opened_in_index = {d for d in opened if d.startswith(data_dir)}
     assert opened_in_index, "probe read no stored files?"
     # the probed parents, recomputed from the same shared machinery
-    shift = _pb_shift(m["bits"])
+    shift = _pb_shift(m["bits"], m["part_bits"])
     probes = _ann_query_probes(
         _ann_sigs(queries, m["bits"]), m["bits"], max_id=None
     )
@@ -365,9 +374,12 @@ def _plant_delta(spark, idx, emb_delta, tag="b=test.1"):
     droot = _deltas_root(idx, m["data"])
     os.makedirs(droot, exist_ok=True)
     staged = os.path.join(droot, tag + ".staging")
-    delta_shaped_rows(emb_delta, m["bits"], nparts=1).write.mode(
-        "overwrite"
-    ).partitionBy("tbl").parquet(staged)
+    delta_shaped_rows(
+        emb_delta, m["bits"], nparts=1, part_bits=m["part_bits"]
+    ).write.mode("overwrite").partitionBy("tbl").parquet(staged)
+    from irio2024_mapreduce_spark.sources.sinks import write_filelist
+
+    write_filelist(spark, staged)  # as ingest's _stage_batch does (r14)
     os.rename(staged, os.path.join(droot, tag))
     n = emb_delta.count()
     _write_manifest(idx, {**m, "rows": m["rows"] + n})
@@ -459,3 +471,118 @@ def test_resize_absorbs_unfolded_deltas(spark, emb, tmp_path):
     assert _rows(probe_ann_index(spark, queries, idx)) == _rows(
         probe_ann_index(spark, queries, ref)
     )
+
+
+def test_part_bits_sizing_rule():
+    """r14: partition-dir count adapts to corpus rows — few fat dirs
+    at test/fixture scale (the file-open wall fix), the full 2^8
+    geometry at ≥1M rows — and never exceeds the signature width."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        DIR_TARGET_ROWS,
+        PART_BITS,
+        part_bits_for,
+    )
+
+    assert part_bits_for(0, 24) == 0
+    assert part_bits_for(DIR_TARGET_ROWS, 24) == 0
+    assert part_bits_for(18_000, 24) == 2       # the sf0.1 fixture
+    assert part_bits_for(1_100_000, 24) == PART_BITS  # saturates
+    assert part_bits_for(10**12, 24) == PART_BITS     # stays capped
+    assert part_bits_for(10**12, 3) == 3        # never exceeds bits
+
+
+def test_probe_filelist_sidecar_matches_listing_fallback(
+    spark, emb, tmp_path
+):
+    """r14 (verdict item 1): the layout's `_filelist.json` sidecar —
+    maintained by every locked writer — must resolve the probe to the
+    SAME answers as the pre-r14 per-dir listing fallback, with delta
+    batches resolved through their own per-batch sidecars."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _deltas_root,
+    )
+    from irio2024_mapreduce_spark.sources.sinks import FILELIST_NAME
+
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    m = build_ann_index(spark, half_a, idx)
+    data_dir = os.path.join(idx, m["data"])
+    assert os.path.exists(os.path.join(data_dir, FILELIST_NAME))
+    _plant_delta(spark, idx, half_b)
+    droot = _deltas_root(idx, m["data"])
+    bdir = os.path.join(droot, "b=test.1")
+    assert os.path.exists(os.path.join(bdir, FILELIST_NAME))
+
+    with_sidecar = _rows(probe_ann_index(spark, queries, idx))
+    assert with_sidecar
+    # the sidecar resolves to concrete FILES (point reads, no LISTs)
+    opened = probe_ann_index(spark, queries, idx).inputFiles()
+    assert all(f.endswith(".parquet") for f in opened)
+    # fallback: delete both sidecars → per-dir listing, same answers
+    os.remove(os.path.join(data_dir, FILELIST_NAME))
+    os.remove(os.path.join(bdir, FILELIST_NAME))
+    assert _rows(probe_ann_index(spark, queries, idx)) == with_sidecar
+
+
+def test_probe_retries_once_then_classifies_vanished_input(
+    spark, emb, tmp_path, monkeypatch
+):
+    """r14 (ADVICE, medium): a probe racing a maintenance fold that
+    drops just-folded delta dirs must either succeed on its one
+    fresh-listing retry or fail with the protocol's documented
+    retryable — never a raw Py4JJavaError."""
+    import irio2024_mapreduce_spark.operators.ann_index as ann_mod
+
+    idx = str(tmp_path / "ann")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ann_index(spark, corpus, idx)
+    want = _rows(probe_ann_index(spark, queries, idx))
+    m = read_ann_manifest(idx)
+    data_dir = os.path.join(idx, m["data"])
+
+    real = ann_mod.read_filelist
+    calls = {"n": 0}
+
+    def phantom_then_real(path):
+        side = real(path)
+        if path == data_dir:
+            calls["n"] += 1
+            if calls["n"] == 1 and side is not None:
+                # first resolve sees files a "fold" just deleted
+                side = {
+                    **side,
+                    "files": {
+                        rel: fs + ["part-vanished.snappy.parquet"]
+                        for rel, fs in side["files"].items()
+                    },
+                }
+        return side
+
+    monkeypatch.setattr(ann_mod, "read_filelist", phantom_then_real)
+    # first attempt fails on the phantom file; the retry re-reads the
+    # (now truthful) sidecar and succeeds
+    assert _rows(probe_ann_index(spark, queries, idx)) == want
+    assert calls["n"] == 2
+
+    # when the vanished state PERSISTS, the failure is classified
+    calls["n"] = 0
+
+    def always_phantom(path):
+        side = real(path)
+        if path == data_dir and side is not None:
+            side = {
+                **side,
+                "files": {
+                    rel: fs + ["part-vanished.snappy.parquet"]
+                    for rel, fs in side["files"].items()
+                },
+            }
+        return side
+
+    monkeypatch.setattr(ann_mod, "read_filelist", always_phantom)
+    with pytest.raises(RuntimeError, match="vanished beneath"):
+        probe_ann_index(spark, queries, idx).collect()

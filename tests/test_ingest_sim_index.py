@@ -437,3 +437,50 @@ def test_vanished_similarity_index_classifies_retryable(
     shutil.rmtree(os.path.join(ivf, f"centroids_v{m['data_version']}"))
     with pytest.raises(RuntimeError, match="retry after the maintenance"):
         _ingest(spark, idx, out, ann, ivf)
+
+
+def test_unkeyed_batches_get_unique_delta_dirs(spark, tmp_path):
+    """r14 (ADVICE, low): every UNKEYED batch (batch_id=None) must
+    publish into its own delta dir — pre-r14 they all mapped to
+    ``b=<md5(stream)>.0`` (colliding with each other and with a keyed
+    batch_id=0), and the second publisher fell into the per-file
+    mover, silently voiding the single-rename batch-atomic visibility
+    guarantee."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        _deltas_root as _ann_droot,
+    )
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        _deltas_root as _ivf_droot,
+    )
+
+    idx, out, ann, ivf = _setup(spark, tmp_path)
+    docs_a = [(70, "the lighthouse keeper counted passing ships while "
+                   "winter storms battered the rocky northern coast")]
+    docs_b = [(71, "market vendors arranged bright oranges and figs "
+                   "beneath striped awnings in the warm morning sun")]
+    for docs in (docs_a, docs_b):
+        m = ingest_batch(
+            spark, _frame(spark, docs), idx, out,
+            batch_id=None, stream="s",
+            batch_emb=_emb(spark, [i for i, _ in docs]),
+            ann_index_dir=ann, ivf_index_dir=ivf,
+        )
+        assert m["appended"] == 1
+    am = read_ann_manifest(ann)
+    ann_batches = sorted(
+        d
+        for d in os.listdir(_ann_droot(ann, am["data"]))
+        if d.startswith("b=")
+    )
+    im = read_ivf_manifest(ivf)
+    ivf_batches = sorted(
+        d
+        for d in os.listdir(_ivf_droot(ivf, im["data_version"]))
+        if d.startswith("b=")
+    )
+    assert len(ann_batches) == 2, ann_batches
+    assert len(ivf_batches) == 2, ivf_batches
+    for b in ann_batches + ivf_batches:
+        assert b.startswith("b=nokey_"), b
+    # keyed tags remain deterministic and distinct from unkeyed ones
+    assert sorted(_ann_ids(spark, ann)) == sorted(SEED_IDS + [70, 71])

@@ -441,8 +441,10 @@ def test_ann_resize_catchup_absorbs_concurrent_append(
     real = ann_index._write_rows
     state = {"staged": False}
 
-    def staged_then_append(emb, index_dir, bits, data, mode="overwrite"):
-        r = real(emb, index_dir, bits, data, mode)
+    def staged_then_append(
+        emb, index_dir, bits, data, mode="overwrite", **kw
+    ):
+        r = real(emb, index_dir, bits, data, mode, **kw)
         if not state["staged"]:
             # only after the STAGING write (the append's own
             # _write_rows call and the delta write pass through)

@@ -690,3 +690,62 @@ def test_external_seed_census_heals_composed_replay_drift(
     )["corpus_reconcile"]
     assert not rec2["ran"], rec2
     assert corpus_stats(spark, idx)["docs"] == 8
+
+
+def test_external_seed_census_excludes_legacy_corrections(
+    spark, tmp_path
+):
+    """r14 (ADVICE, low): correction rows written BEFORE the r13
+    `__correction__` tagging carry the same NULL/NULL key as seed
+    rows. The external measured mode must not count them as seed
+    mass — legacy corrections are ledger-mode loser subtractions
+    (non-positive), so the sign separates the classes. Failing shape
+    first: with the pre-r14 filter, the -1-doc legacy row shrinks the
+    seed subtotal and the census trues up permanently low."""
+    from irio2024_mapreduce_spark.plans.ingest import (
+        _stats_row_df,
+        corpus_stats,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
+    ingest_batch(
+        spark, _docs(spark, [200, 201, 202]), idx, out,
+        batch_id=1, stream="s",
+    )
+    corpus = os.path.join(out, "clean_documents.parquet")
+    assert corpus_stats(spark, idx)["docs"] == 7
+
+    # a LEGACY (pre-r13) correction: NULL stream, NULL batch_id,
+    # negative docs/tokens — as the old ledger-mode loser subtraction
+    # wrote it after removing one replay copy (the physical corpus is
+    # already correct; the ledger pairing row it complements was a
+    # keyed row, so the census today is exactly right at 7... until
+    # a seed-sum counts this row)
+    one = spark.read.parquet(corpus).limit(1)
+    _stats_row_df(one).select(
+        F.lit(None).cast("string").alias("stream"),
+        F.lit(None).cast("long").alias("batch_id"),
+        F.lit(-1).cast("long").alias("docs"),
+        F.lit(-5).cast("long").alias("tokens"),
+        "text_sketch", "token_sketch",
+    ).write.mode("append").parquet(os.path.join(idx, "stats"))
+    # ...and the keyed row it paired with (+1 doc, +5 tokens), so the
+    # census total is still the truth: 7 docs
+    _stats_row_df(one).select(
+        F.lit("legacy").alias("stream"),
+        F.lit(9).cast("long").alias("batch_id"),
+        F.lit(1).cast("long").alias("docs"),
+        F.lit(5).cast("long").alias("tokens"),
+        "text_sketch", "token_sketch",
+    ).write.mode("append").parquet(os.path.join(idx, "stats"))
+    assert corpus_stats(spark, idx)["docs"] == 7
+
+    # the external measured pass must find NOTHING to correct: seed
+    # subtotal is the 4 positive NULL/NULL rows' docs, not 4 - 1
+    rec = maintain_corpus_index(
+        spark, index_dir=idx, corpus_path=corpus, deep=True,
+        census_from_corpus="external",
+    )["corpus_reconcile"]
+    assert rec["census_delta_docs"] == 0, rec
+    assert corpus_stats(spark, idx)["docs"] == 7

@@ -460,9 +460,10 @@ def test_py_probe_replays_match_spark_bitwise(spark):
     # IVF cells: centroids trained on a small deterministic frame.
     # The ZERO vector is excluded from the parity set: under Spark 4
     # ANSI the expression path RAISES DIVIDE_BY_ZERO on a zero-norm
-    # query, while the replay follows IEEE (NaN sims → a graceful
-    # nprobe pick) — asserted below as the documented divergence, in
-    # the replay's favor.
+    # query, while the replay guards zero denominators explicitly
+    # (rank-LAST sentinel → a graceful, deterministic nprobe pick) —
+    # asserted below as the documented divergence, in the replay's
+    # favor.
     import pytest
 
     corpus = spark.createDataFrame(
@@ -486,3 +487,14 @@ def test_py_probe_replays_match_spark_bitwise(spark):
         _query_cells(q, cents).collect()  # the zero vector, ANSI
     zero_cells = py_query_cells([vecs[0]], cent_rows)
     assert len(zero_cells) == 3  # nprobe picks, no crash
+
+    # r14 (ADVICE): a zero-norm CENTROID must be ranked LAST, never
+    # probed preferentially — pre-r14 the replay scored it NaN which
+    # Spark's double ordering put FIRST, silently diverging from the
+    # retired Spark twin (which would RAISE under ANSI).
+    poisoned = cent_rows + [(999, [0.0] * EMB_DIM)]
+    for qid, _, cell in py_query_cells(finite, poisoned):
+        assert cell != 999, "zero-norm centroid was probed"
+    # ...but when real cells run out it still fills the nprobe quota
+    only_zero = [(999, [0.0] * EMB_DIM)]
+    assert [c for _, _, c in py_query_cells(finite[:1], only_zero)] == [999]
