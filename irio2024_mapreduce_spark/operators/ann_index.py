@@ -171,6 +171,8 @@ def read_ann_manifest(index_dir: str) -> dict:
     # pre-r14 manifests carry no part_bits: their layout was written
     # at the fixed min(bits, PART_BITS) prefix
     m.setdefault("part_bits", min(int(m["bits"]), PART_BITS))
+    # pre-r14 indexes committed deltas by directory rename
+    m.setdefault("commit_mode", "rename")
     return m
 
 
@@ -214,11 +216,26 @@ def _deltas_root(index_dir: str, data: str) -> str:
 
 
 def _delta_files(
-    index_dir: str, data: str, tbl: int | None = None
+    index_dir: str,
+    data: str,
+    tbl: int | None = None,
+    mode: str = "rename",
 ) -> set[str]:
     """COMMITTED parquet files in the delta area (optionally one
     table's), hidden paths pruned — same discipline as
-    :func:`_tbl0_files`."""
+    :func:`_tbl0_files`.
+
+    r14 commit-seam semantics: a batch dir WITH a `_filelist.json`
+    sidecar contributes exactly its LISTED files — unlisted files are
+    either a keyed redelivery's duplicate copies (rename mode; the
+    listed originals already carry the whole batch) or an aborted
+    marker publish's garbage, and counting them would double rows or
+    admit partial batches. A sidecar-less dir is a pre-sidecar
+    rename-committed batch (walked whole) — except under
+    ``mode="marker"``, where the sidecar IS the commit marker and a
+    dir without one is an uncommitted in-flight/crashed publish
+    (skipped; its staged source still exists, so roll-forward or
+    redelivery is lossless)."""
     out: set[str] = set()
     droot = _deltas_root(index_dir, data)
     if not os.path.isdir(droot):
@@ -226,11 +243,26 @@ def _delta_files(
     for b in os.listdir(droot):
         if not b.startswith("b="):
             continue
-        scan = (
-            os.path.join(droot, b)
-            if tbl is None
-            else os.path.join(droot, b, f"tbl={tbl}")
-        )
+        bdir = os.path.join(droot, b)
+        side = read_filelist(bdir)
+        if side is not None:
+            # no exists-check: a listed file that vanished mid-read
+            # must fail LOUDLY (classified retryable) — silently
+            # dropping it from a resize/rebuild snapshot would lose
+            # committed vectors
+            for rel, names in side.get("files", {}).items():
+                if tbl is not None and rel != f"tbl={tbl}":
+                    continue
+                out.update(
+                    os.path.join(
+                        bdir, n if rel == "." else os.path.join(rel, n)
+                    )
+                    for n in names
+                )
+            continue
+        if mode == "marker":
+            continue  # uncommitted marker-mode publish
+        scan = bdir if tbl is None else os.path.join(bdir, f"tbl={tbl}")
         for root, dirs, files in os.walk(scan):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             out.update(
@@ -241,12 +273,14 @@ def _delta_files(
     return out
 
 
-def _corpus_tbl0_files(index_dir: str, data: str) -> set[str]:
+def _corpus_tbl0_files(
+    index_dir: str, data: str, mode: str = "rename"
+) -> set[str]:
     """The complete committed corpus-vector file set: the layout's
     ``tbl=0`` files plus the delta area's — the snapshot/delta unit of
     the resize catch-up protocol now that batches publish as deltas."""
     return _tbl0_files(os.path.join(index_dir, data)) | _delta_files(
-        index_dir, data, tbl=0
+        index_dir, data, tbl=0, mode=mode
     )
 
 
@@ -291,7 +325,9 @@ def fold_ann_deltas(spark: SparkSession, index_dir: str) -> dict:
     try:
         m = read_ann_manifest(index_dir)
         droot = _deltas_root(index_dir, m["data"])
-        files = _delta_files(index_dir, m["data"])
+        files = _delta_files(
+            index_dir, m["data"], mode=m["commit_mode"]
+        )
         if not files:
             return {"folded": 0, "batches": 0}
         batches = [
@@ -410,20 +446,34 @@ def _write_rows(
 
 def _next_data_name(index_dir: str, bits: int) -> tuple[str, int]:
     """Versioned data-dir name for a build/resize: ``rows_h{H}_v{N}``
-    with N = live data_version + 1 (IVF's discipline). Versioning the
-    name — not just the bits — means a rebuild NEVER writes into the
-    dir the live manifest references, even when the recomputed H
+    with N = max(live data_version, reserved_version) + 1. Versioning
+    the name — not just the bits — means a rebuild NEVER writes into
+    the dir the live manifest references, even when the recomputed H
     equals the stored bits: without it, Spark's overwrite
     deletes-then-rewrites the LIVE dir in place, so a crash mid-build
     leaves the committed manifest pointing at a missing/partial dir
-    and concurrent (lock-free) probes read a half-built index."""
+    and concurrent (lock-free) probes read a half-built index.
+
+    ``reserved_version`` (r14): a lock-free resize RESERVES its
+    target version under the index lock before staging directly at
+    the final versioned name — so a concurrent full build (which only
+    holds the index lock) can never pick the same name and interleave
+    writes with it. A crashed reservation just skips a version
+    number; the orphan dir is GC'd by the next maintenance pass.
+    This is what removed the stage→final DIRECTORY RENAME from the
+    version-swap protocol entirely (no atomic dir rename exists on
+    object storage; commit is the manifest flip in both modes)."""
     prior = 0
     if os.path.exists(_manifest_path(index_dir)):
         # raw read, NOT read_ann_manifest: a full build exists to
         # replace an index — including one whose constants no longer
         # validate
         with open(_manifest_path(index_dir)) as f:
-            prior = int(json.load(f).get("data_version", 0))
+            raw = json.load(f)
+        prior = max(
+            int(raw.get("data_version", 0)),
+            int(raw.get("reserved_version", 0)),
+        )
     n = prior + 1
     return f"rows_h{bits}_v{n}", n
 
@@ -434,15 +484,31 @@ def build_ann_index(
     index_dir: str,
     bits: int | None = None,
     bucket_target: int = DEFAULT_BUCKET_TARGET,
+    commit_mode: str | None = None,
 ) -> dict:
     """Build the stored index over ``emb`` (``vec_id``,
     ``v: array<double>``). ``bits`` defaults to the sizing rule at
     the corpus's CURRENT row count; the manifest records it so every
     probe signs its queries with the same H the index was built
-    with. Returns the manifest."""
+    with. Returns the manifest.
+
+    ``commit_mode`` (r14, recorded in the manifest so every writer
+    and reader of this index agrees): ``"rename"`` — per-batch delta
+    publishes commit via one atomic same-FS directory rename (the
+    POSIX fast path); ``"marker"`` — deltas are copied file-by-file
+    into place and commit by writing the batch's `_filelist.json`
+    sidecar LAST (one atomic single-object write — the pattern that
+    translates to object storage, where no atomic directory rename
+    exists); readers then treat a sidecar-less delta dir as
+    uncommitted. Defaults to $SPARK_GRAFT_COMMIT_MODE or rename."""
     rows = emb.count()
     h = bits or target_bits(rows, bucket_target)
     pb = part_bits_for(rows, h)
+    mode = commit_mode or os.environ.get(
+        "SPARK_GRAFT_COMMIT_MODE", "rename"
+    )
+    if mode not in ("rename", "marker"):
+        raise ValueError(f"unknown commit_mode {mode!r}")
     os.makedirs(index_dir, exist_ok=True)
     lock = acquire_compaction_lock(index_dir)
     try:
@@ -463,6 +529,7 @@ def build_ann_index(
             "data_version": n,
             "rows": rows,
             "bucket_target": bucket_target,
+            "commit_mode": mode,
         }
         _write_manifest(index_dir, manifest)  # the commit point
         _gc_orphan_data_dirs(index_dir, data)
@@ -612,6 +679,10 @@ def probe_ann_index(
                         for f in bmap.get(f"tbl={t}", ())
                     ]
                     bschema = bside.get("schema")
+                elif m["commit_mode"] == "marker":
+                    # sidecar IS the commit marker: no sidecar →
+                    # uncommitted in-flight/crashed publish — skip
+                    continue
                 else:  # pre-r14 delta (or per-file-merged target)
                     bpaths = [
                         p
@@ -701,12 +772,15 @@ def resize_ann_index(
     (probe-side keep-one absorbs it — the established redelivery
     semantics).
 
-    STAGING is under a unique ``stage_rows_*`` name renamed to the
-    versioned dir under the index lock AFTER the superseded check
-    (ADVICE r13-input, medium): ``build_ann_index`` holds only the
-    index lock and can compute the same versioned name from the same
-    manifest, so staging directly at it could interleave two writers'
-    overwrites into one corrupt committed dir.
+    The new version is written DIRECTLY at its final versioned name
+    after RESERVING that version in the manifest under the index lock
+    (r14, superseding the r13 stage_*→rename protocol): the
+    reservation makes the name exclusive — ``build_ann_index`` (which
+    holds only the index lock) computes its name as
+    max(data_version, reserved_version) + 1, so two writers can never
+    interleave overwrites into one dir — and the version swap needs
+    NO directory rename: the commit is the manifest flip in both
+    commit modes, the pattern that survives object storage.
 
     Retryable-failure boundary (ADVICE r12, low): the lock-free
     snapshot reads can fail with raw Py4JJavaErrors when files vanish
@@ -735,7 +809,9 @@ def _resize_ann_index_locked(
         data_dir = os.path.join(index_dir, m["data"])
         # snapshot unit: layout tbl=0 files PLUS the per-batch delta
         # area — deltas are committed corpus vectors (r13)
-        snapshot = _corpus_tbl0_files(index_dir, m["data"])
+        snapshot = _corpus_tbl0_files(
+            index_dir, m["data"], mode=m["commit_mode"]
+        )
         if not snapshot:
             # empty index: nothing to reshape (and an explicit-path
             # read needs at least one path)
@@ -768,7 +844,10 @@ def _resize_ann_index_locked(
                         "superseded": True, "rows": m2["rows"],
                     }
                 delta_n = _footer_file_rows(
-                    _corpus_tbl0_files(index_dir, m["data"]) - snapshot
+                    _corpus_tbl0_files(
+                        index_dir, m["data"], mode=m["commit_mode"]
+                    )
+                    - snapshot
                 )
                 _write_manifest(
                     index_dir,
@@ -781,32 +860,49 @@ def _resize_ann_index_locked(
             finally:
                 release_compaction_lock(lock)
             return {"bits": h2, "resized": False, "rows": rows + delta_n}
-        data2, n2 = _next_data_name(index_dir, h2)
-        # reshape + stage the new width OUTSIDE the index lock, under
-        # a unique name no concurrent full build can collide with
-        # (builds write only rows_h* names; the guard serializes
-        # stage writers)
-        stage = f"stage_{data2}.{os.getpid()}"
-        _write_rows(vecs, index_dir, h2, stage, part_bits=pb2)
+        # RESERVE the target version under the index lock, then write
+        # DIRECTLY at the final versioned name lock-free (r14,
+        # replacing the r13 stage_*→rename protocol): the reservation
+        # makes the name exclusive — a concurrent full build's
+        # _next_data_name skips past it — so no directory rename is
+        # needed anywhere in the version swap; the commit stays the
+        # manifest flip, which is the marker-file pattern that
+        # translates to object storage. A crash after reserving just
+        # skips a version number and leaves an orphan dir the next
+        # maintenance pass GCs.
+        lock = acquire_compaction_lock_patiently(index_dir)
+        try:
+            m1 = read_ann_manifest(index_dir)
+            if m1["data"] != m["data"]:
+                return {
+                    "bits_before": m["bits"], "bits": m1["bits"],
+                    "resized": False, "superseded": True,
+                    "rows": m1["rows"],
+                }
+            data2, n2 = _next_data_name(index_dir, h2)
+            _write_manifest(index_dir, {**m1, "reserved_version": n2})
+        finally:
+            release_compaction_lock(lock)
+        final = os.path.join(index_dir, data2)
+        _write_rows(vecs, index_dir, h2, data2, part_bits=pb2)
         lock = acquire_compaction_lock_patiently(index_dir)
         try:
             m2 = read_ann_manifest(index_dir)
             if m2["data"] != m["data"]:
                 # a concurrent full build replaced the index while we
-                # reshaped — abandon; the staged dir is a leftover the
-                # next guard-holder GCs
+                # reshaped — abandon; the written dir is a leftover
+                # the next guard-holder GCs
                 return {
                     "bits_before": m["bits"], "bits": m2["bits"],
                     "resized": False, "superseded": True,
                     "rows": m2["rows"],
                 }
-            # not superseded + index lock held: an existing data2 dir
-            # is a crashed writer's orphan — replace it with the stage
-            final = os.path.join(index_dir, data2)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.rename(os.path.join(index_dir, stage), final)
-            delta = _corpus_tbl0_files(index_dir, m["data"]) - snapshot
+            delta = (
+                _corpus_tbl0_files(
+                    index_dir, m["data"], mode=m["commit_mode"]
+                )
+                - snapshot
+            )
             delta_n = 0
             if delta:
                 # catch-up: rows appended during the reshape, shaped

@@ -132,6 +132,8 @@ def read_ivf_manifest(index_dir: str) -> dict:
             f"IVF index at {index_dir} does not match this engine "
             f"({detail}) — rebuild it with the current constants"
         )
+    # pre-r14 indexes committed deltas by directory rename
+    m.setdefault("commit_mode", "rename")
     return m
 
 
@@ -279,13 +281,21 @@ def build_ivf_index(
     index_dir: str,
     k_cells: int | None = None,
     quantize: bool = False,
+    commit_mode: str | None = None,
 ) -> dict:
     """Build the stored index over ``emb`` (``vec_id``,
     ``v: array<double>``): constant-cost training, ONE map-only
     assignment pass, cell-partitioned write, atomic manifest commit.
-    Returns the manifest."""
+    Returns the manifest. ``commit_mode``: see
+    :func:`ann_index.build_ann_index` — rename (POSIX fast path) vs
+    marker (object-storage delta publish; sidecar-last commit)."""
     rows = emb.count()
     k = k_cells or target_cells(rows)
+    mode = commit_mode or os.environ.get(
+        "SPARK_GRAFT_COMMIT_MODE", "rename"
+    )
+    if mode not in ("rename", "marker"):
+        raise ValueError(f"unknown commit_mode {mode!r}")
     os.makedirs(index_dir, exist_ok=True)
     lock = acquire_compaction_lock(index_dir)
     try:
@@ -294,9 +304,15 @@ def build_ivf_index(
             # raw read, NOT read_ivf_manifest: a full build exists to
             # replace an index — including one whose dim/constants no
             # longer validate, which is exactly when the operator is
-            # told to 'rebuild with the current constants'
+            # told to 'rebuild with the current constants'. Versions
+            # RESERVED by a lock-free rebuild are skipped (r14) so
+            # this locked write can never interleave with its staging.
             with open(_manifest_path(index_dir)) as f:
-                prior = int(json.load(f).get("data_version", 0))
+                raw = json.load(f)
+            prior = max(
+                int(raw.get("data_version", 0)),
+                int(raw.get("reserved_version", 0)),
+            )
         n = prior + 1
         _write_version(spark, emb, index_dir, f"v{n}", k, quantize)
         manifest = {
@@ -307,6 +323,7 @@ def build_ivf_index(
             "rows": rows,
             "quantized": quantize,
             "data_version": n,
+            "commit_mode": mode,
             "trained_imbalance": footer_imbalance(
                 os.path.join(index_dir, f"cells_v{n}")
             ),
@@ -354,9 +371,16 @@ def _deltas_root(index_dir: str, n: int) -> str:
     return os.path.join(index_dir, f"cells_v{n}{DELTAS_SUFFIX}")
 
 
-def _delta_files(index_dir: str, n: int) -> set[str]:
+def _delta_files(
+    index_dir: str, n: int, mode: str = "rename"
+) -> set[str]:
     """COMMITTED parquet files in the delta area, hidden paths pruned
-    (the ``_data_files`` discipline)."""
+    (the ``_data_files`` discipline). r14 commit-seam semantics — see
+    ``ann_index._delta_files``: a batch dir with a sidecar
+    contributes exactly its listed files (no exists-check — vanished
+    listed files must fail loudly, not silently shrink a rebuild
+    snapshot); a sidecar-less dir is walked in rename mode and
+    SKIPPED as uncommitted in marker mode."""
     out: set[str] = set()
     droot = _deltas_root(index_dir, n)
     if not os.path.isdir(droot):
@@ -364,7 +388,20 @@ def _delta_files(index_dir: str, n: int) -> set[str]:
     for b in os.listdir(droot):
         if not b.startswith("b="):
             continue
-        for root, dirs, files in os.walk(os.path.join(droot, b)):
+        bdir = os.path.join(droot, b)
+        side = read_filelist(bdir)
+        if side is not None:
+            for rel, names in side.get("files", {}).items():
+                out.update(
+                    os.path.join(
+                        bdir, nm if rel == "." else os.path.join(rel, nm)
+                    )
+                    for nm in names
+                )
+            continue
+        if mode == "marker":
+            continue  # uncommitted marker-mode publish
+        for root, dirs, files in os.walk(bdir):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             out.update(
                 os.path.join(root, f)
@@ -374,14 +411,16 @@ def _delta_files(index_dir: str, n: int) -> set[str]:
     return out
 
 
-def _corpus_cell_files(index_dir: str, n: int) -> set[str]:
+def _corpus_cell_files(
+    index_dir: str, n: int, mode: str = "rename"
+) -> set[str]:
     """The complete committed corpus file set of version ``n``: the
     cell-partitioned layout plus the per-batch delta area — the
     snapshot/delta unit of the rebuild catch-up protocol now that
     batches publish as deltas (r13)."""
     return _data_files(
         os.path.join(index_dir, f"cells_v{n}")
-    ) | _delta_files(index_dir, n)
+    ) | _delta_files(index_dir, n, mode=mode)
 
 
 def delta_stored_rows(
@@ -410,7 +449,7 @@ def fold_ivf_deltas(spark: SparkSession, index_dir: str) -> dict:
         m = read_ivf_manifest(index_dir)
         n = m["data_version"]
         droot = _deltas_root(index_dir, n)
-        files = _delta_files(index_dir, n)
+        files = _delta_files(index_dir, n, mode=m["commit_mode"])
         if not files:
             return {"folded": 0, "batches": 0}
         batches = [d for d in os.listdir(droot) if d.startswith("b=")]
@@ -532,14 +571,20 @@ def rebuild_ivf_index(
     the next quiesced deep pass — the publish path's established
     redelivery semantics (probe-side keep-one absorbs it).
 
-    STAGING is under a unique non-version name (``cells_stage.{pid}``)
-    renamed to ``cells_v{n}`` under the index lock AFTER the
-    superseded check (ADVICE r13-input, medium): ``build_ivf_index``
-    holds only the index lock and computes the same n from the same
-    manifest, so staging directly at ``cells_v{n}`` could interleave
-    with a racing full build's overwrite of the identical dirs — one
-    writer's centroids committed with the other's cell assignments,
-    undetectable by the data_version equality check.
+    The new version is written DIRECTLY at its final ``cells_v{n}`` /
+    ``centroids_v{n}`` names after RESERVING ``n`` in the manifest
+    under the index lock (r14, superseding the r13 stage.*→rename
+    protocol): ``build_ivf_index`` picks its version as
+    max(data_version, reserved_version) + 1, so a racing full build
+    can never overwrite the dirs this rebuild is staging — one
+    writer's centroids committed with the other's cell assignments
+    was the r13 collision the stage names guarded against — and the
+    version swap needs NO directory rename: the commit is the
+    manifest flip in both commit modes (the object-storage-safe
+    marker pattern). A racing build's orphan GC can still delete a
+    superseded rebuild's half-written dirs — that failure classifies
+    to the documented retryable below, and the rebuild was abandoned
+    at its superseded check anyway.
 
     Retryable-failure boundary (ADVICE r12, low): the lock-free
     snapshot reads can fail with raw Py4JJavaErrors when files vanish
@@ -569,7 +614,9 @@ def _rebuild_ivf_index_locked(
         data_dir = os.path.join(index_dir, f"cells_v{m['data_version']}")
         # snapshot unit: the layout PLUS the per-batch delta area —
         # deltas are committed corpus vectors (r13)
-        snapshot = _corpus_cell_files(index_dir, m["data_version"])
+        snapshot = _corpus_cell_files(
+            index_dir, m["data_version"], mode=m["commit_mode"]
+        )
         if not snapshot:
             # empty index: nothing to rebuild (and an explicit-path
             # read needs at least one path)
@@ -596,7 +643,10 @@ def _rebuild_ivf_index_locked(
                         "dups_removed": 0,
                     }
                 delta_n = _footer_file_rows(
-                    _corpus_cell_files(index_dir, m["data_version"])
+                    _corpus_cell_files(
+                        index_dir, m["data_version"],
+                        mode=m["commit_mode"],
+                    )
                     - snapshot
                 )
                 _write_manifest(
@@ -612,36 +662,51 @@ def _rebuild_ivf_index_locked(
                 "k_cells": k, "rebuilt": False, "rows": rows + delta_n,
                 "dups_removed": 0,
             }
-        n = m["data_version"] + 1
-        # train + stage OUTSIDE the index lock, under a unique name no
-        # concurrent full build can collide with (builds write only
-        # cells_v*/centroids_v*; the guard serializes stage writers)
-        stage = f"stage.{os.getpid()}"
-        _write_version(spark, vecs, index_dir, stage, k, m["quantized"])
+        # RESERVE the target version under the index lock, then train
+        # + write DIRECTLY at the final versioned names lock-free
+        # (r14, replacing the r13 stage.*→rename protocol): the
+        # reservation makes the version exclusive — a concurrent full
+        # build's version pick skips past it — so the swap needs NO
+        # directory rename; the commit stays the manifest flip (the
+        # marker pattern that survives object storage). A crash after
+        # reserving skips a version number and leaves orphan dirs the
+        # next maintenance pass GCs.
+        lock = acquire_compaction_lock_patiently(index_dir)
+        try:
+            m1 = read_ivf_manifest(index_dir)
+            if m1["data_version"] != m["data_version"]:
+                return {
+                    "k_before": m["k_cells"], "k_cells": k,
+                    "rebuilt": False, "superseded": True,
+                    "rows": m1["rows"], "dups_removed": 0,
+                }
+            n = (
+                max(
+                    m1["data_version"],
+                    int(m1.get("reserved_version", 0)),
+                )
+                + 1
+            )
+            _write_manifest(index_dir, {**m1, "reserved_version": n})
+        finally:
+            release_compaction_lock(lock)
+        _write_version(spark, vecs, index_dir, f"v{n}", k, m["quantized"])
         lock = acquire_compaction_lock_patiently(index_dir)
         try:
             m2 = read_ivf_manifest(index_dir)
             if m2["data_version"] != m["data_version"]:
                 # a concurrent full build replaced the index while we
-                # trained — abandon; the staged dirs are leftovers the
-                # next guard-holder GCs
+                # trained — abandon; the written dirs are leftovers
+                # the next guard-holder GCs
                 return {
                     "k_before": m["k_cells"], "k_cells": k,
                     "rebuilt": False, "superseded": True,
                     "rows": m2["rows"], "dups_removed": 0,
                 }
-            # not superseded + index lock held: any existing v{n} dirs
-            # are a crashed writer's orphans — replace them with the
-            # staged version atomically-per-dir
-            for prefix in ("cells", "centroids"):
-                final = os.path.join(index_dir, f"{prefix}_v{n}")
-                if os.path.isdir(final):
-                    shutil.rmtree(final)
-                os.rename(
-                    os.path.join(index_dir, f"{prefix}_{stage}"), final
-                )
             delta = (
-                _corpus_cell_files(index_dir, m["data_version"])
+                _corpus_cell_files(
+                    index_dir, m["data_version"], mode=m["commit_mode"]
+                )
                 - snapshot
             )
             delta_n = 0
@@ -697,7 +762,9 @@ def _read_vectors(
 ) -> DataFrame:
     """(vec_id, v) from the live version's COMPLETE committed set —
     layout plus unfolded deltas — dequantizing if needed."""
-    files = _corpus_cell_files(index_dir, m["data_version"])
+    files = _corpus_cell_files(
+        index_dir, m["data_version"], mode=m["commit_mode"]
+    )
     return _read_vector_files(spark, sorted(files), m)
 
 
@@ -800,6 +867,10 @@ def probe_ivf_index(
                         for f in fs
                     ]
                     bschema = bside.get("schema")
+                elif m["commit_mode"] == "marker":
+                    # sidecar IS the commit marker: no sidecar →
+                    # uncommitted in-flight/crashed publish — skip
+                    continue
                 else:  # pre-r14 delta (or per-file-merged target)
                     bpaths = [broot]
                     bschema = None

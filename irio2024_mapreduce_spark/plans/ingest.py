@@ -1326,6 +1326,7 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
     from pyspark.sql import SparkSession as _SS  # noqa: PLC0415
 
     from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+        publish_delta_marker as _publish_delta_marker,
         release_compaction_lock,
         write_filelist as _write_filelist,
     )
@@ -1354,16 +1355,20 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
 
             m = read_ann_manifest(ex["root"])
             if m["data"] == ex["data"] and "delta" in ex:
-                # fast path (r13): ONE atomic rename of the staged
-                # per-batch dir into the live delta area — probes see
-                # the whole batch or none of it, and the rename is
-                # idempotent under roll-forward (a deterministic
-                # (stream, batch) tag; a crashed predecessor's partial
-                # target absorbs the rest via the per-file mover)
+                # fast path (r13): commit the staged per-batch dir
+                # into the live delta area — probes see the whole
+                # batch or none of it. RENAME mode: one atomic dir
+                # rename (POSIX); a crashed predecessor's partial
+                # target absorbs the rest via the per-file mover.
+                # MARKER mode (r14): files placed first, the batch
+                # sidecar written last IS the commit — the protocol
+                # that survives object storage (no dir rename).
                 droot = _deltas_root(ex["root"], m["data"])
                 os.makedirs(droot, exist_ok=True)
                 target = os.path.join(droot, ex["delta"])
-                if os.path.isdir(target):
+                if m["commit_mode"] == "marker":
+                    _publish_delta_marker(staged_dir, target)
+                elif os.path.isdir(target):
                     _move_staged_files(staged_dir, target)
                 else:
                     os.rename(staged_dir, target)
@@ -1414,8 +1419,8 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 ex["root"], f"cells_v{m['data_version']}"
             )
             if m["data_version"] == ex["data_version"] and "delta" in ex:
-                # fast path (r13): one atomic rename into the live
-                # delta area — the ANN publish discipline
+                # fast path (r13/r14): the ANN publish discipline —
+                # rename mode or marker mode per the manifest
                 from irio2024_mapreduce_spark.operators.ivf_index import (  # noqa: PLC0415
                     _deltas_root as _ivf_deltas_root,
                 )
@@ -1426,7 +1431,9 @@ def _publish_similarity_index(staging: str, ex: dict) -> None:
                 droot = _ivf_deltas_root(ex["root"], m["data_version"])
                 os.makedirs(droot, exist_ok=True)
                 target = os.path.join(droot, ex["delta"])
-                if os.path.isdir(target):
+                if m["commit_mode"] == "marker":
+                    _publish_delta_marker(staged_dir, target)
+                elif os.path.isdir(target):
                     _move_staged_files(staged_dir, target)
                 else:
                     os.rename(staged_dir, target)

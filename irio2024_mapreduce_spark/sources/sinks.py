@@ -775,3 +775,67 @@ def run_lockfree_read(index_dir: str, attempt):
         except Exception as e2:
             reraise_if_vanished_input(e2, index_dir)
             raise
+
+
+def publish_delta_marker(staged_dir: str, target: str) -> None:
+    """Marker-mode delta publish (r14, VERDICT r13 item 2): commit a
+    staged per-batch delta dir WITHOUT a directory rename — the
+    primitive that does not exist on object storage. Data files are
+    placed at their final names first (hardlink locally — the
+    stand-in for an object-store server-side copy/PUT; idempotent
+    under roll-forward via exists-checks), the touched dirs are
+    fsynced, and the batch's `_filelist.json` sidecar is written LAST
+    with one atomic single-object write — THE commit. Readers of a
+    marker-mode index treat a sidecar-less delta dir as uncommitted
+    and its unlisted files as garbage, so visibility is still whole
+    batch or none. Runs under the index lock (the caller's), like the
+    rename it replaces."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    dst_side = _os.path.join(target, FILELIST_NAME)
+    if _os.path.exists(dst_side):
+        return  # a sibling/predecessor already committed this batch
+    src_side = _os.path.join(staged_dir, FILELIST_NAME)
+    if _os.path.exists(src_side):
+        with open(src_side) as f:
+            content = f.read()
+    else:
+        # a plan staged without a sidecar (defensive): commit with a
+        # files-only marker built from the staged walk
+        files: dict[str, list[str]] = {}
+        for root, dirs, names in _os.walk(staged_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            keep = sorted(
+                n
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+            if keep:
+                files[_os.path.relpath(root, staged_dir)] = keep
+        content = _json.dumps({"version": 1, "files": files}, indent=1)
+    touched: set[str] = set()
+    for root, dirs, names in _os.walk(staged_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = _os.path.relpath(root, staged_dir)
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith(
+                ("_", ".")
+            ):
+                continue
+            out_dir = (
+                target if rel == "." else _os.path.join(target, rel)
+            )
+            _os.makedirs(out_dir, exist_ok=True)
+            dst = _os.path.join(out_dir, name)
+            if not _os.path.exists(dst):
+                try:
+                    _os.link(_os.path.join(root, name), dst)
+                except OSError:
+                    _shutil.copy2(_os.path.join(root, name), dst)
+            touched.add(out_dir)
+    for d in sorted(touched):
+        fsync_dir(d)
+    _os.makedirs(target, exist_ok=True)
+    atomic_write_file(dst_side, content)  # THE commit point
