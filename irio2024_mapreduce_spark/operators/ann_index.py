@@ -67,6 +67,7 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
     acquire_compaction_lock_patiently,
     atomic_write_file,
+    consume_fold_crash_flag,
     read_filelist,
     release_compaction_lock,
     reraise_if_vanished_input,
@@ -359,6 +360,7 @@ def fold_ann_deltas(spark: SparkSession, index_dir: str) -> dict:
         # the layout but still present in the (undropped) delta dirs —
         # probes stay complete, duplicates absorbed by keep-one
         write_filelist(spark, data_dir)
+        consume_fold_crash_flag("ann")  # soak fault injection (no-op in prod)
         for b in batches:
             shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
         return {"folded": n, "batches": len(batches)}

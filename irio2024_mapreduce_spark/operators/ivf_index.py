@@ -61,6 +61,7 @@ from irio2024_mapreduce_spark.sources.sinks import (
     acquire_compaction_lock,
     acquire_compaction_lock_patiently,
     atomic_write_file,
+    consume_fold_crash_flag,
     read_filelist,
     release_compaction_lock,
     reraise_if_vanished_input,
@@ -474,6 +475,7 @@ def fold_ivf_deltas(spark: SparkSession, index_dir: str) -> dict:
         # crash-shape argument: folded-but-undropped rows stay
         # probe-visible through the delta dirs)
         write_filelist(spark, data_dir)
+        consume_fold_crash_flag("ivf")  # soak fault injection (no-op in prod)
         for b in batches:
             shutil.rmtree(os.path.join(droot, b), ignore_errors=True)
         return {"folded": cnt, "batches": len(batches)}

@@ -839,3 +839,32 @@ def publish_delta_marker(staged_dir: str, target: str) -> None:
         fsync_dir(d)
     _os.makedirs(target, exist_ok=True)
     atomic_write_file(dst_side, content)  # THE commit point
+
+
+def consume_fold_crash_flag(kind: str) -> None:
+    """FAULT INJECTION for the chaos soak (VERDICT r13 item 6): die
+    like a SIGKILL between a maintenance fold's dynamic-partition
+    append and its delta-root drop — the one crash window the
+    single-process kill matrices pin but the multi-process soak had
+    never exercised live. Armed by the orchestrator touching the file
+    named in ``SPARK_GRAFT_FOLD_CRASH_FLAG``; ONE-SHOT (the flag is
+    consumed before dying, so the restarted worker's re-fold
+    completes). ``os._exit`` skips every ``finally:`` — no lock
+    release, no delta drop — exactly a SIGKILL's shape; the advisory
+    flocks release with the process like any kill. A no-op in
+    production (env unset)."""
+    import os as _os
+    import time as _time
+
+    flag = _os.environ.get("SPARK_GRAFT_FOLD_CRASH_FLAG")
+    if not flag or not _os.path.exists(flag):
+        return
+    try:
+        _os.unlink(flag)
+    except FileNotFoundError:
+        return  # a concurrent fold consumed it first
+    with open(flag + ".log", "a") as f:
+        f.write(f"{kind} {_os.getpid()} {_time.time()}\n")
+        f.flush()
+        _os.fsync(f.fileno())
+    _os._exit(137)

@@ -749,3 +749,50 @@ def test_external_seed_census_excludes_legacy_corrections(
     )["corpus_reconcile"]
     assert rec["census_delta_docs"] == 0, rec
     assert corpus_stats(spark, idx)["docs"] == 7
+
+
+def test_fold_crash_flag_is_one_shot_sigkill_analog(tmp_path):
+    """The chaos soak's fold-crash kill point (VERDICT r13 item 6):
+    armed flag -> the process dies with exit 137 at the hook, the
+    flag is consumed (one-shot, so the restarted worker's re-fold
+    survives), and the consumption is logged with the index kind.
+    Unset env / absent flag are no-ops."""
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from irio2024_mapreduce_spark.sources.sinks import (
+        consume_fold_crash_flag,
+    )
+
+    # no env: no-op (also exercised implicitly by every fold test)
+    consume_fold_crash_flag("ann")
+
+    flag = str(tmp_path / "flag")
+    prog = (
+        "from irio2024_mapreduce_spark.sources.sinks import "
+        "consume_fold_crash_flag as c; c('ann'); print('survived')"
+    )
+    env = dict(os.environ, SPARK_GRAFT_FOLD_CRASH_FLAG=flag)
+
+    # armed: dies 137 before reaching the drop (and before print)
+    with open(flag, "w") as f:
+        f.write("armed\n")
+    p = subprocess.run(
+        [sys.executable, "-c", prog], env=env, cwd=repo_root,
+        capture_output=True, text=True, timeout=60,
+    )
+    assert p.returncode == 137, (p.returncode, p.stderr)
+    assert "survived" not in p.stdout
+    assert not os.path.exists(flag)  # consumed
+    with open(flag + ".log") as f:
+        kinds = [ln.split()[0] for ln in f.read().splitlines()]
+    assert kinds == ["ann"]
+
+    # disarmed (flag consumed): the restarted worker survives
+    p2 = subprocess.run(
+        [sys.executable, "-c", prog], env=env, cwd=repo_root,
+        capture_output=True, text=True, timeout=60,
+    )
+    assert p2.returncode == 0 and "survived" in p2.stdout

@@ -258,6 +258,7 @@ def run_ingest_worker(root: str, stream: str, batches: int, docs: int):
 STREAM_SRC = "stream_src"
 STREAM_DONE = "stream_done"
 DEEP_FIRE_LOG = "deep_fires"
+FOLD_CRASH_FLAG = "fold_crash_flag"
 
 
 def _write_source_file(spark, src: str, b: int, rows) -> None:
@@ -438,6 +439,13 @@ def _spawn(role: str, root: str, **kw) -> subprocess.Popen:
         SPARK_GRAFT_CPUS="6",
         SPARK_GRAFT_SHUFFLE_PARTITIONS="8",
     )
+    if role == "maint":
+        # fold-crash fault injection (VERDICT r13 item 6): the worker
+        # dies SIGKILL-style between a fold's append and its delta
+        # drop whenever the orchestrator has armed the flag file
+        env["SPARK_GRAFT_FOLD_CRASH_FLAG"] = os.path.join(
+            root, FOLD_CRASH_FLAG
+        )
     return subprocess.Popen(
         argv, env=env, cwd=REPO,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -666,6 +674,13 @@ def orchestrate(args) -> None:
     import tempfile
 
     t_start = time.time()
+    if args.commit_mode != "rename":
+        # the object-storage commit seam (r14): every index built by
+        # the seed fixture records this mode and every publisher /
+        # fold / swap in every worker (env inherited via _spawn)
+        # commits via the marker protocol instead of dir renames —
+        # the soak then SIGKILLs THAT protocol's windows
+        os.environ["SPARK_GRAFT_COMMIT_MODE"] = args.commit_mode
     root = tempfile.mkdtemp(prefix="chaos_ingest_")
     print(f"chaos root: {root}", file=sys.stderr)
     _seed_fixture(root, args.streams)
@@ -703,6 +718,14 @@ def orchestrate(args) -> None:
     deadline = time.time() + args.max_minutes * 60
     prep_done = os.path.join(root, "prep_done")
     fire_log = os.path.join(root, DEEP_FIRE_LOG)
+    fold_flag = os.path.join(root, FOLD_CRASH_FLAG)
+    fold_log = fold_flag + ".log"
+
+    def fold_crash_kinds() -> list[str]:
+        if not os.path.exists(fold_log):
+            return []
+        with open(fold_log) as f:
+            return [ln.split()[0] for ln in f.read().splitlines() if ln]
 
     def deep_fire_counts() -> tuple[int, int]:
         if not os.path.exists(fire_log):
@@ -718,14 +741,24 @@ def orchestrate(args) -> None:
     try:
         while True:
             fires, fire_dones = deep_fire_counts()
+            fold_crashes = len(fold_crash_kinds())
             if (
                 kills >= args.kills
                 and os.path.exists(prep_done)
                 and fires >= args.deep_fires_min
                 and fire_dones >= 1
                 and stream_kills >= args.stream_kills_min
+                and fold_crashes >= args.fold_crashes_min
             ):
                 break
+            # arm the fold-crash kill point (one-shot per arming; the
+            # maint worker consumes the flag and dies between a fold's
+            # append and its delta drop — VERDICT r13 item 6)
+            if fold_crashes < args.fold_crashes_min and not os.path.exists(
+                fold_flag
+            ):
+                with open(fold_flag, "w") as f:
+                    f.write("armed\n")
             if time.time() > deadline:
                 raise RuntimeError("soak wall-clock budget exhausted")
             time.sleep(rng.uniform(1.5, 4.0))
@@ -784,6 +817,12 @@ def orchestrate(args) -> None:
             )
 
         # quiesce: no more kills; workers finish their final pass
+        # (disarm the fold-crash point first — the final maintenance
+        # pass and the verifier must run crash-free)
+        try:
+            os.unlink(fold_flag)
+        except FileNotFoundError:
+            pass  # unarmed, or a fold consumed it this instant
         with open(_stop_flag(root), "w") as f:
             f.write("stop\n")
         worker_rcs = {}
@@ -818,6 +857,8 @@ def orchestrate(args) -> None:
     result = {
         "kills": kills,
         "stream_kills": stream_kills,
+        "commit_mode": args.commit_mode,
+        "fold_crashes": fold_crash_kinds(),
         "deep_fires_started_under_fire": fires,
         "deep_fires_completed": fire_dones,
         "streams": args.streams,
@@ -854,6 +895,10 @@ def main() -> None:
     ap.add_argument("--kills", type=int, default=20)
     ap.add_argument("--deep-fires-min", type=int, default=3)
     ap.add_argument("--stream-kills-min", type=int, default=3)
+    ap.add_argument("--fold-crashes-min", type=int, default=1)
+    ap.add_argument(
+        "--commit-mode", default="rename", choices=("rename", "marker")
+    )
     ap.add_argument("--deep-fire", type=int, default=0)
     ap.add_argument("--max-minutes", type=float, default=30.0)
     ap.add_argument(

@@ -118,26 +118,44 @@ def run(spark, n_docs: int) -> dict:
     # interleaved pairs bounds the residual bias in the CONSERVATIVE
     # direction (the base arm holds the warmest slot, so if anything
     # the reported overhead is slightly overstated)
-    pairs = int(os.environ.get("SIM_PAIRS", "2"))
-    setups = {
-        "base": [fresh_setup(False) for _ in range(pairs)],
-        "integ": [fresh_setup(True) for _ in range(pairs)],
-    }
-    base_times, integ_times = [], []
-    for p in range(pairs):
+    #
+    # Load-awareness (r14, VERDICT r13 item 5): every r13 reading was
+    # host-load noise around the true overhead. A pair measured under
+    # a background-load burst has an inflated base arm, so pairs
+    # whose base deviates > 15% from the observed base MIN are
+    # REJECTED and replaced (up to SIM_MAX_PAIRS) until SIM_PAIRS
+    # accepted pairs exist; the reported overhead uses accepted arms
+    # only, and rejections ship in the artifact.
+    pairs_target = int(os.environ.get("SIM_PAIRS", "2"))
+    max_pairs = int(os.environ.get("SIM_MAX_PAIRS", "6"))
+    tol = 1.15
+    pair_recs: list[dict] = []
+    first_integ = None
+    while len(pair_recs) < max_pairs:
+        p = len(pair_recs)
+        setups = {"base": fresh_setup(False), "integ": fresh_setup(True)}
+        if first_integ is None:
+            first_integ = setups["integ"]
         # ABBA chain (A B | B A | A B ...): alternating pair order so
-        # neither arm systematically holds the warmer slot; with the
-        # default 2 pairs this is exactly A B B A — base takes the
-        # coldest AND warmest slots, biasing the reported overhead
-        # conservative (r11 discipline)
-        order = (
-            ("base", "integ") if p % 2 == 0 else ("integ", "base")
-        )
+        # neither arm systematically holds the warmer slot — base
+        # takes the coldest AND warmest slots, biasing the reported
+        # overhead conservative (r11 discipline)
+        rec = {}
+        order = ("base", "integ") if p % 2 == 0 else ("integ", "base")
         for arm in order:
-            sec = timed_ingest(setups[arm][p])
-            (base_times if arm == "base" else integ_times).append(sec)
+            rec[arm] = timed_ingest(setups[arm])
+        pair_recs.append(rec)
+        base_min = min(r["base"] for r in pair_recs)
+        accepted = [r for r in pair_recs if r["base"] <= tol * base_min]
+        if len(accepted) >= pairs_target:
+            break
+    base_min = min(r["base"] for r in pair_recs)
+    accepted = [r for r in pair_recs if r["base"] <= tol * base_min]
+    rejected = [r for r in pair_recs if r["base"] > tol * base_min]
+    base_times = [r["base"] for r in accepted]
+    integ_times = [r["integ"] for r in accepted]
     base_sec, integ_sec = min(base_times), min(integ_times)
-    _, _, ann, ivf = setups["integ"][0]
+    _, _, ann, ivf = first_integ
 
     # post-ingest probes answer over the FULL corpus: an exact-vector
     # query's top-1 must be the ingested doc at cosine 1.0
@@ -160,6 +178,13 @@ def run(spark, n_docs: int) -> dict:
         "ingest_base_times": base_times,
         "ingest_with_indexes_times": integ_times,
         "index_overhead_frac": round(integ_sec / base_sec - 1, 3),
+        "load_rejection_rule": (
+            f"pair accepted iff base_sec <= {tol} * min(base_sec); "
+            "rejected pairs replaced up to SIM_MAX_PAIRS"
+        ),
+        "pairs_run": len(pair_recs),
+        "pairs_accepted": len(accepted),
+        "rejected_pairs": rejected,
         "post_ingest_probe_parity": True,
     }
 

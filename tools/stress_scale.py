@@ -187,10 +187,277 @@ def build_scaled_corpus(spark, base: str, n: int) -> str:
     return stage
 
 
+
+
+# ------------------------------------------------- r14 scaling curve
+# VERDICT r13 item 4: the banded/bucketed linearity claims, measured
+# as a CURVE instead of design prose. Synthesized corpora (seeds
+# pinned below) at 5k/15k/50k docs+vectors; per point: the graded
+# dedup family's walls, the stored probes' build-vs-probe
+# decomposition, candidate-pair counts, and cap-hit rates.
+CURVE_POINTS = (5_000, 15_000, 50_000)
+CURVE_SEED = 14
+CURVE_QUERIES = [
+    "dedup_near_md5",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "probe_ann_index",
+    "probe_ivf_index",
+]
+
+
+def synth_curve_corpus(spark, n_docs: int, seed: int = CURVE_SEED) -> str:
+    """Deterministic synthetic corpus: ~65% unique base docs (zipf-ish
+    vocabulary draws), the rest exact (45%) / near (55%, ~8% token
+    mutations) copies of random base docs — the crawl-data shape the
+    dedup family exists for. Embeddings: 32 gaussian cluster centers
+    + per-vector noise (vec_id 0..9 double as the probe query set,
+    like the driver's testdata)."""
+    import itertools
+    import random as _random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = _random.Random(seed * 1_000_003 + n_docs)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+    cum = list(
+        itertools.accumulate(1.0 / (i + 10) for i in range(len(vocab)))
+    )
+    n_base = int(n_docs * 0.65)
+    texts = [
+        " ".join(
+            rng.choices(vocab, cum_weights=cum, k=rng.randint(30, 120))
+        )
+        for _ in range(n_base)
+    ]
+    docs = list(texts)
+    while len(docs) < n_docs:
+        src = texts[rng.randrange(n_base)]
+        if rng.random() < 0.45:
+            docs.append(src)  # exact duplicate
+        else:
+            toks = src.split()
+            for _ in range(max(1, len(toks) // 12)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append(" ".join(toks))  # near duplicate
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype="int64"),
+            "text": docs,
+            "lang": "en",
+            "source": [f"src{i % 7}" for i in range(n_docs)],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    stage = tempfile.mkdtemp(prefix=f"curve_{n_docs}_")
+    spark.createDataFrame(pdf).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "documents.parquet"))
+
+    from irio2024_mapreduce_spark.operators.similarity import EMB_DIM as _D
+
+    nrng = np.random.default_rng(seed * 7 + n_docs)
+    centers = nrng.normal(size=(32, _D))
+    assign = nrng.integers(0, 32, size=n_docs)
+    vecs = centers[assign] + 0.05 * nrng.normal(size=(n_docs, _D))
+    epdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_docs, dtype="int64"),
+            "embedding": list(vecs.astype("float32")),
+            "label": assign.astype("int32"),
+        }
+    )
+    spark.createDataFrame(
+        epdf, "vec_id long, embedding array<float>, label int"
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(stage, "embeddings.parquet")
+    )
+    return stage
+
+
+def _curve_diagnostics(spark, stage: str) -> dict:
+    """Candidate-pair counts and cap-hit rates for the two candidate
+    generators, from ONE uncapped bucket/posting size aggregate each
+    (sum m*(m-1)/2 over admitted buckets IS the banded candidate-pair
+    volume the caps bound)."""
+    import irio2024_mapreduce_spark.operators.dedup as dd
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    pair_mass = F.sum(
+        (F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).cast("double")
+    )
+
+    docs = (
+        load_table(spark, stage, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(par)
+        .select("doc_id", dd._shingles().alias("shingles"))
+    )
+    bsz = (
+        dd._md5_band_rows(docs, bucket_cap=1 << 60)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total_b = bsz.count()
+    hot_b = bsz.filter(F.col("n") > dd.LSH_BUCKET_CAP).count()
+    pot = bsz.agg(pair_mass).first()[0] or 0.0
+    adm = (
+        bsz.filter(F.col("n") <= dd.LSH_BUCKET_CAP).agg(pair_mass).first()[0]
+        or 0.0
+    )
+    minhash = {
+        "buckets": total_b,
+        "buckets_over_cap": hot_b,
+        "cap_hit_rate": round(hot_b / max(total_b, 1), 6),
+        "candidate_pairs_uncapped": int(pot),
+        "candidate_pairs_admitted": int(adm),
+    }
+
+    raw = load_table(spark, stage, "documents")
+    ndocs = (
+        raw.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(par)
+        .select(
+            "doc_id",
+            dd._shingles().alias("shingles"),
+            (F.size(dd._tokens()) / 8).cast("long").alias("len_band"),
+        )
+    )
+    ndocs = dd._cap_blocks_lowcard(
+        ndocs, ["len_band"], dd.PAIRWISE_BLOCK_CAP
+    )
+    psz = (
+        ndocs.select("len_band", F.explode("shingles").alias("sh"))
+        .groupBy("len_band", "sh")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total_p = psz.count()
+    hot_p = psz.filter(F.col("n") > dd.NGRAM_POSTING_CAP).count()
+    potp = psz.agg(pair_mass).first()[0] or 0.0
+    admp = (
+        psz.filter(F.col("n") <= dd.NGRAM_POSTING_CAP)
+        .agg(pair_mass)
+        .first()[0]
+        or 0.0
+    )
+    ngram = {
+        "postings": total_p,
+        "postings_over_cap": hot_p,
+        "cap_hit_rate": round(hot_p / max(total_p, 1), 6),
+        "posting_join_rows_uncapped": int(potp),
+        "posting_join_rows_admitted": int(admp),
+    }
+    return {"minhash_lsh": minhash, "ngram_postings": ngram}
+
+
+def curve(out_path: str) -> None:
+    import math
+
+    from irio2024_mapreduce_spark.operators import ann_index as _ann_ix
+    from irio2024_mapreduce_spark.operators import ivf_index as _ivf_ix
+
+    spark = get_spark("stress-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    fx_logs = {
+        "probe_ann_index": _ann_ix.FIXTURE_BUILD_LOG,
+        "probe_ivf_index": _ivf_ix.FIXTURE_BUILD_LOG,
+    }
+    qs = dict(registry.queries())
+    points = []
+    for n in CURVE_POINTS:
+        stage = synth_curve_corpus(spark, n)
+        rec = {
+            "n_docs": n,
+            "walls_sec": {},
+            "result_rows": {},
+            "probe_decomp": {},
+        }
+        for name in CURVE_QUERIES:
+            log = fx_logs.get(name)
+            if log is not None:
+                log.clear()
+            # warm run (counts rows; absorbs the one-time fixture
+            # build for the stored probes — recorded as build_sec)
+            rec["result_rows"][name] = qs[name](spark, stage).count()
+            if log is not None:
+                rec["probe_decomp"][name] = {
+                    "build_sec": round(sum(log), 3)
+                }
+                log.clear()
+            drain_driver_backlog(spark)
+            t0 = time.perf_counter()
+            qs[name](spark, stage).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall = time.perf_counter() - t0
+            rec["walls_sec"][name] = round(wall, 3)
+            if log is not None:
+                rec["probe_decomp"][name]["probe_sec"] = round(
+                    wall - sum(log), 3
+                )
+                log.clear()
+        rec.update(_curve_diagnostics(spark, stage))
+        points.append(rec)
+        print(json.dumps({"point_done": n}), file=sys.stderr)
+
+    lo, hi = points[0], points[-1]
+    span = math.log(hi["n_docs"] / lo["n_docs"])
+    slopes = {
+        q: round(
+            math.log(
+                max(hi["walls_sec"][q], 1e-3)
+                / max(lo["walls_sec"][q], 1e-3)
+            )
+            / span,
+            3,
+        )
+        for q in CURVE_QUERIES
+    }
+    probe_slopes = {
+        q: round(
+            math.log(
+                max(hi["probe_decomp"][q]["probe_sec"], 1e-3)
+                / max(lo["probe_decomp"][q]["probe_sec"], 1e-3)
+            )
+            / span,
+            3,
+        )
+        for q in ("probe_ann_index", "probe_ivf_index")
+    }
+    result = {
+        "seed": CURVE_SEED,
+        "points": points,
+        "wall_slope_vs_docs": slopes,  # 1.0 == linear, <1 sub-linear
+        "probe_sec_slope_vs_docs": probe_slopes,
+        "caps": {
+            "LSH_BUCKET_CAP": 256,
+            "NGRAM_POSTING_CAP": 256,
+            "PAIRWISE_BLOCK_CAP": 1024,
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"out": out_path, "wall_slope_vs_docs": slopes,
+                      "probe_sec_slope_vs_docs": probe_slopes}))
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--adversarial":
         adversarial_postings()
+        return
+    if argv and argv[0] == "--curve":
+        curve(argv[1] if len(argv) > 1 else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "stress_scale_r14.json"))
         return
     relational = bool(argv) and argv[0] == "--relational"
     if relational:
