@@ -860,6 +860,17 @@ def consume_fold_crash_flag(kind: str) -> None:
     if not flag or not _os.path.exists(flag):
         return
     try:
+        with open(flag) as f:
+            want = f.read().strip()
+    except FileNotFoundError:
+        return
+    # kind-selective arming: the ANN fold always runs first in the
+    # maintenance order, so an indiscriminate flag would only ever
+    # exercise the ANN window — a flag naming "ivf" passes through
+    # the ANN fold untouched and fires on the IVF one
+    if want not in ("", "armed", "any", kind):
+        return
+    try:
         _os.unlink(flag)
     except FileNotFoundError:
         return  # a concurrent fold consumed it first

@@ -757,8 +757,17 @@ def orchestrate(args) -> None:
             if fold_crashes < args.fold_crashes_min and not os.path.exists(
                 fold_flag
             ):
+                kinds = fold_crash_kinds()
+                # kind-selective re-arm: the ANN fold runs first each
+                # maintenance pass, so after it has eaten one crash,
+                # aim the next at the IVF fold's identical window
+                want = (
+                    "ivf"
+                    if ("ann" in kinds and "ivf" not in kinds)
+                    else "any"
+                )
                 with open(fold_flag, "w") as f:
-                    f.write("armed\n")
+                    f.write(want + "\n")
             if time.time() > deadline:
                 raise RuntimeError("soak wall-clock budget exhausted")
             time.sleep(rng.uniform(1.5, 4.0))
