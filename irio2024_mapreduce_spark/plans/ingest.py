@@ -935,6 +935,10 @@ def _stage_batch(
             # width sweeps still bottomed at ~4.6 s for 512 dirs at
             # 12k docs) is gone; the maintenance fold pays the full
             # layout write once per window instead of per batch
+            from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+                write_filelist as _sidecar,
+            )
+
             if ann_index_dir:
                 from irio2024_mapreduce_spark.operators.ann_index import (  # noqa: PLC0415
                     ANN_TABLES,
@@ -955,19 +959,24 @@ def _stage_batch(
                 # measured at 12k: width 1 → 2.7 s, 16 → 1.3 s); the
                 # fold coalesces the extra files per window
                 ann_width = max(1, min(16, -(-n_vecs // 1000)))
-                futures.append(
-                    pool.submit(
-                        lambda: delta_shaped_rows(
-                            vecs,
-                            am["bits"],
-                            nparts=ann_width,
-                            part_bits=am["part_bits"],
-                        )
-                        .write.mode("overwrite")
-                        .partitionBy("tbl")
-                        .parquet(os.path.join(staging, "ann_index"))
-                    )
-                )
+
+                def _stage_ann():
+                    dst = os.path.join(staging, "ann_index")
+                    delta_shaped_rows(
+                        vecs,
+                        am["bits"],
+                        nparts=ann_width,
+                        part_bits=am["part_bits"],
+                    ).write.mode("overwrite").partitionBy(
+                        "tbl"
+                    ).parquet(dst)
+                    # per-batch probe file list (r14, verdict item 1):
+                    # written INTO the staged dir, inside the staging
+                    # future (overlapped, not serial post-pass), so
+                    # the publish commits it with the batch
+                    _sidecar(spark, dst)
+
+                futures.append(pool.submit(_stage_ann))
                 extras.append(
                     {
                         "kind": "ann",
@@ -1002,14 +1011,14 @@ def _stage_batch(
                 ivf_width = max(1, min(16, -(-n_vecs // 1000)))
 
                 def _stage_ivf():
+                    dst = os.path.join(staging, "ivf_index")
                     assigned = _nearest_cell(
                         vecs, spark.read.parquet(cdir)
                     )
                     delta_stored_rows(
                         assigned, im["quantized"], nparts=ivf_width
-                    ).write.mode("overwrite").parquet(
-                        os.path.join(staging, "ivf_index")
-                    )
+                    ).write.mode("overwrite").parquet(dst)
+                    _sidecar(spark, dst)  # see _stage_ann
 
                 futures.append(pool.submit(_stage_ivf))
                 extras.append(
@@ -1024,17 +1033,6 @@ def _stage_batch(
                 )
         for fut in futures:
             fut.result()  # first failure propagates, batch aborts
-    if n_vecs:
-        # per-batch probe file lists (r14, verdict item 1): written
-        # INTO the staged dirs so the atomic publish rename commits
-        # them with the batch — probes then resolve delta files from
-        # one sidecar read instead of walking the delta area
-        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-            write_filelist,
-        )
-
-        for ex in extras:
-            write_filelist(spark, os.path.join(staging, ex["staged"]))
     plan = {
         "stream": stream,
         "batch_id": None if batch_id is None else int(batch_id),

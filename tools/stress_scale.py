@@ -224,23 +224,49 @@ def synth_curve_corpus(spark, n_docs: int, seed: int = CURVE_SEED) -> str:
     cum = list(
         itertools.accumulate(1.0 / (i + 10) for i in range(len(vocab)))
     )
+
+    def _length() -> int:
+        # heavy-tailed doc lengths (~200 distinct len_bands at scale):
+        # a uniform 30-120 gave only ~12 bands, so past ~12k docs
+        # EVERY band blew PAIRWISE_BLOCK_CAP and the ngram walls
+        # measured cap-dropping, not scaling
+        return min(30 + rng.randrange(90) + int(rng.expovariate(0.008)), 1600)
+
+    def _mutate(text: str, every: int) -> str:
+        toks = text.split()
+        for _ in range(max(1, len(toks) // every)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        return " ".join(toks)
+
     n_base = int(n_docs * 0.65)
     texts = [
-        " ".join(
-            rng.choices(vocab, cum_weights=cum, k=rng.randint(30, 120))
-        )
+        " ".join(rng.choices(vocab, cum_weights=cum, k=_length()))
         for _ in range(n_base)
     ]
     docs = list(texts)
+    # hot boilerplate families (2% of the corpus over 2 templates):
+    # crawl-shaped adversarial mass for the LSH hot-bucket cap — each
+    # family member is a light mutation of one template, so the
+    # family shares band buckets; at 5k docs a family is ~50 members
+    # (admitted), at 50k ~500 (over LSH_BUCKET_CAP=256 -> capped) —
+    # the curve shows the guard ENGAGING as the corpus grows
+    boiler = [
+        " ".join(rng.choices(vocab, cum_weights=cum, k=k))
+        for k in (56, 72)  # two DISTINCT len_bands, so each family
+        # stays under the coarse PAIRWISE_BLOCK_CAP and the
+        # LSH hot-bucket cap is what engages at 50k (the ngram
+        # posting cap's engagement is measured separately by
+        # --adversarial, whose stop-word corpus is built for it)
+    ]
+    for i in range(max(2, n_docs // 50)):
+        docs.append(_mutate(boiler[i % 2], every=40))
     while len(docs) < n_docs:
         src = texts[rng.randrange(n_base)]
         if rng.random() < 0.45:
             docs.append(src)  # exact duplicate
         else:
-            toks = src.split()
-            for _ in range(max(1, len(toks) // 12)):
-                toks[rng.randrange(len(toks))] = rng.choice(vocab)
-            docs.append(" ".join(toks))  # near duplicate
+            docs.append(_mutate(src, every=12))  # near duplicate
+    del docs[n_docs:]
     pdf = pd.DataFrame(
         {
             "doc_id": np.arange(n_docs, dtype="int64"),
