@@ -302,6 +302,7 @@ def ingest_batch(
     batch_emb: DataFrame | None = None,
     ann_index_dir: str | None = None,
     ivf_index_dir: str | None = None,
+    schema_policy: str = "strict",
     _test_crash_after: str | None = None,
 ) -> dict[str, int]:
     """Retryable-failure boundary around :func:`_ingest_batch_impl`
@@ -323,7 +324,7 @@ def ingest_batch(
         return _ingest_batch_impl(
             spark, batch, index_dir, corpus_dir, family, batch_id,
             stream, batch_emb, ann_index_dir, ivf_index_dir,
-            _test_crash_after,
+            schema_policy, _test_crash_after,
         )
     except RuntimeError:
         raise  # already protocol-classified (incl. LockPatienceExhausted)
@@ -346,6 +347,7 @@ def _ingest_batch_impl(
     batch_emb: DataFrame | None = None,
     ann_index_dir: str | None = None,
     ivf_index_dir: str | None = None,
+    schema_policy: str = "strict",
     _test_crash_after: str | None = None,
 ) -> dict[str, int]:
     """Admit ``batch`` against the stored index, clean the admitted
@@ -565,6 +567,19 @@ def _ingest_batch_impl(
         ],
     ).localCheckpoint(eager=False)
 
+    # SCHEMA GATE (r14): the corpus append is schema-blind at write
+    # time — parquet happily lands files of any shape next to the live
+    # ones — so a producer that adds/drops a column or changes a type
+    # mid-stream would commit a schema-divergent dataset whose damage
+    # only surfaces at READ time (mergeSchema turns added/dropped
+    # columns into silent NULLs; type drift crashes the read) — after
+    # the bad files are already committed and fanned out to packs and
+    # stats. Gate the batch's EXACT append shape against the live
+    # corpus footer BEFORE anything is staged: a drifted batch fails
+    # loudly, nothing lands, and the (stream, batch_id) key is NOT
+    # consumed — fix the producer and redeliver.
+    _validate_batch_schema(spark, cleaned, corpus_dir, schema_policy)
+
     # survivors' vectors for the stored similarity indexes: only
     # ADMITTED docs are indexed (a duplicate's vector must not enter
     # the ANN/IVF corpus — the doc itself never entered the text
@@ -671,6 +686,11 @@ def _ingest_batch_impl(
 # `recover_staged_batches` on any crash; a pre-commit crash leaves
 # nothing published anywhere, so redelivery admits the docs normally.
 _STAGED_ROOT = "_staged"
+
+# the ingest schema gate's authority sidecar, beside the corpus's
+# clean_documents.parquet (underscore prefix: invisible to every
+# pruned dataset walk and to Spark's file index)
+_SCHEMA_SIDECAR = "_schema.json"
 _COMMITTED = "_committed"
 _PUBLISH_PLAN = "_publish_plan.json"
 
@@ -786,6 +806,130 @@ def _new_staging_dir(
     return staging, alive
 
 
+def _resolve_live_corpus(clean_path: str) -> tuple[str, bool]:
+    """(live data dir behind a versioned ``_CURRENT`` pointer — the
+    dir the append targets, split-partitioned?) for a corpus's
+    ``clean_documents.parquet``."""
+    target = clean_path
+    if os.path.exists(os.path.join(clean_path, "_CURRENT")):
+        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
+            resolve_current,
+        )
+
+        target = resolve_current(clean_path)
+    is_split = os.path.isdir(target) and any(
+        d.startswith("split=") for d in os.listdir(target)
+    )
+    return target, is_split
+
+
+def _first_parquet_file(path: str) -> str | None:
+    """One committed data file of a dataset (hidden/staging subtrees
+    pruned), or None. Early-exit walk: one footer is all the schema
+    gate needs, so the cost is bounded regardless of dataset size."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(
+            d for d in dirs if not d.startswith(("_", "."))
+        )
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                return os.path.join(root, f)
+    return None
+
+
+def _validate_batch_schema(
+    spark: SparkSession,
+    cleaned: DataFrame,
+    corpus_dir: str,
+    policy: str = "strict",
+) -> None:
+    """Reject producer schema drift BEFORE staging (nothing written,
+    the batch key is not consumed — fully retryable after the fix).
+
+    Driver-only: compares the batch's append shape (``cleaned``'s
+    lazy schema — no job runs) against ONE live-corpus parquet footer
+    (a single-file read, no directory LIST of the full dataset; the
+    ``split`` partition column never appears in a single file's
+    footer, so split layouts compare data columns by construction).
+
+    ``policy="strict"`` (default): exact column-set + type equality.
+    ``policy="evolve"``: NEW columns are admitted — pre-drift rows
+    read them back as NULL through the corpus readers' mergeSchema —
+    but dropped columns and type changes stay rejected (a dropped
+    column is silent data loss for every new row; a retyped column
+    makes the merged read crash). An evolve-admission widens the
+    authority, so later batches must ship the evolved shape.
+
+    The AUTHORITY is ``{clean_path}/_schema.json`` — a self-priming
+    sidecar (first gate on a pre-gate corpus records one committed
+    footer's shape, so every later gate is a single sidecar GET: no
+    dataset walk, no footer read, object-storage-friendly). The
+    sidecar write is gate-time and lockless; the only race (two
+    concurrent evolve-admissions, last union wins) is self-healing —
+    delete the sidecar to re-prime from a committed footer.
+
+    Nullability is deliberately ignored: parquet append does not
+    enforce it, so gating on it would reject shapes the storage
+    layer accepts identically.
+    """
+    if policy not in ("strict", "evolve"):
+        raise ValueError(
+            f"schema_policy must be 'strict' or 'evolve', got {policy!r}"
+        )
+    import json as _json  # noqa: PLC0415
+
+    clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
+    target, _ = _resolve_live_corpus(clean_path)
+    if not os.path.isdir(target):
+        return  # no live corpus yet — the first write defines the shape
+    sidecar = os.path.join(clean_path, _SCHEMA_SIDECAR)
+    live: dict[str, str] | None = None
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                live = _json.load(fh)["columns"]
+        except (OSError, ValueError, KeyError):
+            live = None  # corrupt sidecar → re-prime from a footer
+    if live is None:
+        first = _first_parquet_file(target)
+        if first is None:
+            return  # empty dataset (_SUCCESS only) — nothing to drift from
+        live = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(first).schema.fields
+        }
+        atomic_write_file(
+            sidecar, _json.dumps({"version": 1, "columns": live}, indent=1)
+        )
+    batch = {
+        f.name: f.dataType.simpleString()
+        for f in cleaned.schema.fields
+    }
+    added = sorted(set(batch) - set(live))
+    dropped = sorted(set(live) - set(batch))
+    retyped = sorted(
+        f"{n} (corpus {live[n]}, batch {batch[n]})"
+        for n in set(live) & set(batch)
+        if live[n] != batch[n]
+    )
+    if policy == "evolve" and added and not (dropped or retyped):
+        widened = dict(live)
+        widened.update({n: batch[n] for n in added})
+        atomic_write_file(
+            sidecar,
+            _json.dumps({"version": 1, "columns": widened}, indent=1),
+        )
+        return
+    if added or dropped or retyped:
+        raise RuntimeError(
+            "ingest schema gate: batch shape drifts from the live "
+            f"corpus at {target} — added={added} dropped={dropped} "
+            f"retyped={retyped}. Nothing was staged and the batch key "
+            "was not consumed: fix the producer and redeliver (or pass "
+            "schema_policy='evolve' to admit additive columns)."
+        )
+
+
 def _stage_batch(
     spark: SparkSession,
     staging: str,
@@ -863,16 +1007,7 @@ def _stage_batch(
     # write shape matches (the split tag is content-addressed —
     # llm_prep.split_docs — so appended docs land in the SAME split
     # the one-shot build would give them)
-    target = clean_path
-    if os.path.exists(os.path.join(clean_path, "_CURRENT")):
-        from irio2024_mapreduce_spark.sources.sinks import (  # noqa: PLC0415
-            resolve_current,
-        )
-
-        target = resolve_current(clean_path)
-    is_split_layout = os.path.isdir(target) and any(
-        d.startswith("split=") for d in os.listdir(target)
-    )
+    target, is_split_layout = _resolve_live_corpus(clean_path)
     if is_split_layout:
         from irio2024_mapreduce_spark.operators.llm_prep import (  # noqa: PLC0415
             split_docs,

@@ -74,6 +74,7 @@ def run_ingest_stream(
     emb_col: str | None = None,
     ann_index_dir: str | None = None,
     ivf_index_dir: str | None = None,
+    schema_policy: str = "strict",
 ) -> list[dict]:
     """Drain ``source_dir`` (availableNow) through the ingest driver,
     one ``ingest_batch`` call per micro-batch; ``family`` must match
@@ -89,7 +90,14 @@ def run_ingest_stream(
     ``ivf_index_dir`` each micro-batch's admitted vectors join the
     stored similarity indexes inside the batch's own transactional
     commit — the stream keeps corpus AND indexes consistent with
-    no separate backfill job."""
+    no separate backfill job.
+
+    ``schema_policy`` is handed to every ``ingest_batch`` call: a
+    micro-batch whose shape drifts from the live corpus fails the
+    ingest schema gate BEFORE staging (``"strict"`` rejects any
+    drift; ``"evolve"`` admits additive columns). The failure aborts
+    the stream query loudly; the batch key is not consumed, so fixing
+    the producer and rerunning resumes at the failed batch."""
     manifests: list[dict] = []
     ckpt = checkpoint_dir or default_checkpoint_dir(index_dir, source_dir)
     # Structured Streaming numbers batches from 0 PER CHECKPOINT —
@@ -122,6 +130,7 @@ def run_ingest_stream(
             batch_emb=batch_emb,
             ann_index_dir=ann_index_dir,
             ivf_index_dir=ivf_index_dir,
+            schema_policy=schema_policy,
         )
         m["batch_id"] = int(batch_id)
         manifests.append(m)

@@ -358,7 +358,16 @@ def test_ingest_appends_into_split_partitioned_corpus(spark, tmp_path):
     ).parquet(clean)
     build_corpus_index(spark, _frame(spark, [(1, T_CORPUS)]), idx)
 
-    m = ingest_batch(spark, _frame(spark, [(10, T_FRESH)]), idx, out)
+    # the hand-seeded corpus lacks the scrubber's n_redactions column,
+    # so this append is an additive evolution — the r14 schema gate
+    # rejects it under the default strict policy (by design: silent
+    # additive drift is what it exists to stop) and admits it under
+    # evolve, which is exactly the semantics an externally-seeded
+    # minimal corpus wants
+    m = ingest_batch(
+        spark, _frame(spark, [(10, T_FRESH)]), idx, out,
+        schema_policy="evolve",
+    )
     assert m["appended"] == 1
 
     # mixed-layout would make this read raise; it must succeed and

@@ -1,0 +1,206 @@
+"""Ingest schema gate (r14): the corpus append is schema-blind at
+write time, so producer schema drift — an added/dropped column or a
+changed type mid-stream — would commit a schema-divergent parquet
+dataset whose damage only surfaces at READ time, after the bad files
+fanned out to packs and stats. The gate compares each batch's exact
+append shape against the corpus's ``_schema.json`` authority BEFORE
+anything is staged: a drifted batch fails loudly, nothing lands, the
+(stream, batch_id) key is not consumed.
+
+Failure shapes first: every rejection asserts the corpus, manifests,
+and staging root are untouched, and that the SAME key commits after
+the producer fix — the retryability half of the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from irio2024_mapreduce_spark.plans.ingest import (
+    _SCHEMA_SIDECAR,
+    _STAGED_ROOT,
+    build_corpus_index,
+    ingest_batch,
+)
+
+BASE_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+SEED_TEXT = (
+    "a seed document that passes the funnel with plain words and "
+    "enough of them to count as a real page of text"
+)
+PAGE = (
+    "another ordinary page of text with plenty of plain words that "
+    "the quality funnel will keep for the corpus today number {}"
+)
+
+
+def _frame(spark, rows, schema=BASE_SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def _doc(i, text, lang="en"):
+    return (i, text, lang, "src0", len(text))
+
+
+def _setup(spark, root):
+    """Index + corpus seeded by one committed batch (the gate's
+    authority primes from this batch's footer on the next call)."""
+    idx, out = str(root / "idx"), str(root / "corpus")
+    build_corpus_index(
+        spark,
+        _frame(spark, [_doc(100, SEED_TEXT + " built into the index")]),
+        idx,
+    )
+    m0 = ingest_batch(
+        spark, _frame(spark, [_doc(150, SEED_TEXT)]), idx, out,
+        batch_id=1, stream="s",
+    )
+    assert m0["appended"] == 1
+    return idx, out
+
+
+def _corpus_ids(spark, out):
+    return sorted(
+        r["doc_id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "clean_documents.parquet"))
+        .select("doc_id")
+        .collect()
+    )
+
+
+def _manifest_count(spark, idx, batch_id):
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(os.path.join(idx, "manifests"))
+        .filter(F.col("batch_id") == batch_id)
+        .count()
+    )
+
+
+def _sidecar(out):
+    return os.path.join(out, "clean_documents.parquet", _SCHEMA_SIDECAR)
+
+
+def _assert_rejected_cleanly(spark, idx, out, ids_before, batch_id):
+    """The rejection half of the contract: nothing visible, nothing
+    staged, the key still free."""
+    assert _corpus_ids(spark, out) == ids_before
+    assert _manifest_count(spark, idx, batch_id) == 0
+    staged = os.path.join(idx, _STAGED_ROOT)
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
+
+
+def test_retyped_column_rejected_then_fixed_redelivery_commits(
+    spark, tmp_path
+):
+    idx, out = _setup(spark, tmp_path)
+    ids = _corpus_ids(spark, out)
+    bad = _frame(
+        spark,
+        [(151, PAGE.format(1), 7, "src0", 100)],
+        "doc_id long, text string, lang long, source string, "
+        "n_chars long",
+    )
+    with pytest.raises(RuntimeError, match="ingest schema gate"):
+        ingest_batch(spark, bad, idx, out, batch_id=2, stream="s")
+    _assert_rejected_cleanly(spark, idx, out, ids, 2)
+    # the SAME key, fixed shape: the gate did not consume batch_id=2
+    m = ingest_batch(
+        spark, _frame(spark, [_doc(151, PAGE.format(1))]), idx, out,
+        batch_id=2, stream="s",
+    )
+    assert m["appended"] == 1
+    assert 151 in _corpus_ids(spark, out)
+
+
+def test_added_column_strict_rejects_evolve_admits(spark, tmp_path):
+    idx, out = _setup(spark, tmp_path)
+    ids = _corpus_ids(spark, out)
+    extra = _frame(
+        spark,
+        [(152, PAGE.format(2), "en", "src0", 100, 0.5)],
+        BASE_SCHEMA + ", qscore double",
+    )
+    with pytest.raises(RuntimeError, match=r"added=\['qscore'\]"):
+        ingest_batch(spark, extra, idx, out, batch_id=3, stream="s")
+    _assert_rejected_cleanly(spark, idx, out, ids, 3)
+    m = ingest_batch(
+        spark, extra, idx, out, batch_id=3, stream="s",
+        schema_policy="evolve",
+    )
+    assert m["appended"] == 1
+    # pre-drift rows read the evolved column back as NULL
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "clean_documents.parquet")
+    )
+    vals = {r["doc_id"]: r["qscore"] for r in df.collect()}
+    assert vals[150] is None and vals[152] == 0.5
+    # the evolve-admission widened the authority: the OLD shape is now
+    # the drifted one (its rows would silently lack qscore)
+    with pytest.raises(RuntimeError, match=r"dropped=\['qscore'\]"):
+        ingest_batch(
+            spark, _frame(spark, [_doc(153, PAGE.format(3))]), idx, out,
+            batch_id=4, stream="s",
+        )
+
+
+def test_dropped_column_rejected_under_both_policies(spark, tmp_path):
+    idx, out = _setup(spark, tmp_path)
+    ids = _corpus_ids(spark, out)
+    narrow = _frame(
+        spark,
+        [(154, PAGE.format(4), "en", 100)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    for policy in ("strict", "evolve"):
+        with pytest.raises(RuntimeError, match=r"dropped=\['source'\]"):
+            ingest_batch(
+                spark, narrow, idx, out, batch_id=5, stream="s",
+                schema_policy=policy,
+            )
+    _assert_rejected_cleanly(spark, idx, out, ids, 5)
+
+
+def test_unknown_policy_is_a_loud_valueerror(spark, tmp_path):
+    idx, out = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="schema_policy"):
+        ingest_batch(
+            spark, _frame(spark, [_doc(155, PAGE.format(5))]), idx, out,
+            batch_id=6, stream="s", schema_policy="merge",
+        )
+
+
+def test_sidecar_self_primes_and_corrupt_sidecar_heals(spark, tmp_path):
+    idx, out = _setup(spark, tmp_path)
+    side = _sidecar(out)
+    # the second ingest call primed the authority from a footer
+    m = ingest_batch(
+        spark, _frame(spark, [_doc(156, PAGE.format(6))]), idx, out,
+        batch_id=7, stream="s",
+    )
+    assert m["appended"] == 1 and os.path.exists(side)
+    cols = json.load(open(side))["columns"]
+    assert cols["doc_id"] == "bigint" and "text" in cols
+    # a corrupt authority re-primes from a committed footer instead of
+    # wedging ingest
+    with open(side, "w") as fh:
+        fh.write("{not json")
+    m = ingest_batch(
+        spark,
+        _frame(spark, [_doc(
+            157,
+            "the harbour master logged every vessel by name and "
+            "tonnage while gulls argued over the morning catch",
+        )]),
+        idx, out, batch_id=8, stream="s",
+    )
+    assert m["appended"] == 1
+    assert json.load(open(side))["columns"]["doc_id"] == "bigint"
