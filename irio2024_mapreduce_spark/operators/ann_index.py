@@ -61,6 +61,7 @@ from irio2024_mapreduce_spark.operators.similarity import (
     _ann_corpus_rows,
     _ann_join_score,
     _ann_sigs,
+    dim_guarded,
     py_query_probes,
 )
 from irio2024_mapreduce_spark.sources.sinks import (
@@ -503,6 +504,11 @@ def build_ann_index(
     translates to object storage, where no atomic directory rename
     exists); readers then treat a sidecar-less delta dir as
     uncommitted. Defaults to $SPARK_GRAFT_COMMIT_MODE or rename."""
+    # dimension gate: reject wrong-width vectors loudly at build time
+    # instead of signing a truncated prefix (see similarity.dim_guarded)
+    emb = emb.select(
+        F.col("vec_id"), dim_guarded(F.col("v")).alias("v")
+    )
     rows = emb.count()
     h = bits or target_bits(rows, bucket_target)
     pb = part_bits_for(rows, h)

@@ -45,6 +45,30 @@ def _as_double(col: str = "embedding") -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def dim_guarded(v: Column) -> Column:
+    """``v`` verified EMB_DIM-wide, else a loud per-row error.
+
+    Every signature/assignment expression indexes ``v[0..EMB_DIM-1]``:
+    a SHORTER (or NULL) vector dies deep in the expression tree with a
+    cryptic out-of-bounds/null error, and a LONGER one silently signs
+    or assigns on an EMB_DIM-prefix — corrupted index rows that probe
+    wrong forever. The guard turns both into one loud error at the
+    first materialization that ships the vector (pre-commit on every
+    write path). Zero extra jobs: the check rides the projection the
+    vector already takes."""
+    return F.when(F.size(v) == EMB_DIM, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "vector dimension gate: index vectors must have "
+                    f"exactly {EMB_DIM} dims, got "
+                ),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

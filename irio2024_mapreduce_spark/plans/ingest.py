@@ -586,10 +586,17 @@ def _ingest_batch_impl(
     # corpus), via a semi-join against the checkpointed survivor set
     vecs = None
     if batch_emb is not None and (ann_index_dir or ivf_index_dir):
+        from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
+            dim_guarded,
+        )
+
+        # dimension gate (r14): a wrong-width vector would otherwise
+        # sign/assign on a truncated prefix (silent index corruption)
+        # or die deep in the signature tree — fail loudly pre-commit
         vecs = (
             batch_emb.select(
                 F.col("vec_id").cast("long").alias("vec_id"),
-                F.col("v").cast("array<double>").alias("v"),
+                dim_guarded(F.col("v").cast("array<double>")).alias("v"),
             )
             .join(
                 survivors.select(F.col("doc_id").alias("vec_id")),

@@ -78,8 +78,11 @@ def _corpus_ids(spark, out):
 def _manifest_count(spark, idx, batch_id):
     import pyspark.sql.functions as F
 
+    path = os.path.join(idx, "manifests")
+    if not os.path.isdir(path):
+        return 0  # no batch ever committed against this index
     return (
-        spark.read.parquet(os.path.join(idx, "manifests"))
+        spark.read.parquet(path)
         .filter(F.col("batch_id") == batch_id)
         .count()
     )
@@ -204,3 +207,102 @@ def test_sidecar_self_primes_and_corrupt_sidecar_heals(spark, tmp_path):
     )
     assert m["appended"] == 1
     assert json.load(open(side))["columns"]["doc_id"] == "bigint"
+
+
+# --- vector dimension gate (similarity.dim_guarded) ---------------------
+#
+# Every signature/assignment expression indexes v[0..EMB_DIM-1]; a
+# longer vector would silently sign/assign on a truncated prefix
+# (corrupted index rows), a shorter/NULL one dies with a cryptic
+# error deep in the expression tree. The gate turns both into one
+# loud pre-commit error on every write path: builders and the
+# ingest-integrated batch_emb.
+
+import random
+
+
+def _vec(seed, dim=None):
+    from irio2024_mapreduce_spark.operators.similarity import EMB_DIM
+
+    rng = random.Random(seed)
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim or EMB_DIM)]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+@pytest.mark.parametrize("bad_dim", [32, 96])
+def test_builders_reject_wrong_dimension_vectors(spark, tmp_path, bad_dim):
+    from irio2024_mapreduce_spark.operators.ann_index import build_ann_index
+    from irio2024_mapreduce_spark.operators.ivf_index import build_ivf_index
+
+    emb = _emb(
+        spark, [(1, _vec(1)), (2, _vec(2, dim=bad_dim)), (3, _vec(3))]
+    )
+    with pytest.raises(Exception, match="vector dimension gate"):
+        build_ann_index(spark, emb, str(tmp_path / f"ann{bad_dim}"), bits=8)
+    with pytest.raises(Exception, match="vector dimension gate"):
+        build_ivf_index(
+            spark, emb, str(tmp_path / f"ivf{bad_dim}"), k_cells=2
+        )
+
+
+def test_builders_reject_null_vector(spark, tmp_path):
+    from irio2024_mapreduce_spark.operators.ann_index import build_ann_index
+
+    emb = _emb(spark, [(1, _vec(1)), (2, None)])
+    with pytest.raises(Exception, match="vector dimension gate"):
+        build_ann_index(spark, emb, str(tmp_path / "ann_null"), bits=8)
+
+
+def test_ingest_rejects_wrong_dimension_batch_emb_pre_commit(
+    spark, tmp_path
+):
+    """A wrong-width vector in batch_emb aborts PRE-commit: corpus,
+    manifests and both stored indexes are untouched, the key is free,
+    and a fixed redelivery of the SAME key commits."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        build_ann_index,
+        read_ann_manifest,
+    )
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        build_ivf_index,
+    )
+    from irio2024_mapreduce_spark.plans.ingest import (
+        build_corpus_index,
+        recover_staged_batches,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    ann, ivf = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    build_corpus_index(
+        spark,
+        _frame(spark, [_doc(100, SEED_TEXT + " built into the index")]),
+        idx,
+    )
+    build_ann_index(spark, _emb(spark, [(100, _vec(100))]), ann, bits=8)
+    build_ivf_index(spark, _emb(spark, [(100, _vec(100))]), ivf, k_cells=2)
+
+    batch = _frame(spark, [_doc(200, PAGE.format(200))])
+    with pytest.raises(Exception, match="vector dimension gate"):
+        ingest_batch(
+            spark, batch, idx, out, batch_id=1, stream="s",
+            batch_emb=_emb(spark, [(200, _vec(200, dim=32))]),
+            ann_index_dir=ann, ivf_index_dir=ivf,
+        )
+    # pre-commit: recovery discards the failed staging, nothing visible
+    recover_staged_batches(idx)
+    assert not os.path.exists(os.path.join(out, "clean_documents.parquet"))
+    assert _manifest_count(spark, idx, 1) == 0
+    m = read_ann_manifest(ann)
+    deltas = os.path.join(ann, m["data"] + ".deltas")
+    assert not os.path.isdir(deltas) or os.listdir(deltas) == []
+    # fixed redelivery of the SAME key commits
+    m2 = ingest_batch(
+        spark, batch, idx, out, batch_id=1, stream="s",
+        batch_emb=_emb(spark, [(200, _vec(200))]),
+        ann_index_dir=ann, ivf_index_dir=ivf,
+    )
+    assert m2["appended"] == 1
+    assert _manifest_count(spark, idx, 1) == 1
