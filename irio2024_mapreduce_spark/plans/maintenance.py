@@ -66,6 +66,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from irio2024_mapreduce_spark.sources.sinks import run_lockfree_read
+
 # the index parts compact_corpus_index rewrites — file counts over
 # these are the fragmentation signal
 _INDEX_PARTS = (
@@ -98,11 +100,21 @@ def _parquet_files(path: str) -> list[str]:
 def _frag_signal(
     path: str, target_file_bytes: int
 ) -> tuple[int, int, int]:
-    """(files, ideal_files, bytes) for one dataset dir."""
-    files = _parquet_files(path)
-    total = sum(os.path.getsize(f) for f in files)
+    """(files, ideal_files, bytes) for one dataset dir. Lock-free by
+    design (the decision pass reads before taking any lock), so a file
+    deleted between the walk and the stat — a concurrent compaction
+    swap or generation flip — is skipped, not fatal: the signal is a
+    heuristic the locked rewrite re-derives anyway."""
+    total = 0
+    n = 0
+    for f in _parquet_files(path):
+        try:
+            total += os.path.getsize(f)
+        except FileNotFoundError:
+            continue
+        n += 1
     ideal = max(1, -(-total // target_file_bytes))
-    return len(files), ideal, total
+    return n, ideal, total
 
 
 def maintain_corpus_index(
@@ -247,11 +259,18 @@ def _maybe_compact_index(
             break
     dup_keys = 0
     if not worst[0] and os.path.isdir(os.path.join(index_dir, "manifests")):
-        mrows = _read_manifest_rows(spark, index_dir)
-        dup_keys = (
-            mrows.count()
-            - mrows.select("stream", "batch_id").distinct().count()
-        )
+        # lock-free read racing a generation flip's index reseed (the
+        # r14 marker-mode soak caught the raw FileNotFound here) —
+        # classify through the shared boundary like every other
+        # lock-free reader
+        def _dup_keys() -> int:
+            mrows = _read_manifest_rows(spark, index_dir)
+            return (
+                mrows.count()
+                - mrows.select("stream", "batch_id").distinct().count()
+            )
+
+        dup_keys = run_lockfree_read(index_dir, _dup_keys)
     if not worst[0] and dup_keys == 0:
         return {
             "ran": False,
@@ -280,11 +299,16 @@ def _maybe_regen_markers(spark, index_dir) -> dict:
 
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         return {"ran": False, "reason": "no manifests part"}
-    keys = (
-        _read_manifest_rows(spark, index_dir)
-        .select("stream", "batch_id")
-        .distinct()
-        .collect()
+    # same lock-free-read boundary as _maybe_compact_index: a
+    # generation flip can reseed the index mid-read
+    keys = run_lockfree_read(
+        index_dir,
+        lambda: (
+            _read_manifest_rows(spark, index_dir)
+            .select("stream", "batch_id")
+            .distinct()
+            .collect()
+        ),
     )
     missing = sum(
         1
@@ -416,9 +440,16 @@ def _footer_rows(path: str) -> int:
 
 
 def _footer_rows_of(f: str) -> int:
+    """Footer row count; 0 for a file that vanished between the
+    listing and the read (a concurrent fold dropping just-folded
+    delta files) — the count feeds a sizing heuristic the locked
+    resize/rebuild re-derives under its own lock."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
-    return pq.ParquetFile(f).metadata.num_rows
+    try:
+        return pq.ParquetFile(f).metadata.num_rows
+    except FileNotFoundError:
+        return 0
 
 
 def _maybe_rebuild_ivf(
