@@ -195,7 +195,14 @@ def build_scaled_corpus(spark, base: str, n: int) -> str:
 # pinned below) at 5k/15k/50k docs+vectors; per point: the graded
 # dedup family's walls, the stored probes' build-vs-probe
 # decomposition, candidate-pair counts, and cap-hit rates.
-CURVE_POINTS = (5_000, 15_000, 50_000)
+# override with SPARK_GRAFT_CURVE_POINTS="150000" to extend the curve
+# one point at a time (the runner merges points across invocations)
+CURVE_POINTS = tuple(
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_CURVE_POINTS", "5000,15000,50000"
+    ).split(",")
+)
 CURVE_SEED = 14
 CURVE_QUERIES = [
     "dedup_near_md5",
