@@ -442,6 +442,11 @@ def curve(out_path: str) -> None:
 
     lo, hi = points[0], points[-1]
     span = math.log(hi["n_docs"] / lo["n_docs"])
+    if span == 0.0:
+        # single-point extension run: the merger recomputes slopes
+        # over the merged series — don't lose the measured point to a
+        # zero-span division
+        span = float("inf")
     slopes = {
         q: round(
             math.log(
