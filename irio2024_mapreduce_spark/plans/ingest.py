@@ -578,7 +578,9 @@ def _ingest_batch_impl(
     # corpus footer BEFORE anything is staged: a drifted batch fails
     # loudly, nothing lands, and the (stream, batch_id) key is NOT
     # consumed — fix the producer and redeliver.
-    _validate_batch_schema(spark, cleaned, corpus_dir, schema_policy)
+    widened_authority = _validate_batch_schema(
+        spark, cleaned, corpus_dir, schema_policy
+    )
 
     # survivors' vectors for the stored similarity indexes: only
     # ADMITTED docs are indexed (a duplicate's vector must not enter
@@ -681,6 +683,20 @@ def _ingest_batch_impl(
             except FileNotFoundError:
                 pass
         release_flock(alive)
+    if widened_authority is not None:
+        # the evolve-admitted batch COMMITTED — only now widen the
+        # schema authority (widening at gate time would leave it
+        # wider than the data on a pre-commit abort). A crash in the
+        # window between the marker and this write self-heals: the
+        # next same-shape evolve call re-derives the same union.
+        atomic_write_file(
+            os.path.join(
+                corpus_dir, "clean_documents.parquet", _SCHEMA_SIDECAR
+            ),
+            json.dumps(
+                {"version": 1, "columns": widened_authority}, indent=1
+            ),
+        )
     return manifest
 
 
@@ -849,9 +865,13 @@ def _validate_batch_schema(
     cleaned: DataFrame,
     corpus_dir: str,
     policy: str = "strict",
-) -> None:
+) -> dict[str, str] | None:
     """Reject producer schema drift BEFORE staging (nothing written,
     the batch key is not consumed — fully retryable after the fix).
+    Returns the WIDENED authority columns when an evolve-admission
+    added columns (the caller persists it AFTER the batch commits —
+    widening at gate time would leave the authority wider than the
+    data if the batch later aborts pre-commit), else None.
 
     Driver-only: compares the batch's append shape (``cleaned``'s
     lazy schema — no job runs) against ONE live-corpus parquet footer
@@ -865,15 +885,16 @@ def _validate_batch_schema(
     but dropped columns and type changes stay rejected (a dropped
     column is silent data loss for every new row; a retyped column
     makes the merged read crash). An evolve-admission widens the
-    authority, so later batches must ship the evolved shape.
+    authority once its batch COMMITS, so later batches must ship the
+    evolved shape.
 
     The AUTHORITY is ``{clean_path}/_schema.json`` — a self-priming
     sidecar (first gate on a pre-gate corpus records one committed
     footer's shape, so every later gate is a single sidecar GET: no
-    dataset walk, no footer read, object-storage-friendly). The
-    sidecar write is gate-time and lockless; the only race (two
-    concurrent evolve-admissions, last union wins) is self-healing —
-    delete the sidecar to re-prime from a committed footer.
+    dataset walk, no footer read, object-storage-friendly). Sidecar
+    writes are atomic and lockless; the only race (two concurrent
+    evolve-admissions, last union wins) is self-healing — delete the
+    sidecar to re-prime from a committed footer.
 
     Nullability is deliberately ignored: parquet append does not
     enforce it, so gating on it would reject shapes the storage
@@ -922,11 +943,7 @@ def _validate_batch_schema(
     if policy == "evolve" and added and not (dropped or retyped):
         widened = dict(live)
         widened.update({n: batch[n] for n in added})
-        atomic_write_file(
-            sidecar,
-            _json.dumps({"version": 1, "columns": widened}, indent=1),
-        )
-        return
+        return widened
     if added or dropped or retyped:
         raise RuntimeError(
             "ingest schema gate: batch shape drifts from the live "

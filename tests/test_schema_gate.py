@@ -306,3 +306,50 @@ def test_ingest_rejects_wrong_dimension_batch_emb_pre_commit(
     )
     assert m2["appended"] == 1
     assert _manifest_count(spark, idx, 1) == 1
+
+
+def test_evolve_widens_authority_only_after_commit(spark, tmp_path):
+    """An evolve-admission that aborts PRE-commit must not widen the
+    _schema.json authority — otherwise the recorded shape is wider
+    than any committed data and original-shape producers get falsely
+    rejected. Crash at the 'stage' point (everything staged, nothing
+    committed), then assert the original shape still passes strict."""
+    from irio2024_mapreduce_spark.plans.ingest import SimulatedCrash
+
+    idx, out = _setup(spark, tmp_path)
+    side = _sidecar(out)
+    before = json.load(open(side))["columns"] if os.path.exists(side) else None
+    extra = _frame(
+        spark,
+        [(160, PAGE.format(60), "en", "src0", 100, 1.5)],
+        BASE_SCHEMA + ", qscore double",
+    )
+    with pytest.raises(SimulatedCrash):
+        ingest_batch(
+            spark, extra, idx, out, batch_id=9, stream="s",
+            schema_policy="evolve", _test_crash_after="stage",
+        )
+    # authority unchanged (or still unprimed): qscore never entered it
+    if os.path.exists(side):
+        cols = json.load(open(side))["columns"]
+        assert "qscore" not in cols
+        if before is not None:
+            assert cols == before
+    # the ORIGINAL shape still passes strict — no phantom wide schema
+    m = ingest_batch(
+        spark,
+        _frame(spark, [_doc(
+            161,
+            "a lighthouse keeper counted the ships that passed the "
+            "headland and wrote each name in the evening ledger",
+        )]),
+        idx, out, batch_id=10, stream="s",
+    )
+    assert m["appended"] == 1
+    # and the evolve redelivery of the crashed key commits AND widens
+    m2 = ingest_batch(
+        spark, extra, idx, out, batch_id=9, stream="s",
+        schema_policy="evolve",
+    )
+    assert m2["appended"] == 1
+    assert json.load(open(side))["columns"].get("qscore") == "double"
