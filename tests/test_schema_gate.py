@@ -209,7 +209,7 @@ def test_sidecar_self_primes_and_corrupt_sidecar_heals(spark, tmp_path):
     assert json.load(open(side))["columns"]["doc_id"] == "bigint"
 
 
-# --- vector dimension gate (similarity.dim_guarded) ---------------------
+# --- vector dimension gate (similarity.count_with_dim_check) ------------
 #
 # Every signature/assignment expression indexes v[0..EMB_DIM-1]; a
 # longer vector would silently sign/assign on a truncated prefix
