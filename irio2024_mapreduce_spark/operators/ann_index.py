@@ -555,6 +555,12 @@ def append_ann_index(
     rows with the old data dir AND have the append's closing manifest
     write revert the flip to the rmtree'd dir — every later probe
     would silently return empty."""
+    # dimension gate BEFORE anything ships: the count the manifest
+    # bump needs anyway doubles as the width check, and running it
+    # first keeps a wrong-width append from writing corrupt (or
+    # partially-written) rows into the LIVE dir — this path has no
+    # staging to GC
+    n = count_with_dim_check(emb, "ANN append")
     lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ann_manifest(index_dir)
@@ -568,7 +574,6 @@ def append_ann_index(
         write_filelist(
             emb.sparkSession, os.path.join(index_dir, m["data"])
         )
-        n = emb.count()
         _write_manifest(index_dir, {**m, "rows": m["rows"] + n})
         return n
     finally:

@@ -349,6 +349,9 @@ def append_ivf_index(
     starts mid-append GC the cells version the append targets and
     have the closing manifest write revert ``data_version`` to the
     deleted dir."""
+    # dimension gate BEFORE anything ships (the ANN append's
+    # argument): this path appends straight into the LIVE cells dir
+    added = count_with_dim_check(emb, "IVF append")
     lock = acquire_compaction_lock_patiently(index_dir)
     try:
         m = read_ivf_manifest(index_dir)
@@ -365,7 +368,6 @@ def append_ivf_index(
         # sidecar refresh BEFORE the manifest bump (the ANN append's
         # crash-shape argument)
         write_filelist(spark, os.path.join(index_dir, f"cells_v{n}"))
-        added = emb.count()
         _write_manifest(index_dir, {**m, "rows": m["rows"] + added})
         return added
     finally:

@@ -685,8 +685,11 @@ def _ingest_batch_impl(
         # the evolve-admitted batch COMMITTED — only now widen the
         # schema authority (widening at gate time would leave it
         # wider than the data on a pre-commit abort). A crash in the
-        # window between the marker and this write self-heals: the
-        # next same-shape evolve call re-derives the same union.
+        # window between the marker and this write heals on the next
+        # evolve-policy delivery of the evolved shape (a NEW key — a
+        # replay of THIS key short-circuits before the gate), or by
+        # deleting the sidecar, which re-primes from the committed
+        # mergeSchema union and therefore includes the new columns.
         atomic_write_file(
             os.path.join(
                 corpus_dir, "clean_documents.parquet", _SCHEMA_SIDECAR
@@ -887,12 +890,15 @@ def _validate_batch_schema(
     evolved shape.
 
     The AUTHORITY is ``{clean_path}/_schema.json`` — a self-priming
-    sidecar (first gate on a pre-gate corpus records one committed
-    footer's shape, so every later gate is a single sidecar GET: no
-    dataset walk, no footer read, object-storage-friendly). Sidecar
-    writes are atomic and lockless; the only race (two concurrent
-    evolve-admissions, last union wins) is self-healing — delete the
-    sidecar to re-prime from a committed footer.
+    sidecar: the first gate on a corpus without one records the
+    dataset's mergeSchema-union shape (the union of EVERY committed
+    footer — one footer sweep, paid only on this exceptional path, so
+    re-priming an evolved corpus can never narrow the authority back
+    below committed data), and every later gate is a single sidecar
+    GET: no dataset walk, no footer read, object-storage-friendly.
+    Sidecar writes are atomic and lockless; the only race (two
+    concurrent evolve-admissions, last union wins) is self-healing —
+    delete the sidecar to re-prime from the committed union.
 
     Nullability is deliberately ignored: parquet append does not
     enforce it, so gating on it would reject shapes the storage
@@ -902,30 +908,36 @@ def _validate_batch_schema(
         raise ValueError(
             f"schema_policy must be 'strict' or 'evolve', got {policy!r}"
         )
-    import json as _json  # noqa: PLC0415
-
     clean_path = os.path.join(corpus_dir, "clean_documents.parquet")
-    target, _ = _resolve_live_corpus(clean_path)
+    target, is_split = _resolve_live_corpus(clean_path)
     if not os.path.isdir(target):
-        return  # no live corpus yet — the first write defines the shape
+        return None  # no live corpus yet — the first write defines the shape
     sidecar = os.path.join(clean_path, _SCHEMA_SIDECAR)
     live: dict[str, str] | None = None
     if os.path.exists(sidecar):
         try:
             with open(sidecar) as fh:
-                live = _json.load(fh)["columns"]
+                live = json.load(fh)["columns"]
         except (OSError, ValueError, KeyError):
-            live = None  # corrupt sidecar → re-prime from a footer
+            live = None  # corrupt sidecar → re-prime from the data
     if live is None:
-        first = _first_parquet_file(target)
-        if first is None:
-            return  # empty dataset (_SUCCESS only) — nothing to drift from
+        if _first_parquet_file(target) is None:
+            return None  # empty dataset — nothing to drift from
+        # re-prime from the mergeSchema UNION of every committed
+        # footer, not one arbitrary file: an evolved corpus re-primed
+        # from a pre-evolution footer would narrow the authority and
+        # silently re-admit the old shape — the exact hole the gate
+        # closes. The footer sweep is paid only on this exceptional
+        # path (missing/corrupt sidecar).
         live = {
             f.name: f.dataType.simpleString()
-            for f in spark.read.parquet(first).schema.fields
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(target)
+            .schema.fields
+            if not (is_split and f.name == "split")
         }
         atomic_write_file(
-            sidecar, _json.dumps({"version": 1, "columns": live}, indent=1)
+            sidecar, json.dumps({"version": 1, "columns": live}, indent=1)
         )
     batch = {
         f.name: f.dataType.simpleString()

@@ -353,3 +353,66 @@ def test_evolve_widens_authority_only_after_commit(spark, tmp_path):
     )
     assert m2["appended"] == 1
     assert json.load(open(side))["columns"].get("qscore") == "double"
+
+
+def test_append_paths_reject_wrong_dimension_before_writing(
+    spark, tmp_path
+):
+    """The daily append paths write into the LIVE dirs (no staging to
+    GC), so the gate must fire before anything ships: the index row
+    count and manifest must be unchanged after a rejected append."""
+    from irio2024_mapreduce_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        read_ann_manifest,
+    )
+    from irio2024_mapreduce_spark.operators.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        read_ivf_manifest,
+    )
+
+    ann, ivf = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    seed = _emb(spark, [(i, _vec(i)) for i in range(20)])
+    build_ann_index(spark, seed, ann, bits=8)
+    build_ivf_index(spark, seed, ivf, k_cells=2)
+    bad = _emb(spark, [(100, _vec(100, dim=32))])
+    with pytest.raises(ValueError, match="vector dimension gate"):
+        append_ann_index(spark, bad, ann)
+    with pytest.raises(ValueError, match="vector dimension gate"):
+        append_ivf_index(spark, bad, ivf)
+    assert read_ann_manifest(ann)["rows"] == 20
+    assert read_ivf_manifest(ivf)["rows"] == 20
+
+
+def test_deleted_sidecar_reprimes_from_committed_union(spark, tmp_path):
+    """Deleting the authority sidecar on an EVOLVED corpus must
+    re-prime from the mergeSchema union of every committed footer —
+    a one-footer re-prime could pick a pre-evolution file, narrow the
+    authority, and silently re-admit the old shape (the reviewed
+    narrowing hole)."""
+    idx, out = _setup(spark, tmp_path)
+    extra = _frame(
+        spark,
+        [(170, PAGE.format(70), "en", "src0", 100, 2.5)],
+        BASE_SCHEMA + ", qscore double",
+    )
+    m = ingest_batch(
+        spark, extra, idx, out, batch_id=11, stream="s",
+        schema_policy="evolve",
+    )
+    assert m["appended"] == 1
+    os.remove(_sidecar(out))
+    # old narrow shape must STILL be rejected: the re-prime includes
+    # qscore from the committed union
+    with pytest.raises(RuntimeError, match=r"dropped=\['qscore'\]"):
+        ingest_batch(
+            spark,
+            _frame(spark, [_doc(
+                171,
+                "the observatory dome rolled open at dusk while the "
+                "astronomer checked her charts against the cold sky",
+            )]),
+            idx, out, batch_id=12, stream="s",
+        )
+    assert json.load(open(_sidecar(out)))["columns"].get("qscore") == "double"

@@ -198,10 +198,13 @@ def build_scaled_corpus(spark, base: str, n: int) -> str:
 # override with SPARK_GRAFT_CURVE_POINTS="150000" to extend the curve
 # one point at a time (the runner merges points across invocations)
 CURVE_POINTS = tuple(
-    int(x)
-    for x in os.environ.get(
-        "SPARK_GRAFT_CURVE_POINTS", "5000,15000,50000"
-    ).split(",")
+    sorted(
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_CURVE_POINTS", "5000,15000,50000"
+        ).split(",")
+        if x.strip()
+    )
 )
 CURVE_SEED = 14
 CURVE_QUERIES = [
