@@ -141,15 +141,30 @@ def _tokens(col: str = "text") -> Column:
     return F.split(col, " ")
 
 
-def _shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct n-token shingles as strings ('w1 w2 w3')."""
-    toks = _tokens(col)
+def _shingles_from(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles ('w1 w2 w3') from a pre-materialized
+    token-array COLUMN. Call sites must project ``F.split(text)`` into
+    its own column first (r14, guide §1.2 per-task work): passing the
+    split expression directly inlines it into the transform lambda,
+    where the interpreted higher-order-function path re-splits the
+    whole text once PER SHINGLE — O(len·n_shingles) per doc instead of
+    O(len). The two references here (sequence bound + slice) also keep
+    CollapseProject from folding the token projection back into the
+    lambda (multi-use non-cheap alias), pinned by tests/test_plans.py.
+    """
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def _shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct n-token shingles as strings ('w1 w2 w3'). Prefer
+    :func:`_shingles_from` over a projected token column in query
+    paths — this form re-splits per shingle (see above)."""
+    return _shingles_from(_tokens(col), n)
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -191,15 +206,26 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and near-dup pairs are reported between distinct
     contents' representatives.
     """
-    # NB: repartition AFTER the collapse — AQE coalesces the tiny
-    # post-groupBy exchange to one partition, which would serialize
-    # all downstream shingle/minhash compute onto a single task.
+    # NB: ONE user-pinned exchange on the collapse key BEFORE the
+    # groupBy (r14): the agg's hash requirement is then already
+    # satisfied (no ENSURE_REQUIREMENTS exchange), AQE never coalesces
+    # a user-numbered repartition, so the downstream shingle/minhash
+    # compute keeps its parallelism — replacing the former
+    # collapse-exchange + round-robin-repartition pair (two exchanges,
+    # plus round-robin's per-partition input sort) with one exchange.
+    # Trade at scale: raw rows shuffle once on sha2 instead of
+    # map-side-collapsed rows + a second full rep shuffle — fewer
+    # total bytes whenever the exact-dup factor is < 2, and one fewer
+    # stage barrier always.
     docs = (
         load_table(spark, sf_dir, "documents")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
+        )
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", _shingles().alias("shingles"))
+        .withColumn("_toks", _tokens())
+        .select("doc_id", _shingles_from(F.col("_toks")).alias("shingles"))
     )
     pairs = _minhash_candidates(docs)
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -222,8 +248,10 @@ def _verify_candidate_pairs(pairs: DataFrame, raw: DataFrame) -> DataFrame:
             )
         ).alias("m"),
     ).select("pair", "m.role", "m.doc_id")
-    with_sh = melted.join(raw, "doc_id").select(
-        "pair", "role", _shingles().alias("sh")
+    with_sh = (
+        melted.join(raw, "doc_id")
+        .withColumn("_toks", _tokens())
+        .select("pair", "role", _shingles_from(F.col("_toks")).alias("sh"))
     )
     return (
         with_sh.groupBy("pair")
@@ -353,13 +381,18 @@ def dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against an independent engine instead of rows-only.
     NULL-text docs are excluded on both sides (no shingle mass; see
     corpus_index_bands for the [""]-shingle hazard)."""
+    # same one-exchange collapse + pre-split token shape as dedup_near
+    # (the twins must keep identical pipeline structure)
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.md5("text")
+        )
         .groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", _shingles().alias("shingles"))
+        .withColumn("_toks", _tokens())
+        .select("doc_id", _shingles_from(F.col("_toks")).alias("shingles"))
     )
     pairs = _band_pair_join(_md5_band_rows(docs))
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -423,9 +456,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = (
         load_table(spark, sf_dir, "documents")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
+        )
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     cand = _simhash_candidates(docs)
     return (
@@ -549,9 +584,11 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.md5("text")
+        )
         .groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     occ = docs.select(
         "doc_id", F.explode(_tokens()).alias("tok")
@@ -668,18 +705,31 @@ def _ngram_posting_join_docs(
     quarantine (operators.llm_prep) runs the same machinery over an
     arbitrary tagged corpus, not just the fixture table."""
     spark = raw.sparkSession
+    # one-exchange collapse (see dedup_near), tokens split ONCE per
+    # doc (_shingles_from), and the len_band block cap applied BEFORE
+    # shingling: the cap decision needs only len_band, so its sizes
+    # subtree prunes to a slim (doc_id, len_band) projection and the
+    # shingle arrays are built a single time, only for admitted docs.
     docs = (
         raw
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
+        )
         .groupBy(F.sha2("text", 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_toks", _tokens())
         .select(
             "doc_id",
-            _shingles().alias("shingles"),
-            (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+            "_toks",
+            (F.size("_toks") / 8).cast("long").alias("len_band"),
         )
     )
     docs = _cap_blocks_lowcard(docs, ["len_band"], PAIRWISE_BLOCK_CAP)
+    docs = docs.select(
+        "doc_id",
+        _shingles_from(F.col("_toks")).alias("shingles"),
+        "len_band",
+    )
     # Posting-list formulation: explode to (band, shingle, doc) and
     # equi-join on (band, shingle), counting shared shingles per pair.
     # Identical exact Jaccard (|A∩B| from the join, |A∪B| = |A|+|B|−∩
@@ -802,7 +852,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _side_postings(side: DataFrame) -> DataFrame:
+def _side_postings(side: DataFrame, respread: bool = True) -> DataFrame:
     """(doc_id, len_band, n_sh, sh) posting rows under the same
     banding and hot-shingle cap as dedup_ngram_jaccard — but NOT its
     PAIRWISE_BLOCK_CAP band cap.
@@ -813,6 +863,10 @@ def _side_postings(side: DataFrame) -> DataFrame:
     part — building ~L shingle strings per doc and exploding them —
     would then run on a single task (measured 2.7 s single-task vs
     0.3 s spread at sf0.1; same guard as _ngram_posting_join).
+    Callers whose ``side`` is already spread over the full
+    parallelism by a user-pinned exchange (corpus_index_postings's
+    pre-shuffled collapse) pass ``respread=False`` to skip the then-
+    redundant extra exchange — partitioning never affects results.
 
     Why no PAIRWISE_BLOCK_CAP here: that cap exists for the
     all-pairs VERIFY twin, where a length band of b docs costs O(b²)
@@ -823,12 +877,21 @@ def _side_postings(side: DataFrame) -> DataFrame:
     empirically by tools/stress_incremental.py at 100× distinct
     docs, where the band-capped index collapsed to empty and the
     probe got *faster* with more data."""
-    sh = side.repartition(
-        side.sparkSession.sparkContext.defaultParallelism
-    ).select(
-        "doc_id",
-        _shingles().alias("shingles"),
-        (F.size(_tokens()) / 8).cast("long").alias("len_band"),
+    # hash repartition on doc_id (r14): deterministic spread without
+    # round-robin's per-partition input sort; tokens split once per
+    # doc and shingles built from the projected array (_shingles_from)
+    if respread:
+        side = side.repartition(
+            side.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    sh = (
+        side
+        .withColumn("_toks", _tokens())
+        .select(
+            "doc_id",
+            _shingles_from(F.col("_toks")).alias("shingles"),
+            (F.size("_toks") / 8).cast("long").alias("len_band"),
+        )
     )
     posting = sh.select(
         "doc_id",
@@ -874,9 +937,15 @@ def near_dup_kill_ids(
     """
     if family == "lsh":
         nn = deduped.filter(F.col("text").isNotNull())
-        sh = nn.repartition(
-            nn.sparkSession.sparkContext.defaultParallelism
-        ).select("doc_id", _shingles().alias("shingles"))
+        sh = (
+            nn.repartition(
+                nn.sparkSession.sparkContext.defaultParallelism, "doc_id"
+            )
+            .withColumn("_toks", _tokens())
+            .select(
+                "doc_id", _shingles_from(F.col("_toks")).alias("shingles")
+            )
+        )
         pairs = _verify_candidate_pairs(
             _minhash_candidates(sh), nn.select("doc_id", "text")
         )
@@ -927,10 +996,15 @@ def corpus_index_postings(corpus: DataFrame) -> DataFrame:
     (len_band, sh), hashes by _h) and only appended to — the daily
     increment then never scans corpus text. tools/stress_incremental.py
     measures exactly that split."""
-    reps = corpus.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    reps = (
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.md5("text"),
+        )
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
     )
-    return _side_postings(reps)
+    return _side_postings(reps, respread=False)
 
 
 def _exact_dup_ids(
@@ -1065,14 +1139,18 @@ def corpus_index_bands(corpus: DataFrame) -> DataFrame:
     # and match them at Jaccard 1.0. The n-gram posting path drops
     # these via its NULL len_band join key; here the filter is
     # explicit.
-    reps = corpus.filter(F.col("text").isNotNull()).groupBy(
-        F.md5("text").alias("_h")
-    ).agg(
-        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    reps = (
+        corpus.filter(F.col("text").isNotNull())
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.md5("text"),
+        )
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
     )
-    sh = reps.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select("doc_id", _shingles().alias("shingles"))
+    sh = reps.withColumn("_toks", _tokens()).select(
+        "doc_id", _shingles_from(F.col("_toks")).alias("shingles")
+    )
     return _band_rows(sh)
 
 
@@ -1083,14 +1161,18 @@ def corpus_index_rep_shingles(corpus: DataFrame) -> DataFrame:
     doc_id, so the probe reads only candidate buckets) — band
     membership alone is a hash coincidence; admission decisions
     verify TRUE Jaccard."""
-    reps = corpus.filter(F.col("text").isNotNull()).groupBy(
-        F.md5("text").alias("_h")
-    ).agg(
-        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    reps = (
+        corpus.filter(F.col("text").isNotNull())
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.md5("text"),
+        )
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
     )
-    return reps.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select("doc_id", _shingles().alias("shingles"))
+    return reps.withColumn("_toks", _tokens()).select(
+        "doc_id", _shingles_from(F.col("_toks")).alias("shingles")
+    )
 
 
 def _incremental_lsh_verdicts(
@@ -1123,7 +1205,8 @@ def _incremental_lsh_verdicts(
     survivors = (
         batch_h.join(exact_ids, "doc_id", "anti")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", _shingles().alias("shingles"))
+        .withColumn("_toks", _tokens())
+        .select("doc_id", _shingles_from(F.col("_toks")).alias("shingles"))
     )
     # the survivor shingle sets feed BOTH the band probe and the
     # Jaccard verify — one (batch-sized) materialization

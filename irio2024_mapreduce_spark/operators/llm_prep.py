@@ -360,13 +360,22 @@ _MIX_CASE_HEX = (
 DECONTAM_NGRAM = 13
 
 
-def _decontam_grams(n: int = DECONTAM_NGRAM) -> Column:
-    """md5'd n-token-gram array of ``text`` — the 16-byte digest
-    replaces the n-gram STRING before anything shuffles. Shared by
-    :func:`decontaminate` (the report query) and
-    ``plans.corpus_prep`` (the materializing pipeline), so both run
-    the exact conviction rule the driver oracle hash-checks."""
-    toks = F.split("text", " ")
+def _decontam_grams_from(toks: Column, n: int = DECONTAM_NGRAM) -> Column:
+    """md5'd n-token-gram array from a pre-materialized token-array
+    COLUMN — the 16-byte digest replaces the n-gram STRING before
+    anything shuffles. Shared by :func:`decontaminate` (the report
+    query) and ``plans.corpus_prep`` (the materializing pipeline), so
+    both run the exact conviction rule the driver oracle hash-checks.
+
+    Call sites must project ``F.split(text)`` into its own column
+    first (r14, guide §1.2 per-task work): passing the split
+    expression directly inlines it into the transform lambda, where
+    the interpreted higher-order-function path re-splits the whole
+    text once PER GRAM — O(len·n_grams) per doc instead of O(len).
+    The two references here (sequence bound + slice) keep
+    CollapseProject from folding the token projection back into the
+    lambda (multi-use non-cheap alias) — same shape as
+    operators.dedup._shingles_from."""
     return F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
@@ -375,15 +384,31 @@ def _decontam_grams(n: int = DECONTAM_NGRAM) -> Column:
     )
 
 
+def _decontam_grams(n: int = DECONTAM_NGRAM) -> Column:
+    """Gram array straight off ``text``. Prefer
+    :func:`_decontam_grams_from` over a projected token column in
+    query paths — this form re-splits per gram (see above)."""
+    return _decontam_grams_from(F.split("text", " "), n)
+
+
+def _exploded_grams(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., g) rows: one md5'd {DECONTAM_NGRAM}-gram per row,
+    tokens split once per doc via the projected-column shape."""
+    return (
+        docs.withColumn("_toks", F.split("text", " "))
+        .select(*keep, _decontam_grams_from(F.col("_toks")).alias("_grams"))
+        .select(*keep, F.explode("_grams").alias("g"))
+    )
+
+
 def contaminated_ids(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     """doc_ids of ``train`` docs sharing ≥ 1 {DECONTAM_NGRAM}-gram
     with any ``benchmark`` doc. The benchmark side is eval-corpus-
     sized (tiny), so the membership probe is a broadcast semi-join —
     the training side never shuffles at all."""
-    grams = _decontam_grams()
-    bench_grams = benchmark.select(F.explode(grams).alias("g")).distinct()
+    bench_grams = _exploded_grams(benchmark).select("g").distinct()
     return (
-        train.select("doc_id", F.explode(grams).alias("g"))
+        _exploded_grams(train, "doc_id")
         .join(F.broadcast(bench_grams), "g", "semi")
         .select("doc_id")
         .distinct()

@@ -76,7 +76,7 @@ from irio2024_mapreduce_spark.operators.dedup import (
 )
 from irio2024_mapreduce_spark.operators.llm_prep import (
     DECONTAM_NGRAM,
-    _decontam_grams,
+    _exploded_grams,
     scrub_text,
 )
 from irio2024_mapreduce_spark.operators.text_analysis import funnel_verdict
@@ -279,8 +279,8 @@ def benchmark_ngram_digests(benchmark: DataFrame) -> DataFrame:
     Benchmarks are eval-corpus-sized (thousands of docs), so the
     stored set is tiny and every probe broadcasts it."""
     return (
-        benchmark.filter(F.col("text").isNotNull())
-        .select(F.explode(_decontam_grams()).alias("g"))
+        _exploded_grams(benchmark.filter(F.col("text").isNotNull()))
+        .select("g")
         .distinct()
     )
 
@@ -536,7 +536,7 @@ def _ingest_batch_impl(
             os.path.join(index_dir, "benchmark_ngrams")
         )
         contam_ids = (
-            survivors.select("doc_id", F.explode(_decontam_grams()).alias("g"))
+            _exploded_grams(survivors, "doc_id")
             .join(F.broadcast(bench_grams), "g", "semi")
             .select("doc_id")
             .distinct()

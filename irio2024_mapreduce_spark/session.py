@@ -23,6 +23,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# r14 (guide §1.2 step 1 / §7.2 duplicated subtrees): explode() over a
+# projected array column makes InferFiltersFromGenerate add a
+# ``size(col) > 0`` filter, which PushDownPredicates then rewrites
+# through the defining Project — re-substituting the FULL array-building
+# expression (for the shingle/n-gram paths that is the interpreted
+# higher-order transform, with split(text) inlined per element — the
+# O(len²)-per-doc form) into a per-row Filter that runs BEFORE and IN
+# ADDITION TO the projection itself. Every exploded array in this
+# engine is non-empty by construction (``greatest(bound, 1)`` floors
+# the sequence), so the inferred filter prunes zero rows: excluding
+# the rule removes a full duplicate evaluation of the most expensive
+# per-task expressions and cannot change results (explode drops
+# empty/null arrays itself). Measured in OPTIMIZATION_r14.md.
+EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin the runtime-settable confs correctness depends on, on an
@@ -33,9 +50,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
       this every read of the events table throws PARQUET_TYPE_ILLEGAL.
     * UTC session timezone — window boundaries / date parts must agree
       with the DuckDB oracle regardless of host timezone.
+    * ``InferFiltersFromGenerate`` excluded — see :data:`EXCLUDED_RULES`
+      (perf, not correctness: results are identical with the rule on;
+      runtime-settable, so pinning it here reaches sessions that never
+      went through :func:`get_spark`).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
 
 
 def drain_driver_backlog(spark: SparkSession | None = None) -> None:

@@ -421,3 +421,32 @@ def test_split_leakage_exact_family_never_self_joins(spark, sf_dir):
     plan = plan_of(split_leakage(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_token_split_is_projected_once(spark, sf_dir):
+    """r14 split-once pin: the shingle/n-gram builders must evaluate
+    split(text) ONCE per doc via a projected token-array column — if
+    CollapseProject ever folds the projection back into the transform
+    lambda, the interpreted higher-order path re-splits the whole
+    text once PER ELEMENT (O(len·n_elems) per doc; measured 1.3-2x
+    on the dedup/decontaminate family, OPTIMIZATION_r14.md). Also
+    pins the InferFiltersFromGenerate exclusion: without it the
+    inferred size(col)>0 filter is pushed through the defining
+    Project and re-substitutes the full array expression as a
+    duplicate per-row Filter ("size(transform(" in the plan)."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        corpus_index_rep_shingles,
+    )
+    from irio2024_mapreduce_spark.operators.llm_prep import decontaminate
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    sh_plan = plan_of(corpus_index_rep_shingles(load_table(spark, sf_dir, "documents")))
+    # one split per doc: the transform lambda references the projected
+    # _toks attribute, not a re-inlined split(text)
+    assert sh_plan.count("split(") == 1, sh_plan.count("split(")
+    assert "size(transform" not in sh_plan
+
+    dc_plan = plan_of(decontaminate(spark, sf_dir))
+    # one split per Generate side (train + benchmark), not two
+    assert dc_plan.count("split(") == 2, dc_plan.count("split(")
+    assert "size(transform" not in dc_plan
