@@ -55,9 +55,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
       runtime-settable, so pinning it here reaches sessions that never
       went through :func:`get_spark`).
     """
+    # r14 opt: set once per SparkSession object — this runs on EVERY
+    # load_table call (several per query build, 3 py4j round-trips
+    # each), which profiling showed as measurable driver time across
+    # a 32-query battery. The flag rides on the Python session object;
+    # a second Python wrapper around the same JVM session just re-sets
+    # the same values once (idempotent). Tools that deliberately
+    # mutate these confs mid-session (tools/ab_r14_batch1.py) restore
+    # them themselves.
+    if getattr(spark, "_irio_confs_ensured", False):
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
+    try:
+        spark._irio_confs_ensured = True
+    except AttributeError:  # exotic session wrapper with __slots__
+        pass
 
 
 def drain_driver_backlog(spark: SparkSession | None = None) -> None:

@@ -40,6 +40,19 @@ TABLE_NAMES = (
 # region/nation are fixed-size in TPC-H-style schemas.
 BROADCAST_SAFE = ("region", "nation")
 
+# r14 opt: schema-inference memo. ``spark.read.parquet`` without a
+# schema reads parquet footers and runs mergeSchemas on EVERY call —
+# profiling showed ~0.1 s per load_table call, several calls per
+# query build, on every timed bench iteration. The first read of a
+# (dir, table) infers and records the schema; later reads pass it
+# explicitly (``spark.read.schema(s).parquet``), exactly what a
+# catalog-backed table does in production. This memoizes METADATA
+# only — every query still scans the parquet data itself. Keyed by
+# absolute file path; test fixtures live in unique tmp dirs, and
+# nothing in the repo rewrites a star-schema table in place with a
+# different schema.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; no action triggered.
@@ -61,8 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning still reaches parquet.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    ts_type = dict(df.dtypes).get("ts")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        schema = df.schema
+        _SCHEMA_CACHE[path] = schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    ts_type = next(
+        (f.dataType.simpleString() for f in schema.fields if f.name == "ts"),
+        None,
+    )
     if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif name == "events" and ts_type == "timestamp_ntz":
