@@ -83,8 +83,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_dot` (r14 opt): the Column form costs
+    ~15 py4j round-trips per call (zip_with + two lambda conversions +
+    arithmetic), and the signature/score builders call it hundreds of
+    times per plan — profiling showed >1.5 s of a similarity_ann build
+    spent in socket round-trips alone. One f-string parses JVM-side
+    into the IDENTICAL expression tree (``0.0D`` is the same double
+    literal ``F.lit(0.0)`` mints), the same move as
+    :func:`_planes_matrix`'s array literal."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
 def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_cosine` — same tree, one parse."""
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * "
+        f"sqrt({_dot_sql(b, b)})))"
+    )
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,15 +182,28 @@ ANN_PROBE_BITS = 6
 # measured floor is asserted in tests for both regimes.
 
 
+def _masks_sql(bits: int | None = None) -> str:
+    bits = bits or ANN_PLANES
+    return "array(" + ", ".join(f"{1 << p}L" for p in range(bits)) + ")"
+
+
 def _masks(bits: int | None = None) -> Column:
     # single parsed literal — used many times per plan; per-element
     # F.lit calls would multiply py4j round-trips. ``bits`` overrides
     # the engine default — the stored-index resize path re-derives
     # signatures at a corpus-sized H (operators.ann_index).
+    return F.expr(_masks_sql(bits))
+
+
+def _planes_sql(bits: int | None = None) -> str:
+    """The nested plane-array literal as SQL text (see
+    :func:`_planes_matrix` for why it is one string)."""
     bits = bits or ANN_PLANES
-    return F.expr(
-        "array(" + ", ".join(f"{1 << p}L" for p in range(bits)) + ")"
+    rows = ", ".join(
+        "array(" + ", ".join(f"{c!r}D" for c in _hyperplane_values(i)) + ")"
+        for i in range(ANN_TABLES * bits)
     )
+    return f"array({rows})"
 
 
 def _planes_matrix(bits: int | None = None) -> Column:
@@ -180,74 +216,77 @@ def _planes_matrix(bits: int | None = None) -> Column:
     building it from 2048 nested ``F.lit``/``F.array`` calls spent
     ~6 s of driver time on py4j round-trips alone. The ``D`` suffix
     parses each component as DOUBLE (bare decimals parse as DECIMAL)."""
-    bits = bits or ANN_PLANES
-    rows = ", ".join(
-        "array(" + ", ".join(f"{c!r}D" for c in _hyperplane_values(i)) + ")"
-        for i in range(ANN_TABLES * bits)
-    )
-    return F.expr(f"array({rows})")
+    return F.expr(_planes_sql(bits))
 
 
-def _all_projections(vec: Column, bits: int | None = None) -> Column:
-    """array<double> of dot(vec, plane) for every table's planes."""
-    return F.transform(_planes_matrix(bits), lambda pl: _dot(vec, pl))
+def _all_projections_sql(vec: str, bits: int | None = None) -> str:
+    """array<double> of dot(vec, plane) for every table's planes.
+
+    SQL text (r14 opt): the Column form (``F.transform`` + ``_dot``
+    lambdas) and its siblings below cost thousands of py4j
+    round-trips per similarity_ann plan build (~1.8 s measured,
+    tools/profile_build_phases.py); each f-string parses JVM-side
+    into the identical expression tree the Column chain produced —
+    the same move as :func:`_planes_matrix` (the r01 lesson),
+    extended to the whole signature/probe surface. Result parity is
+    pinned by the stored-index bit-parity tests and the oracle gate."""
+    return f"transform({_planes_sql(bits)}, pl -> {_dot_sql(vec, 'pl')})"
 
 
-def _sig_of(projs: Column, bits: int | None = None) -> Column:
+def _sig_of_sql(projs: str, bits: int | None = None) -> str:
     """H-bit signature: bit p set iff projection p is positive."""
-    return F.aggregate(
-        F.zip_with(
-            projs,
-            _masks(bits),
-            lambda x, m: F.when(x > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    return (
+        f"aggregate(zip_with({projs}, {_masks_sql(bits)}, "
+        "(x, m) -> CASE WHEN x > 0 THEN m ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
-def _probes_of(
-    sig: Column, projs: Column, bits: int | None = None
-) -> Column:
-    """Probe buckets for a query: its own signature plus every
-    single- and pair-flip of the ANN_PROBE_BITS planes with the
-    smallest |projection| (the bits most likely to disagree with a
-    true neighbor's signature sit closest to the hyperplane).
-
-    Flip planes are picked by sorting (|proj|, plane-index) STRUCTS —
-    value-based array_position would resolve tied |projections| (e.g.
-    a zero vector) to the same first index, collapsing distinct probes
-    back into the primary bucket."""
+def _flip_masks_sql(projs: str, bits: int | None = None) -> str:
+    """The multi-probe flip masks as ONE small array expression: rank
+    planes by (|proj|, plane-index) STRUCTS (value-based
+    array_position would resolve tied |projections| — e.g. a zero
+    vector — to the same first index, collapsing distinct probes back
+    into the primary bucket), keep the ``n_probe`` lowest-|projection|
+    planes (the bits most likely to disagree with a true neighbor's
+    signature sit closest to the hyperplane), map each to its bit
+    mask. Projected into its own column so the probe expressions
+    below reference a tiny attribute instead of inlining the ranked
+    subtree 36× per table — that duplication's eager
+    per-transformation re-analysis dominated the plan-build wall
+    (tools/profile_build_phases.py)."""
     bits = bits or ANN_PLANES
     # a signature narrower than the probe budget can't flip more
     # planes than it has — cap the fan-out (only reachable when a
     # stored index resizes DOWN below ANN_PROBE_BITS planes)
     n_probe = min(ANN_PROBE_BITS, bits)
-    idx = F.expr(
-        "array(" + ", ".join(str(p) for p in range(bits)) + ")"
+    idx = "array(" + ", ".join(str(p) for p in range(bits)) + ")"
+    ranked = (
+        f"array_sort(zip_with({projs}, {idx}, "
+        "(x, i) -> named_struct('a', abs(x), 'i', i)))"
     )
-    ranked = F.array_sort(
-        F.zip_with(
-            projs,
-            idx,
-            lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("i")),
-        )
+    return (
+        f"transform(slice({ranked}, 1, {n_probe}), "
+        f"r -> element_at({_masks_sql(bits)}, CAST(r.i + 1 AS INT)))"
     )
-    flip_masks = [
-        F.element_at(
-            _masks(bits),
-            (F.element_at(ranked, k + 1)["i"] + 1).cast("int"),
-        )
-        for k in range(n_probe)
-    ]
+
+
+def _probes_from_masks_sql(sig: str, fm: str, bits: int | None = None) -> str:
+    """Probe buckets for a query: its own signature plus every
+    single- and pair-flip of the flip-mask planes
+    (:func:`_flip_masks_sql`) — ``sig ^ mask`` singles and pairs with
+    ``element_at({fm}, k)`` standing in for each mask."""
+    bits = bits or ANN_PLANES
+    n_probe = min(ANN_PROBE_BITS, bits)
+    masks = [f"element_at({fm}, {k + 1})" for k in range(n_probe)]
     probes = [sig]
-    probes += [sig.bitwiseXOR(m) for m in flip_masks]
+    probes += [f"({sig} ^ {m})" for m in masks]
     probes += [
-        sig.bitwiseXOR(flip_masks[i]).bitwiseXOR(flip_masks[j])
+        f"(({sig} ^ {masks[i]}) ^ {masks[j]})"
         for i in range(n_probe)
         for j in range(i + 1, n_probe)
     ]
-    return F.array_distinct(F.array(*probes))
+    return f"array_distinct(array({', '.join(probes)}))"
 
 
 def _ann_sigs(emb: DataFrame, bits: int | None = None) -> DataFrame:
@@ -255,23 +294,23 @@ def _ann_sigs(emb: DataFrame, bits: int | None = None) -> DataFrame:
     front-end of the corpus-index and query-probe frames. ``bits``
     overrides the engine default H (stored-index resize path)."""
     bits = bits or ANN_PLANES
-    all_projs = emb.select(
-        "vec_id", "v", _all_projections(F.col("v"), bits).alias("ap")
+    all_projs = emb.selectExpr(
+        "vec_id", "v", f"{_all_projections_sql('v', bits)} AS ap"
     )
-    projected = all_projs.select(
+    projected = all_projs.selectExpr(
         "vec_id",
         "v",
         *[
-            F.slice("ap", t * bits + 1, bits).alias(f"projs_{t}")
+            f"slice(ap, {t * bits + 1}, {bits}) AS projs_{t}"
             for t in range(ANN_TABLES)
         ],
     )
-    return projected.select(
+    return projected.selectExpr(
         "vec_id",
         "v",
-        *[F.col(f"projs_{t}") for t in range(ANN_TABLES)],
+        *[f"projs_{t}" for t in range(ANN_TABLES)],
         *[
-            _sig_of(F.col(f"projs_{t}"), bits).alias(f"sig_{t}")
+            f"{_sig_of_sql(f'projs_{t}', bits)} AS sig_{t}"
             for t in range(ANN_TABLES)
         ],
     )
@@ -291,20 +330,13 @@ def _ann_corpus_rows(
         sigs_corpus = sigs
     else:
         sigs_corpus = sigs.filter(F.col("vec_id") >= min_id)
-    return sigs_corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.col(f"sig_{t}").alias("cb"),
-                    )
-                    for t in range(ANN_TABLES)
-                ]
-            )
-        ).alias("ts"),
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'cb', sig_{t})" for t in range(ANN_TABLES)
+    )
+    return sigs_corpus.selectExpr(
+        "vec_id AS neighbor_id",
+        "v AS cv",
+        f"explode(array({structs})) AS ts",
     ).select("neighbor_id", "cv", "ts.tbl", "ts.cb")
 
 
@@ -321,26 +353,29 @@ def _ann_query_probes(
         sigs_q = sigs
     else:
         sigs_q = sigs.filter(F.col("vec_id") < max_id)
+    # flip masks projected once per table (see _flip_masks_sql) — the
+    # probe structs below then stay constant-size
+    with_masks = sigs_q.selectExpr(
+        "vec_id",
+        "v",
+        *[f"sig_{t}" for t in range(ANN_TABLES)],
+        *[
+            f"{_flip_masks_sql(f'projs_{t}', bits)} AS fm_{t}"
+            for t in range(ANN_TABLES)
+        ],
+    )
+    structs = ", ".join(
+        "named_struct('tbl', {t}, 'probes', {p})".format(
+            t=t, p=_probes_from_masks_sql(f"sig_{t}", f"fm_{t}", bits)
+        )
+        for t in range(ANN_TABLES)
+    )
     return (
-        sigs_q
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _probes_of(
-                                F.col(f"sig_{t}"),
-                                F.col(f"projs_{t}"),
-                                bits,
-                            ).alias("probes"),
-                        )
-                        for t in range(ANN_TABLES)
-                    ]
-                )
-            ).alias("tp"),
+        with_masks
+        .selectExpr(
+            "vec_id AS query_id",
+            "v AS qv",
+            f"explode(array({structs})) AS tp",
         )
         .select(
             "query_id", "qv", F.col("tp.tbl").alias("qtbl"),
@@ -371,33 +406,22 @@ def _ann_join_score(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     scored = corpus.join(
         F.broadcast(queries),
         (F.col("tbl") == F.col("qtbl")) & (F.col("cb") == F.col("probe")),
-    ).select(
+    ).selectExpr(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
     )
-    ranked = F.array_sort(
-        F.collect_list(
-            F.struct(
-                (-F.nanvl(F.col("cosine"), F.lit(float("inf")))).alias(
-                    "nc"
-                ),
-                F.col("neighbor_id").alias("nid"),
-                F.col("cosine").alias("cos"),
-            )
-        )
+    ranked = (
+        "array_sort(collect_list(named_struct("
+        "'nc', -nanvl(cosine, CAST('Infinity' AS DOUBLE)), "
+        "'nid', neighbor_id, 'cos', cosine)))"
     )
-    empty = F.expr(
-        "CAST(array() AS array<struct<nc:double,nid:bigint,cos:double>>)"
-    )
-    top = F.aggregate(
-        ranked,
-        empty,
-        lambda acc, x: F.when(
-            (F.size(acc) < TOP_K)
-            & ~F.exists(acc, lambda a: a["nid"] == x["nid"]),
-            F.array_append(acc, x),
-        ).otherwise(acc),
+    empty = "CAST(array() AS array<struct<nc:double,nid:bigint,cos:double>>)"
+    top = F.expr(
+        f"aggregate({ranked}, {empty}, (acc, x) -> "
+        f"CASE WHEN size(acc) < {TOP_K} "
+        "AND NOT exists(acc, a -> a.nid = x.nid) "
+        "THEN array_append(acc, x) ELSE acc END)"
     )
     agg = scored.groupBy("query_id").agg(top.alias("top"))
     ex = agg.select("query_id", F.posexplode("top").alias("pos", "t"))
@@ -579,40 +603,33 @@ def _nearest_cell(
     # members) yields all-NaN units, NaN sims, and — because
     # Spark orders NaN above every double — array_max would hand
     # that dead cell EVERY corpus vector
-    unit = F.transform(
-        "cv",
-        lambda x: x
-        / F.greatest(
-            F.sqrt(_dot(F.col("cv"), F.col("cv"))), F.lit(1e-300)
-        ),
+    unit = (
+        "transform(cv, x -> x / greatest("
+        f"sqrt({_dot_sql('cv', 'cv')}), {1e-300!r}D))"
     )
-    cent_row = cents.select("cell", unit.alias("cu")).agg(
+    cent_row = cents.selectExpr("cell", f"{unit} AS cu").agg(
         F.collect_list(F.struct("cell", "cu")).alias("_cents")
     )
     # zero-vector guard mirrors numpy's x_norm[x_norm == 0] = 1.0
-    raw_vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-    vnorm = F.when(raw_vnorm == 0.0, F.lit(1.0)).otherwise(raw_vnorm)
+    raw_vnorm = f"sqrt({_dot_sql(vec_col, vec_col)})"
+    vnorm = f"CASE WHEN {raw_vnorm} = 0.0D THEN 1.0D ELSE {raw_vnorm} END"
+    argmax = (
+        "CAST(array_max(transform(_cents, c -> named_struct("
+        f"'sim', {_dot_sql(vec_col, 'c.cu')} / _vn, "
+        "'negcell', -c.cell))).negcell AS INT)"
+    )
     return (
         frame.join(F.broadcast(cent_row))
-        .select(
+        .selectExpr(
             "vec_id",
             "v",
             "_cents",
-            vnorm.alias("_vn"),
+            f"{vnorm} AS _vn",
         )
-        .select(
+        .selectExpr(
             "vec_id",
             "v",
-            F.array_max(
-                F.transform(
-                    "_cents",
-                    lambda c: F.struct(
-                        (_dot(F.col(vec_col), c["cu"]) / F.col("_vn"))
-                        .alias("sim"),
-                        (-c["cell"]).alias("negcell"),
-                    ),
-                )
-            )["negcell"].cast("int").alias("_nc"),
+            f"{argmax} AS _nc",
         )
         .select("vec_id", "v", (-F.col("_nc")).alias("cell"))
     )
@@ -624,11 +641,11 @@ def _query_cells(
     """(query_id, qv, cell) — each query's ``nprobe`` closest cells,
     ties to the smallest cell. The centroid frame broadcasts; the
     window partitions per query (query-sized, never corpus-sized)."""
-    q_scored = q.join(F.broadcast(centroids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
+    q_scored = q.join(F.broadcast(centroids)).selectExpr(
+        "vec_id AS query_id",
+        "v AS qv",
         "cell",
-        _cosine(F.col("v"), F.col("cv")).alias("sim"),
+        f"{_cosine_sql('v', 'cv')} AS sim",
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("cell")
@@ -643,10 +660,10 @@ def _query_cells(
 def _ivf_score(corpus_cells: DataFrame, q_cells: DataFrame) -> DataFrame:
     """Cell equi-join + cosine + per-query top-k — shared by the
     on-the-fly query and the stored-index probe."""
-    scored = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+    scored = corpus_cells.join(F.broadcast(q_cells), "cell").selectExpr(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        "vec_id AS neighbor_id",
+        f"round({_cosine_sql('qv', 'v')}, 6) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
