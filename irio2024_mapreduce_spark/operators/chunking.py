@@ -196,9 +196,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _LAST_CC_ROUNDS
     converged = False
-    # blocks made dead by the NEXT materialization: the previous
-    # round's label checkpoint (consumed building this round's)
-    stale_ckpts: list = []
+    # block bookkeeping: `stale_half` is the previous round's `half`
+    # checkpoint (consumed once this round's convergence count
+    # materializes the labels built from it); `labels_ckpt` is the
+    # current labels frame's checkpoint (consumed once this round's
+    # `half` materializes) — freed eagerly instead of holding 2 block
+    # sets per round until the JVM collects the py4j references (the
+    # dedup_clusters bench transient).
+    stale_half = None
+    labels_ckpt = None
     for _round in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(
@@ -224,13 +230,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("neighbor_label", F.col("label"))
                 ).alias("label"),
             )
-            # materialize ONCE before the self-join below — both jump
-            # sides would otherwise instantiate the whole
-            # edges⋈labels⋈agg subtree as separate plans (the classic
-            # self-join double-subtree); lazy, so the convergence
-            # count is still the round's single action
+            # materialize ONCE before the convergence count and the
+            # jump self-join below — both jump sides would otherwise
+            # instantiate the whole edges⋈labels⋈agg subtree as
+            # separate plans (the classic self-join double-subtree);
+            # lazy, so the count is still the round's single action
             .localCheckpoint(eager=False)
         )
+        # convergence check on the PROPAGATION half (r14 opt): the
+        # propagation fixpoint (no label has a smaller closed-
+        # neighborhood min) IS the component fixpoint — by induction
+        # from each component-min node m (label(m) = m always, its
+        # neighbors' fixpoint labels equal m, and so on outward), so
+        # no-change-here equals the old post-jump no-change check,
+        # round for round (the jump only lowers labels a propagation
+        # already moved: half.label changed ⇒ new_labels.label
+        # changed, and an unchanged half makes the jump the
+        # identity). Checking BEFORE the jump skips the final
+        # round's jump join + checkpoint — computed work the old
+        # shape always threw away (guide §1.2: don't compute what
+        # you discard).
+        changed = (
+            half.filter(F.col("label") != F.col("_old")).limit(1).count()
+        )
+        # the count's job materializes `half` (and, by lazy-checkpoint
+        # cascade, the previous round's labels it reads), so the
+        # previous round's `half` blocks are now dead
+        if stale_half is not None:
+            stale_half.unpersist(False)
+            stale_half = None
+        if changed == 0:
+            converged = True
+            _LAST_CC_ROUNDS = _round + 1
+            # half's content equals labels' (no row changed): the
+            # post-loop plan keeps reading `labels`, so half's fresh
+            # blocks are immediately dead
+            _ckpt_rdd(half).unpersist(False)
+            if CC_REP_SEEDING:
+                # the edge graph is dead once labels' lineage is
+                # truncated: the rep-seeding post-loop plan reads only
+                # labels + doc_rep (whose `hashed` checkpoint
+                # materializes at the final action and must stay). The
+                # legacy path still reads `members` — derived from
+                # edges — in its singleton anti-join, so edges must
+                # survive there.
+                _ckpt_rdd(edges).unpersist(False)
+            break
+        # this round moved labels: the previous labels blocks have no
+        # further consumer (the jump below reads only `half`)
+        if labels_ckpt is not None:
+            labels_ckpt.unpersist(False)
         # pointer-jumping (label ← label's label): halves the distance
         # to the component minimum each round, so convergence is
         # O(log diameter) instead of O(diameter) — a 10-round budget
@@ -242,48 +291,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             half.join(jump, half.label == jump.jdoc, "left")
             .select(
                 "doc_id",
-                "_old",
                 F.least(
                     F.col("label"), F.coalesce("jlabel", F.col("label"))
                 ).alias("label"),
             )
-            # lazy checkpoint: the convergence count below is the
-            # action that materializes it, so each iteration costs ONE
-            # job — lineage truncates at materialization either way
+            # lazy checkpoint: the NEXT round's convergence count (or
+            # the post-loop action) is the materializing job
             .localCheckpoint(eager=False)
         )
-        # convergence: did any label move this round?
-        changed = (
-            new_labels.filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        # the count's job fully materializes BOTH of this round's
-        # checkpoints and truncates their lineage (lazy local
-        # checkpointing force-computes any partitions the job's limit
-        # short-circuited), so the previous round's label blocks and
-        # this round's intermediate `half` are now dead — free them
-        # instead of holding 2 block sets per round until the JVM
-        # collects the py4j references (the dedup_clusters bench
-        # transient). The just-written `new_labels` blocks stay: the
-        # next round (or the post-loop aggregation) reads them.
-        for dead in [*stale_ckpts, _ckpt_rdd(half)]:
-            dead.unpersist(False)
-        stale_ckpts = [_ckpt_rdd(new_labels)]
+        stale_half = _ckpt_rdd(half)
+        labels_ckpt = _ckpt_rdd(new_labels)
         labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            converged = True
-            _LAST_CC_ROUNDS = _round + 1
-            if CC_REP_SEEDING:
-                # the edge graph is dead once labels' lineage is
-                # truncated: the rep-seeding post-loop plan reads only
-                # labels + doc_rep (whose `hashed` checkpoint
-                # materializes at the final action and must stay). The
-                # legacy path still reads `members` — derived from
-                # edges — in its singleton anti-join, so edges must
-                # survive there.
-                _ckpt_rdd(edges).unpersist(False)
-            break
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge in "
