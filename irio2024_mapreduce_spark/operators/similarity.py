@@ -494,9 +494,21 @@ def _train_quantizer_numpy(
     :func:`ivf_centroids_for` calls the same function so the injected
     centroid constants are the Spark-trained centroids by
     construction, not by re-implementation)."""
-    return spark.createDataFrame(
-        _train_rows(sample_rows, k), "cell int, cv array<double>"
+    rows = _train_rows(sample_rows, k)
+    # one parsed literal frame (r14 opt): createDataFrame of the k
+    # centroid rows cost ~0.28 s of driver time per build (py4j
+    # serialization + local-relation setup); the inline() literal is
+    # one expression string with the same exact values (repr + D
+    # suffix round-trips every finite double bit-exactly, the
+    # _planes_matrix convention) and the same (cell int,
+    # cv array<double>) schema
+    structs = ", ".join(
+        "named_struct('cell', {c}, 'cv', array({vs}))".format(
+            c=int(c), vs=", ".join(f"{v!r}D" for v in cv)
+        )
+        for c, cv in rows
     )
+    return spark.range(1).selectExpr(f"inline(array({structs}))")
 
 
 def _train_rows(
