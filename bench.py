@@ -196,6 +196,19 @@ def compute_load_flags(
       never on JIT state. Both criteria are off (None) for artifacts
       recorded before the midpoint sampling existed.
 
+      r15 (VERDICT r14 item 9 + the r14 final4/cpus8 self-load
+      finding): the midpoint 1-min load average is PARTIALLY
+      SELF-TRIGGERED — the bench's own 32-thread bursts alone push it
+      past LOAD_FLAG on a genuinely idle host (measured: 4.1 at the
+      midpoint of an 8-core run with nothing else running; 6.33 on
+      the idle-host final4 whose every compute criterion was clean).
+      ``load_mid`` therefore only fires when the midpoint WARM canary
+      FAILS to prove the compute uncontended: if the min-of-3 warm
+      canary runs at or below the COLD idle reference, the CPU was
+      demonstrably free at the sampled instant and the OS load number
+      is attributed to our own bursts. The ungated boolean is kept as
+      ``load_mid_raw`` so a reader can re-apply the old rule.
+
     Returns the per-criterion booleans, the combined flag, and the
     half-medians (the drift bounds the normalized interval)."""
     steady = series_vals[WARMUP_SAMPLES:] or list(series_vals)
@@ -212,7 +225,11 @@ def compute_load_flags(
         "cold_dev": canary > COLD_DEVIATION * CANARY_REF_SEC,
         "midrun_drift": drift > DRIFT_FLAG,
         "early_contended": bool(early) and max(early) > 3 * c_med,
-        "load_mid": load_mid1 is not None and load_mid1 > LOAD_FLAG,
+        "load_mid": (
+            load_mid1 is not None
+            and load_mid1 > LOAD_FLAG
+            and (mid_canary is None or mid_canary > CANARY_REF_SEC)
+        ),
         "mid_dev": (
             mid_canary is not None
             and mid_canary > COLD_DEVIATION * CANARY_REF_SEC
@@ -221,6 +238,9 @@ def compute_load_flags(
     return {
         **flags,
         "flagged": any(flags.values()),
+        # ungated midpoint load boolean (diagnostic only — NOT part of
+        # `flagged`; see the load_mid self-load note above)
+        "load_mid_raw": load_mid1 is not None and load_mid1 > LOAD_FLAG,
         "steady_median": round(c_med, 3),
         "half_medians": [round(m1, 3), round(m2, 3)],
         "drift": round(drift, 3),
@@ -516,6 +536,7 @@ def main() -> None:
                         "midrun_drift",
                         "early_contended",
                         "load_mid",
+                        "load_mid_raw",
                         "mid_dev",
                     )
                 },
@@ -563,6 +584,18 @@ def main() -> None:
                 "canary_steady_median_sec": lf["steady_median"],
                 "subset_steady_normalized_sec": subset_steady_norm,
                 "load_flagged": load_flagged,
+                # stored-index fixture split (r15, VERDICT r14 item 8):
+                # the headline probe_* numbers are min-of-N walls with
+                # the fixture build amortized; this surfaces the
+                # build/probe decomposition in the graded line itself
+                # (full per-iteration trail stays in the sidecar)
+                "stored_probe": {
+                    q: {
+                        "build": d["build_sec_per_iter"][0],
+                        "probe": d["probe_sec"],
+                    }
+                    for q, d in stored_probe_decomposition.items()
+                },
                 "detail": os.path.basename(detail_path),
                 "sf": sf_dir,
                 # background load swings single runs 2×+ (see SCALE.md

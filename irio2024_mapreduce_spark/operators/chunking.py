@@ -266,14 +266,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # post-loop plan keeps reading `labels`, so half's fresh
             # blocks are immediately dead
             _ckpt_rdd(half).unpersist(False)
-            if CC_REP_SEEDING:
+            if CC_REP_SEEDING and _round > 0:
                 # the edge graph is dead once labels' lineage is
                 # truncated: the rep-seeding post-loop plan reads only
                 # labels + doc_rep (whose `hashed` checkpoint
                 # materializes at the final action and must stay). The
                 # legacy path still reads `members` — derived from
                 # edges — in its singleton anti-join, so edges must
-                # survive there.
+                # survive there. Round-0 convergence (empty/trivial
+                # near-dup graph) must ALSO keep edges: `labels` is
+                # then still the un-checkpointed members-derived frame
+                # whose lineage reads the edge blocks — freeing them
+                # would force the whole pair-generation subtree to
+                # recompute at the final action (ADVICE r14).
                 _ckpt_rdd(edges).unpersist(False)
             break
         # this round moved labels: the previous labels blocks have no

@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio2024_mapreduce_spark.sources.tables import load_table, load_table_parallel
+from irio2024_mapreduce_spark.sources.tables import (
+    exchange_width,
+    load_table,
+    load_table_parallel,
+    table_bytes,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -141,6 +146,78 @@ def _tokens(col: str = "text") -> Column:
     return F.split(col, " ")
 
 
+def _collapse_reps(
+    raw: DataFrame,
+    hash_col: Column,
+    shape: str = "exchange_first",
+    nbytes: int | None = None,
+) -> DataFrame:
+    """Exact-duplicate collapse shared by every dedup family:
+    one representative row ``(_h, doc_id, text)`` per distinct
+    ``hash_col`` value — min ``doc_id`` wins, and the winner's text is
+    (by hash equality) THE group's text. All eight call sites route
+    through here; the SHAPE per site was decided by interleaved A/B
+    over the full build+exec wall (tools/ab_r15_collapse.py, r15 —
+    VERDICT r14 items 1+2; parity-gated, all shapes hash-identical):
+
+    * ``exchange_first`` (r14 default, kept where it measured best:
+      the minhash and simhash families): ONE user-pinned exchange on
+      the collapse key BEFORE the groupBy — the agg's hash
+      requirement is satisfied by the user exchange, AQE never
+      coalesces user-numbered repartitions so downstream shingle/vote
+      compute keeps its parallelism. The full raw text shuffles once;
+      there is no map-side partial agg (the measured fixture dup
+      factor is 1.002, so partial agg collapses nothing anyway).
+    * ``agg_first`` (ngram posting family): groupBy first — partial
+      agg collapses duplicates map-side (2·corpus/d shuffle bytes at
+      dup factor d, the winning trade whenever d > 2) — then a hash
+      exchange on doc_id respreads the reps for the shingle stage
+      (no round-robin, so no sortBeforeRepartition pass).
+    * ``ids_semi`` (incremental corpus index; guide §3.2/§8 decide-
+      on-proxies): winners = groupBy(hash).agg(min(doc_id)) — a
+      HASH-aggregate over (hex, long) rows with map-side partials;
+      the text NEVER enters an aggregation buffer or its sort. The
+      winners' ids semi-join back (broadcast at fixture scale, SMJ on
+      doc_id at corpus scale) and one doc_id exchange spreads the
+      reps. Two scans of the input, but the only corpus-sized shuffle
+      carries winners' text exactly once at ANY dup factor.
+
+    ``nbytes`` (the input's on-disk footprint, when the caller knows
+    its table) sizes the pinned exchanges to the DATA instead of the
+    core count via :func:`exchange_width` (VERDICT r14 item 6) —
+    locally this floors at the session parallelism, so bench behavior
+    is unchanged; at corpus scale the width grows with bytes instead
+    of leaving AQE-uncoalesced 128-partition exchanges to hold TBs.
+    """
+    spark = raw.sparkSession
+    width = exchange_width(spark, nbytes)
+    if shape == "agg_first":
+        return (
+            raw.groupBy(hash_col.alias("_h"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.first("text").alias("text"),
+            )
+            .repartition(width, "doc_id")
+        )
+    if shape == "ids_semi":
+        win = (
+            raw.select(hash_col.alias("_h"), "doc_id")
+            .groupBy("_h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        return (
+            raw.join(win.select("doc_id"), "doc_id", "semi")
+            .select(hash_col.alias("_h"), "doc_id", "text")
+            .repartition(width, "doc_id")
+        )
+    return (
+        raw.repartition(width, hash_col)
+        .groupBy(hash_col.alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    )
+
+
 def _shingles_from(toks: Column, n: int = 3) -> Column:
     """Distinct n-token shingles ('w1 w2 w3') from a pre-materialized
     token-array COLUMN. Call sites must project ``F.split(text)`` into
@@ -206,24 +283,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and near-dup pairs are reported between distinct
     contents' representatives.
     """
-    # NB: ONE user-pinned exchange on the collapse key BEFORE the
-    # groupBy (r14): the agg's hash requirement is then already
-    # satisfied (no ENSURE_REQUIREMENTS exchange), AQE never coalesces
-    # a user-numbered repartition, so the downstream shingle/minhash
-    # compute keeps its parallelism — replacing the former
-    # collapse-exchange + round-robin-repartition pair (two exchanges,
-    # plus round-robin's per-partition input sort) with one exchange.
-    # Trade at scale: raw rows shuffle once on sha2 instead of
-    # map-side-collapsed rows + a second full rep shuffle — fewer
-    # total bytes whenever the exact-dup factor is < 2, and one fewer
-    # stage barrier always.
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
+        _collapse_reps(
+            load_table(spark, sf_dir, "documents"),
+            F.sha2("text", 256),
+            nbytes=table_bytes(sf_dir, "documents"),
         )
-        .groupBy(F.sha2("text", 256).alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
         .withColumn("_toks", _tokens())
         .select("doc_id", _shingles_from(F.col("_toks")).alias("shingles"))
     )
@@ -381,16 +446,16 @@ def dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against an independent engine instead of rows-only.
     NULL-text docs are excluded on both sides (no shingle mass; see
     corpus_index_bands for the [""]-shingle hazard)."""
-    # same one-exchange collapse + pre-split token shape as dedup_near
-    # (the twins must keep identical pipeline structure)
+    # same collapse + pre-split token shape as dedup_near (the twins
+    # must keep identical pipeline structure)
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.md5("text")
+        _collapse_reps(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("text").isNotNull()
+            ),
+            F.md5("text"),
+            nbytes=table_bytes(sf_dir, "documents"),
         )
-        .groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
         .withColumn("_toks", _tokens())
         .select("doc_id", _shingles_from(F.col("_toks")).alias("shingles"))
     )
@@ -454,13 +519,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs share a simhash, so a d-duplicate group would otherwise form
     a d-clique in every chunk bucket (d² candidates).
     """
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
-        )
-        .groupBy(F.sha2("text", 256).alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    docs = _collapse_reps(
+        load_table(spark, sf_dir, "documents"),
+        F.sha2("text", 256),
+        nbytes=table_bytes(sf_dir, "documents"),
     )
     cand = _simhash_candidates(docs)
     return (
@@ -581,14 +643,12 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every hamming distance. NULL-text docs excluded on both
     sides (the graded query keeps them at signature 0; the twin
     checks the LSH logic, not the NULL convention)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.md5("text")
-        )
-        .groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    docs = _collapse_reps(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        ),
+        F.md5("text"),
+        nbytes=table_bytes(sf_dir, "documents"),
     )
     occ = docs.select(
         "doc_id", F.explode(_tokens()).alias("tok")
@@ -694,29 +754,31 @@ def _ngram_posting_join(
     posting-join row count (the quantity NGRAM_POSTING_CAP bounds)
     under an adversarial stop-word corpus."""
     return _ngram_posting_join_docs(
-        load_table(spark, sf_dir, "documents"), posting_cap
+        load_table(spark, sf_dir, "documents"),
+        posting_cap,
+        nbytes=table_bytes(sf_dir, "documents"),
     )
 
 
 def _ngram_posting_join_docs(
-    raw: DataFrame, posting_cap: int = NGRAM_POSTING_CAP
+    raw: DataFrame,
+    posting_cap: int = NGRAM_POSTING_CAP,
+    nbytes: int | None = None,
 ) -> DataFrame:
     """Frame-level form of :func:`_ngram_posting_join` — the leakage
     quarantine (operators.llm_prep) runs the same machinery over an
     arbitrary tagged corpus, not just the fixture table."""
-    spark = raw.sparkSession
-    # one-exchange collapse (see dedup_near), tokens split ONCE per
-    # doc (_shingles_from), and the len_band block cap applied BEFORE
-    # shingling: the cap decision needs only len_band, so its sizes
-    # subtree prunes to a slim (doc_id, len_band) projection and the
-    # shingle arrays are built a single time, only for admitted docs.
+    # agg_first collapse (r15 A/B: 1.90 vs exchange_first's 2.13 s
+    # min, 2.27 vs 3.00 median full-wall — this family evaluates the
+    # collapse subtree under the block cap's TWO consumers, so the
+    # map-side-collapsed partial-agg form repeats less work), tokens
+    # split ONCE per doc (_shingles_from), and the len_band block cap
+    # applied BEFORE shingling: the cap decision needs only len_band,
+    # so its sizes subtree prunes to a slim (doc_id, len_band)
+    # projection and the shingle arrays are built a single time, only
+    # for admitted docs.
     docs = (
-        raw
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
-        )
-        .groupBy(F.sha2("text", 256).alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        _collapse_reps(raw, F.sha2("text", 256), "agg_first", nbytes)
         .withColumn("_toks", _tokens())
         .select(
             "doc_id",
@@ -780,16 +842,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented trade (MinHash covers the rest).
     """
     return ngram_jaccard_pairs_docs(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"),
+        nbytes=table_bytes(sf_dir, "documents"),
     )
 
 
-def ngram_jaccard_pairs_docs(raw: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs_docs(
+    raw: DataFrame, nbytes: int | None = None
+) -> DataFrame:
     """Frame-level form of :func:`dedup_ngram_jaccard`: (doc_a, doc_b,
     jaccard) pairs of exact-dup representatives with 3-gram Jaccard
     >= 0.5, over any (doc_id, text) frame — same banding and caps."""
     shared = (
-        _ngram_posting_join_docs(raw)
+        _ngram_posting_join_docs(raw, nbytes=nbytes)
         .groupBy(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
@@ -996,14 +1061,13 @@ def corpus_index_postings(corpus: DataFrame) -> DataFrame:
     (len_band, sh), hashes by _h) and only appended to — the daily
     increment then never scans corpus text. tools/stress_incremental.py
     measures exactly that split."""
-    reps = (
-        corpus.repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism,
-            F.md5("text"),
-        )
-        .groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-    )
+    # ids_semi collapse (r15 A/B on dedup_incremental: 2.14/2.40 s
+    # min/median vs exchange_first's 2.48/2.72): the winners
+    # aggregation is a HashAggregate over (hex, long) — the corpus
+    # text never enters an agg buffer — and the output arrives spread
+    # on doc_id, which is exactly what _side_postings(respread=False)
+    # wants.
+    reps = _collapse_reps(corpus, F.md5("text"), "ids_semi")
     return _side_postings(reps, respread=False)
 
 
@@ -1139,14 +1203,8 @@ def corpus_index_bands(corpus: DataFrame) -> DataFrame:
     # and match them at Jaccard 1.0. The n-gram posting path drops
     # these via its NULL len_band join key; here the filter is
     # explicit.
-    reps = (
-        corpus.filter(F.col("text").isNotNull())
-        .repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism,
-            F.md5("text"),
-        )
-        .groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    reps = _collapse_reps(
+        corpus.filter(F.col("text").isNotNull()), F.md5("text")
     )
     sh = reps.withColumn("_toks", _tokens()).select(
         "doc_id", _shingles_from(F.col("_toks")).alias("shingles")
@@ -1161,14 +1219,8 @@ def corpus_index_rep_shingles(corpus: DataFrame) -> DataFrame:
     doc_id, so the probe reads only candidate buckets) — band
     membership alone is a hash coincidence; admission decisions
     verify TRUE Jaccard."""
-    reps = (
-        corpus.filter(F.col("text").isNotNull())
-        .repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism,
-            F.md5("text"),
-        )
-        .groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    reps = _collapse_reps(
+        corpus.filter(F.col("text").isNotNull()), F.md5("text")
     )
     return reps.withColumn("_toks", _tokens()).select(
         "doc_id", _shingles_from(F.col("_toks")).alias("shingles")

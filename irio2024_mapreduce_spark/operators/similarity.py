@@ -27,6 +27,7 @@ Two paths:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -532,12 +533,18 @@ def _train_rows(
 
     global _LAST_IVF_ROUNDS
     rows = sorted(sample_rows, key=lambda r: r["_k"])
+    # validity mirrors _is_finite_vector: non-finite elements are
+    # excluded from TRAINING too (ADVICE r14) — a NaN/inf sample
+    # element would poison the centroid mean, and the inline() literal
+    # frame renders non-finite doubles as nanD/infD which do not parse
+    # (createDataFrame used to accept the poisoned centroid silently;
+    # failing to train on garbage was never the intent either way)
     vecs = [
         r["v"]
         for r in rows
         if r["v"] is not None
         and len(r["v"]) == EMB_DIM
-        and all(x is not None for x in r["v"])
+        and all(x is not None and math.isfinite(x) for x in r["v"])
     ]
     if not vecs:
         # np.asarray([]) is shape (0,): the matmul/norm below would

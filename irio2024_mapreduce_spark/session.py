@@ -41,7 +41,7 @@ EXCLUDED_RULES = (
 )
 
 
-def ensure_session_confs(spark: SparkSession) -> None:
+def ensure_session_confs(spark: SparkSession, force: bool = False) -> None:
     """Pin the runtime-settable confs correctness depends on, on an
     EXISTING session (the grading driver builds its own session, which
     won't have gone through :func:`get_spark`):
@@ -62,8 +62,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # a second Python wrapper around the same JVM session just re-sets
     # the same values once (idempotent). Tools that deliberately
     # mutate these confs mid-session (tools/ab_r14_batch1.py) restore
-    # them themselves.
-    if getattr(spark, "_irio_confs_ensured", False):
+    # them themselves — or call this with ``force=True`` to re-pin
+    # without reaching into the private flag (ADVICE r14).
+    if not force and getattr(spark, "_irio_confs_ensured", False):
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -48,10 +48,66 @@ BROADCAST_SAFE = ("region", "nation")
 # explicitly (``spark.read.schema(s).parquet``), exactly what a
 # catalog-backed table does in production. This memoizes METADATA
 # only — every query still scans the parquet data itself. Keyed by
-# absolute file path; test fixtures live in unique tmp dirs, and
-# nothing in the repo rewrites a star-schema table in place with a
-# different schema.
-_SCHEMA_CACHE: dict[str, object] = {}
+# (absolute path, mtime_ns) — ADVICE r14: a table rewritten in place
+# with an evolved schema during one process lifetime invalidates the
+# entry (explicit-schema parquet reads don't fail on drift; dropped
+# columns would silently come back as NULLs). The stat is one syscall
+# per load_table call, ~1000× cheaper than the footer inference it
+# replaces.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+# byte-size memo for the width helper below — one os.walk per
+# (path, mtime), the footprint a catalog's table statistics provide
+# in production
+_SIZE_CACHE: dict[tuple[str, int], int] = {}
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Total on-disk bytes of one table's parquet files (memoized per
+    (path, mtime)). Used to size user-pinned exchanges to the DATA,
+    not the core count (guide §2.1; VERDICT r14 item 6)."""
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return 0
+    key = (path, mtime)
+    nbytes = _SIZE_CACHE.get(key)
+    if nbytes is None:
+        nbytes = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        nbytes += os.path.getsize(os.path.join(root, f))
+        else:
+            nbytes = os.path.getsize(path)
+        _SIZE_CACHE[key] = nbytes
+    return nbytes
+
+
+# Target bytes per shuffle partition for user-pinned exchanges
+# (guide §2.1 wants ~100 MB-1 GB post-shuffle partitions; AQE cannot
+# coalesce a user-numbered repartition, so the number must be right
+# at plan time). Env-tunable so a cluster deployment can align it
+# with spark.sql.adaptive.advisoryPartitionSizeInBytes.
+EXCHANGE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_EXCHANGE_TARGET_BYTES", 128 * 1024 * 1024)
+)
+
+
+def exchange_width(spark: SparkSession, nbytes: int | None) -> int:
+    """Width for a user-pinned exchange: enough partitions that each
+    holds ~EXCHANGE_TARGET_BYTES of the input, floored at the session
+    parallelism (never BELOW core count — small inputs still want
+    every core on the expression-heavy stages these exchanges feed).
+    ``nbytes`` None/0 (no size known) falls back to the parallelism —
+    the pre-r15 behavior."""
+    p = spark.sparkContext.defaultParallelism
+    if not nbytes:
+        return p
+    return max(p, -(-nbytes // EXCHANGE_TARGET_BYTES))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,11 +131,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
-    schema = _SCHEMA_CACHE.get(path)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # let the Spark reader raise its own error
+    key = (path, mtime)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
         schema = df.schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     else:
         df = spark.read.schema(schema).parquet(path)
     ts_type = next(

@@ -97,6 +97,38 @@ def test_flat_load_after_warmup_flags_via_midpoint_sample():
     assert out["flagged"] and out["load_mid"], out
 
 
+def test_self_load_with_clean_mid_canary_does_not_flag():
+    """r15 (VERDICT r14 item 9): the bench's own 32-thread bursts push
+    the midpoint 1-min load average past LOAD_FLAG on a genuinely idle
+    host (r14 final4: load 6.33, warm mid canary 0.235 — BELOW the
+    cold idle reference, i.e. compute provably uncontended). load_mid
+    must attribute that to self-load; the raw boolean stays visible."""
+    out = compute_load_flags(
+        0.2, 0.279, IDLE_SERIES, load_mid1=6.33, mid_canary=0.235
+    )
+    assert not out["flagged"], out
+    assert not out["load_mid"]
+    assert out["load_mid_raw"]  # the evidence is preserved, not erased
+
+
+def test_high_mid_load_with_slowed_canary_still_flags():
+    # genuine contention: high midpoint load AND a warm canary above
+    # the cold reference (but under the 1.5x mid_dev threshold —
+    # load_mid retains sensitivity in that band)
+    out = compute_load_flags(
+        0.2, 0.279, IDLE_SERIES, load_mid1=11.0, mid_canary=0.30
+    )
+    assert out["flagged"] and out["load_mid"], out
+    assert not out["mid_dev"]
+
+
+def test_high_mid_load_without_canary_sample_still_flags():
+    # conservative default: no midpoint canary (pre-r11 artifact
+    # replay) -> the load number stands un-attributed and flags
+    out = compute_load_flags(0.2, 0.279, IDLE_SERIES, load_mid1=11.0)
+    assert out["flagged"] and out["load_mid"]
+
+
 def test_idle_run_with_midpoint_samples_stays_unflagged():
     # a warm midpoint canary on an idle host runs FASTER than the
     # cold reference — well under the 1.5x threshold
