@@ -124,6 +124,23 @@ def _ckpt_rdd(df: DataFrame):
     return df._jdf.queryExecution().logical().rdd()
 
 
+def _doc_rep(docs_raw: DataFrame) -> DataFrame:
+    """doc_id → exact-dup representative (min doc_id per sha2(text))
+    for the whole corpus — the attachment that maps every member onto
+    the collapsed rep graph's labels. Factored out as the seam the
+    r15 A/B (tools/ab_r15_ccdocrep.py) swaps shapes through.
+
+    Shape: the 32-byte (doc_id, hash) rows are materialized once
+    (lazy checkpoint) because `reps` and the doc→rep join are two
+    consumers of the scan+sha2 pass, which would otherwise run twice
+    (corpus-sized at scale)."""
+    hashed = docs_raw.select(
+        "doc_id", F.sha2("text", 256).alias("_h")
+    ).localCheckpoint(eager=False)
+    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+    return hashed.join(reps, "_h").select("doc_id", "rep")
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs → canonical doc per
     cluster + cluster size. Smallest-label propagation with pointer
@@ -156,15 +173,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     near_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs_raw = load_table(spark, sf_dir, "documents")
-    # materialize the 32-byte (doc_id, hash) rows once: `reps` and the
-    # doc→rep join are two consumers of this frame, which would
-    # otherwise instantiate the scan+sha2 pass twice (corpus-sized at
-    # scale) — lazy, the join's action triggers it
-    hashed = docs_raw.select(
-        "doc_id", F.sha2("text", 256).alias("_h")
-    ).localCheckpoint(eager=False)
-    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
-    doc_rep = hashed.join(reps, "_h").select("doc_id", "rep")
+    doc_rep = _doc_rep(docs_raw)
 
     if CC_REP_SEEDING:
         pairs = near_pairs

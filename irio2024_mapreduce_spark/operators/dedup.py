@@ -313,6 +313,23 @@ def _verify_candidate_pairs(pairs: DataFrame, raw: DataFrame) -> DataFrame:
             )
         ).alias("m"),
     ).select("pair", "m.role", "m.doc_id")
+    # Spread the candidate rows on the PAIR key before attaching text
+    # (r15): `pairs` arrives from a dropDuplicates exchange that AQE
+    # coalesces to ~1 partition at small candidate volume, and the
+    # text attach is a broadcast join (raw fits locally), which
+    # PRESERVES that partitioning — so the expensive per-candidate
+    # shingle build + Jaccard below ran near-serial regardless of
+    # core count (measured at 10× corpus: ~13 s of a 19 s wall on one
+    # task, 8v32 ratio 0.97). Hash exchange on `pair` costs one tiny
+    # (struct, role, id) shuffle, AQE never coalesces a user-numbered
+    # repartition, and the groupBy("pair") below REUSES the
+    # partitioning (no second exchange). At corpus scale the attach
+    # is a shuffle join whose own exchange respreads anyway — this is
+    # then a redundant narrow shuffle of candidate-mass rows, never
+    # corpus-sized.
+    melted = melted.repartition(
+        raw.sparkSession.sparkContext.defaultParallelism, "pair"
+    )
     with_sh = (
         melted.join(raw, "doc_id")
         .withColumn("_toks", _tokens())

@@ -126,6 +126,7 @@ BATCH_DOCS = [
 ]
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_full_ingest_lifecycle_without_dir_renames(
     spark, tmp_path, monkeypatch, no_dir_renames
 ):

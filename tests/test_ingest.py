@@ -5,6 +5,8 @@ in batch 1 must convict its duplicates in batch 2)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from irio2024_mapreduce_spark.operators.dedup import (
@@ -66,6 +68,7 @@ def test_stored_index_verdicts_match_graded_query(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{idx}/hashes").count() > counts["hashes_rows"]
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_second_batch_dedups_against_first(spark, tmp_path):
     """Hand-built two-day ingest: batch 2's exact copy and near-dup
     of a batch-1 admission must be convicted BY THE APPENDED INDEX,
@@ -152,6 +155,7 @@ def test_second_batch_dedups_against_first(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_second_batch_dedups_against_first_lsh_family(spark, tmp_path):
     """The same two-day scenario under the MinHash/LSH index family:
     batch 2's exact copy is convicted by the shared md5 half, and its
@@ -371,6 +375,7 @@ def test_intra_batch_near_dups_are_killed(spark, tmp_path):
     assert {r["doc_id"] for r in shipped.collect()} == {200}
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_reingest_same_batch_is_idempotent_for_the_corpus(
     spark, tmp_path
 ):
@@ -406,6 +411,7 @@ def test_reingest_same_batch_is_idempotent_for_the_corpus(
     assert shipped.count() == 1
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_seed_rerun_does_not_double_count_stats(spark, sf_dir, tmp_path):
     """Re-running the one-shot build with the same index_dir must
     REPLACE the seeded index (including the stats row) — an appended

@@ -162,6 +162,7 @@ def test_batch_id_makes_manifest_exactly_once(spark, tmp_path):
     assert read_recorded_manifest(spark, idx, 1) is None
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_crash_before_manifest_replays_safely(spark, tmp_path):
     """A crash AFTER the data appends but BEFORE the manifest write
     (simulated by recording no manifest: batch_id=None) re-runs the
@@ -224,6 +225,7 @@ def test_append_grown_hot_bucket_is_recapped_at_probe(spark, tmp_path):
 
 
 # --------------------------------------------------- index compaction
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_compact_index_rebuild_semantics_and_dedupe(spark, tmp_path):
     """compact_corpus_index physically applies what the probe-time
     re-cap emulates: after compaction an append-grown hot bucket is
@@ -391,6 +393,7 @@ def test_ingest_appends_into_split_partitioned_corpus(spark, tmp_path):
     assert stray == []
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_compaction_preserves_exactly_once_markers(spark, tmp_path):
     """compact_corpus_index swaps the manifests dir wholesale — the
     O(1) commit markers live OUTSIDE it and are regenerated from the
@@ -443,6 +446,7 @@ def test_compaction_preserves_exactly_once_markers(spark, tmp_path):
     assert read_recorded_manifest(spark, idx, 0, stream="s1") == m
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_crashed_manifest_swap_recovers_before_any_access(spark, tmp_path):
     """A compaction hard-killed between its two manifests renames
     leaves the rows at manifests._compact_old. Every manifests access

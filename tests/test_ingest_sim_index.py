@@ -193,6 +193,7 @@ def test_happy_path_appends_and_probes(spark, tmp_path):
         _probe_top1(spark, probe_ivf_index, ivf, d)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_kill_matrix_covers_similarity_indexes(spark, tmp_path):
     """Extended kill matrix: at every publish step, either NOTHING of
     the batch is visible in the similarity indexes (pre-commit) or
@@ -229,6 +230,7 @@ def test_kill_matrix_covers_similarity_indexes(spark, tmp_path):
         _probe_top1(spark, probe_ivf_index, ivf, 202)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_geometry_change_in_crash_window(spark, tmp_path):
     """The slow path: a batch commits, crashes before its index parts
     move, and maintenance (ANN resize + IVF rebuild) runs BEFORE the
@@ -259,6 +261,7 @@ def test_geometry_change_in_crash_window(spark, tmp_path):
     assert _ann_ids(spark, ann) == ADMITTED
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_all_rejected_batch_stages_no_index_part(spark, tmp_path):
     """Review finding (r11): a batch whose every doc is rejected used
     to stage an EMPTY parquet dir per index; a post-commit crash that
@@ -294,6 +297,7 @@ def test_all_rejected_batch_stages_no_index_part(spark, tmp_path):
     assert _ann_ids(spark, ann) == SEED_IDS
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_strict_entry_recovery_fails_loudly_on_held_lock(
     spark, tmp_path, monkeypatch
 ):
@@ -338,6 +342,7 @@ def test_strict_entry_recovery_fails_loudly_on_held_lock(
     assert _ann_ids(spark, ann) == ADMITTED  # predecessor published
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_quantized_ivf_ingest_and_geometry_change(spark, tmp_path):
     """An int8-quantized stored IVF index through the same
     transactional ingest: staged rows carry codes+scale, the fast
@@ -419,6 +424,7 @@ def test_missing_batch_emb_fails_loudly(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_vanished_similarity_index_classifies_retryable(
     spark, tmp_path
 ):
@@ -439,6 +445,7 @@ def test_vanished_similarity_index_classifies_retryable(
         _ingest(spark, idx, out, ann, ivf)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_unkeyed_batches_get_unique_delta_dirs(spark, tmp_path):
     """r14 (ADVICE, low): every UNKEYED batch (batch_id=None) must
     publish into its own delta dir — pre-r14 they all mapped to

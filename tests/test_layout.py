@@ -46,6 +46,7 @@ def test_zorder_preserves_rows(spark, xy, tmp_path):
     assert fp(back) == fp(xy)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_zorder_prunes_every_axis_linear_only_leading(spark, xy, tmp_path):
     lin = str(tmp_path / "linear")
     zee = str(tmp_path / "zorder")
@@ -86,6 +87,7 @@ def test_zorder_key_handles_constant_and_null_columns(spark):
     assert by_id[1] <= by_id[2] <= by_id[3]
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_fused_compact_zorder_restores_clustering(spark, xy, tmp_path):
     """compact_parquet(zorder_cols=...) — ONE rewrite that hits the
     byte target AND re-tiles the z-curve after unclustered appends
@@ -150,6 +152,7 @@ def test_zorder_key_all_null_column_degrades_to_constant(spark):
     assert by_id[1] <= by_id[2] <= by_id[3]
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_rewrite_zordered_swaps_and_recovers(spark, xy, tmp_path):
     from irio2024_mapreduce_spark.sources.sinks import (
         acquire_compaction_lock,

@@ -95,6 +95,7 @@ def aged(spark, tmp_path_factory):
     return idx, out, ann, ivf
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_one_call_restores_and_second_skips(spark, aged):
     idx, out, ann, ivf = aged
     corpus = os.path.join(out, "clean_documents.parquet")
@@ -321,6 +322,7 @@ def test_ivf_hot_cells_force_retrain_and_restore_recall(spark, tmp_path):
     assert not report2["ivf_rebuild"]["ran"], report2["ivf_rebuild"]
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_missing_markers_trip_regeneration(spark, tmp_path):
     idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
     build_corpus_index(spark, _docs(spark, range(100, 104)), idx)
@@ -338,6 +340,7 @@ def test_missing_markers_trip_regeneration(spark, tmp_path):
     assert os.listdir(markers)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_deep_reconcile_removes_late_duplicates_and_corrects_census(
     spark, tmp_path
 ):
@@ -613,6 +616,7 @@ def test_measured_census_counts_null_splits(spark, tmp_path):
     assert corpus_stats(spark, idx)["docs"] == expected + 1
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_external_seed_census_heals_composed_replay_drift(
     spark, tmp_path
 ):

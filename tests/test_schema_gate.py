@@ -101,6 +101,7 @@ def _assert_rejected_cleanly(spark, idx, out, ids_before, batch_id):
     assert not os.path.isdir(staged) or os.listdir(staged) == []
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_retyped_column_rejected_then_fixed_redelivery_commits(
     spark, tmp_path
 ):
@@ -124,6 +125,7 @@ def test_retyped_column_rejected_then_fixed_redelivery_commits(
     assert 151 in _corpus_ids(spark, out)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_added_column_strict_rejects_evolve_admits(spark, tmp_path):
     idx, out = _setup(spark, tmp_path)
     ids = _corpus_ids(spark, out)
@@ -155,6 +157,7 @@ def test_added_column_strict_rejects_evolve_admits(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_dropped_column_rejected_under_both_policies(spark, tmp_path):
     idx, out = _setup(spark, tmp_path)
     ids = _corpus_ids(spark, out)
@@ -308,6 +311,7 @@ def test_ingest_rejects_wrong_dimension_batch_emb_pre_commit(
     assert _manifest_count(spark, idx, 1) == 1
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_evolve_widens_authority_only_after_commit(spark, tmp_path):
     """An evolve-admission that aborts PRE-commit must not widen the
     _schema.json authority — otherwise the recorded shape is wider
@@ -385,6 +389,7 @@ def test_append_paths_reject_wrong_dimension_before_writing(
     assert read_ivf_manifest(ivf)["rows"] == 20
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_deleted_sidecar_reprimes_from_committed_union(spark, tmp_path):
     """Deleting the authority sidecar on an EVOLVED corpus must
     re-prime from the mergeSchema union of every committed footer —

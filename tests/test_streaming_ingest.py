@@ -6,6 +6,7 @@ through a Structured Streaming file source."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pandas as pd
@@ -45,6 +46,7 @@ def _write_batch(path, rows):
     ).to_parquet(path)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_stream_keeps_similarity_indexes_fresh(spark, tmp_path):
     """emb_col + ann/ivf dirs: every micro-batch's ADMITTED vectors
     join the stored indexes inside the batch's transactional commit —
@@ -153,6 +155,7 @@ def test_stream_keeps_similarity_indexes_fresh(spark, tmp_path):
         assert top1["cosine"] == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_stream_batches_dedup_in_file_order(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "corpus")

@@ -130,6 +130,7 @@ def test_tokenizer_control_char_parity_across_engines(spark):
     assert set(duck.items()) == got
 
 
+@pytest.mark.slow  # r15: chaos/soak class, off the default gate path
 def test_task_failure_recovery_chaos_analog():
     """The reference's chaos test (delete a worker pod mid-job,
     assert golden output still converges) translated to Spark's

@@ -24,6 +24,53 @@ from irio2024_mapreduce_spark.session import drain_driver_backlog, get_spark
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 from ab_r15_collapse import collapse_E  # noqa: E402
 
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _old_verify_candidate_pairs(pairs, raw):
+    """The r14 verify shape (no pair-key spread) — the 'before' arm
+    for the dedup_near/near_md5 dumps."""
+    melted = pairs.select(
+        F.struct("doc_a", "doc_b").alias("pair"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")
+                ),
+                F.struct(
+                    F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")
+                ),
+            )
+        ).alias("m"),
+    ).select("pair", "m.role", "m.doc_id")
+    with_sh = (
+        melted.join(raw, "doc_id")
+        .withColumn("_toks", D._tokens())
+        .select(
+            "pair", "role", D._shingles_from(F.col("_toks")).alias("sh")
+        )
+    )
+    return (
+        with_sh.groupBy("pair")
+        .agg(
+            F.first(
+                F.when(F.col("role") == "a", F.col("sh")), ignorenulls=True
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("role") == "b", F.col("sh")), ignorenulls=True
+            ).alias("sh_b"),
+        )
+        .select(
+            F.col("pair.doc_a").alias("doc_a"),
+            F.col("pair.doc_b").alias("doc_b"),
+            F.round(
+                D._jaccard(F.col("sh_a"), F.col("sh_b")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
@@ -60,17 +107,23 @@ def main() -> None:
 
     real_ckpt = DataFrame.localCheckpoint
     orig = D._collapse_reps
+    orig_verify = D._verify_candidate_pairs
     for name in names:
         no_ckpt = name != "dedup_clusters"
         for tag, fn in (("before", collapse_E), ("after", orig)):
             drain_driver_backlog(spark)
             D._collapse_reps = fn
+            # the 'before' arm also reconstructs the r14 verify shape
+            # (no pair-key spread) for the queries that use it
+            if tag == "before":
+                D._verify_candidate_pairs = _old_verify_candidate_pairs
             if no_ckpt:
                 DataFrame.localCheckpoint = lambda self, eager=True: self
             try:
                 df = qs[name](spark, sf)
             finally:
                 D._collapse_reps = orig
+                D._verify_candidate_pairs = orig_verify
                 DataFrame.localCheckpoint = real_ckpt
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
