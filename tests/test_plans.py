@@ -450,3 +450,43 @@ def test_shingle_token_split_is_projected_once(spark, sf_dir):
     # one split per Generate side (train + benchmark), not two
     assert dc_plan.count("split(") == 2, dc_plan.count("split(")
     assert "size(transform" not in dc_plan
+
+
+def test_candidate_verify_is_spread_on_the_pair_key(spark, sf_dir):
+    """r15 pin: _verify_candidate_pairs must hash-repartition the
+    melted candidate rows on `pair` BEFORE attaching text. Without it
+    the candidates arrive from a dropDuplicates exchange AQE coalesces
+    to ~1 partition (byte-light rows), the broadcast text attach
+    preserves that partitioning, and the per-candidate shingle+Jaccard
+    work runs near-serial at any core count (measured 13 s of a 19 s
+    wall on one task at a 10x corpus — OPTIMIZATION_r15.md batch 3).
+    The groupBy("pair") must REUSE that partitioning: exactly one
+    user-numbered pair exchange, no second ENSURE_REQUIREMENTS
+    exchange on pair above it."""
+    from irio2024_mapreduce_spark.operators.dedup import dedup_near_md5
+
+    plan = plan_of(dedup_near_md5(spark, sf_dir))
+    pair_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(pair" in ln
+    ]
+    assert len(pair_exchanges) == 1, pair_exchanges
+    assert "REPARTITION_BY_NUM" in pair_exchanges[0], pair_exchanges[0]
+
+
+def test_incremental_collapse_has_no_sort_aggregate(spark, sf_dir):
+    """r15 pin (VERDICT r14 item 2): the incremental corpus index's
+    exact-dup collapse aggregates winner IDS only — a HashAggregate
+    over (hex, long) — and attaches text by semi-join, so corpus text
+    never enters an aggregation buffer. SortAggregate must not
+    reappear in the corpus_index_postings subtree (it was 8 nodes of
+    the r14 dedup_incremental plan; 0 after — plans/r15/)."""
+    from irio2024_mapreduce_spark.operators.dedup import (
+        corpus_index_postings,
+    )
+    from irio2024_mapreduce_spark.sources.tables import load_table
+
+    plan = plan_of(
+        corpus_index_postings(load_table(spark, sf_dir, "documents"))
+    )
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
